@@ -1,38 +1,727 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry routes through the ``eclipse_spark`` engine package (the
+PySpark-native re-expression of DICL/Eclipse — see SURVEY.md). Oracle
+SQL is written for DuckDB 1.0 against the same parquet tables.
+
+Float discipline for oracle parity: money/measure aggregates go
+through ``decimal`` casts (exact, engine-independent) and surface as
+``double``; counts stay ``bigint``; regex semantics are kept to the
+RE2 ∩ Java-regex common subset.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from eclipse_spark import apps
+from eclipse_spark.operators import dedup, relational, similarity, text
+from eclipse_spark.pipeline import Pipeline
+from eclipse_spark.streaming import windows as stream_windows
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
+    read nanos as long and truncate to micros (exactly what DuckDB's
+    TIMESTAMP does with TIMESTAMP_NS, so oracles agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _utc(spark: SparkSession) -> None:
+    # timestamp ops must agree with duckdb's UTC-naive timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact engine-independent sum: decimal-accumulate, surface double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# §2.5 canonical apps
+# ---------------------------------------------------------------------------
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apps.word_count(_t(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apps.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+def q_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum("l_orderkey").alias("sum_l_orderkey"),
+        F.sum("l_partkey").alias("sum_l_partkey"),
+        F.sum("l_suppkey").alias("sum_l_suppkey"),
+        F.sum("l_linenumber").cast("long").alias("sum_l_linenumber"),
+        _dsum("l_quantity", "sum_l_quantity"),
+        _dsum("l_extendedprice", "sum_l_extendedprice"),
+        _dsum("l_discount", "sum_l_discount"),
+        _dsum("l_tax", "sum_l_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational layer (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-12-31"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    j = relational.join(
+        orders, customer, on=orders.o_custkey == customer.c_custkey,
+        how="inner", broadcast_right=True,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+def q_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(relational.join(
+            customer,
+            relational.join(nation, F.broadcast(region),
+                            on=nation.n_regionkey == region.r_regionkey,
+                            how="inner"),
+            on=customer.c_nationkey == nation.n_nationkey,
+            how="inner", broadcast_right=True,
+        ), orders.o_custkey == customer.c_custkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    has = relational.join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey", how="left_semi",
+    )
+    return has.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    none = relational.join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey", how="left_anti",
+    )
+    return none.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return relational.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.distinct(li.select("l_returnflag", "l_linestatus"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    high_bal = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = relational.intersect(high_bal, with_orders).withColumn("tag", F.lit("both"))
+    only_bal = relational.except_distinct(high_bal, with_orders).withColumn(
+        "tag", F.lit("no_orders")
+    )
+    return relational.union_all(both, only_bal)
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.rollup(
+        li, ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n_rows"), _dsum("l_quantity", "sum_qty")],
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return relational.cube(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n_orders")],
+    )
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return relational.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        10,
+        F.desc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    p = relational.pivot(
+        orders, ["o_orderpriority"], "o_orderstatus", ["O", "F", "P"], F.count(F.lit(1))
+    )
+    return p.na.fill(0, ["O", "F", "P"])
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        _dsum("l_quantity", "q"), _dsum("l_extendedprice", "p"), _dsum("l_discount", "d", 2)
+    )
+    return relational.unpivot(sums, ["l_returnflag"], ["q", "p", "d"], "measure", "value")
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_orderkey").alias("nd_order"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch — approximate by construction, rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx_part"),
+        F.approx_count_distinct("l_orderkey").alias("apx_order"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (orders -> latest event at/before o_orderdate per
+    user): implemented shuffle-once via union + running max window —
+    Spark has no native as-of; this composition scales (single
+    partition-by-key shuffle, no per-row subquery)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 14)
+    events = _events(spark, sf_dir)
+    ev = events.select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"), F.lit(0).alias("is_order"),
+        F.col("ts").alias("ev_ts"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey"), F.lit(1).alias("is_order"),
+        F.lit(None).cast("timestamp").alias("ev_ts"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_order")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = ev.unionByName(od).withColumn("asof_ts", F.max("ev_ts").over(w))
+    return merged.filter(F.col("is_order") == 1).select(
+        "o_orderkey", F.col("k").alias("o_custkey"), "asof_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events / streaming (batch-parity forms)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dsum("value", "sum_value", 6),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    return stream_windows.session_windows_batch(events, gap_minutes=30)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (north-star)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id")
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs).select("n_dups", "members")
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.8).select("doc_id")
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, prefix_bits=12)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(emb, threshold=0.9)
+    return out.select("id_a", "id_b")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(queries, emb, k=10)
+    return out.select("query_id", "match_id", "rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(queries, emb, k=10, planes=6)
+    return out.select("query_id", "match_id", "rank")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    en_stop = F.array(*[F.lit(w) for w in text._STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        (sum_len / n_tok).alias("mean_word_len"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / F.length("text")).alias("digit_ratio"),
+        (F.size(F.array_intersect(toks, en_stop)) / n_tok).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.doc_fingerprint(docs, k=9).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# MapReduce surface (SURVEY §2.2) through the Pipeline API
+# ---------------------------------------------------------------------------
+
+def q_mr_group_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eclipse-style arbitrary per-key reduce (get_nextvalue loop) via
+    applyInPandas: per-order-status value count, emitted as strings
+    (the reference's untyped record model)."""
+    p = Pipeline.from_parquet(spark, os.path.join(sf_dir, "orders.parquet"), app="kvcount")
+    return (
+        p.emit_kv(key=F.col("o_orderstatus"), value=F.col("o_totalprice"))
+        .group_reduce(lambda key, values: [str(len(values))])
+        .to_df()
+    )
+
+
+def q_mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Associative fast path with map-side combine."""
+    p = Pipeline.from_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"), app="kvsum")
+    return (
+        p.emit_kv(key=F.col("l_returnflag"), value=F.col("l_quantity"))
+        .reduce_by_key(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), alias="sum_value"
+        )
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 shape on sf0.001 through the engine."""
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "word_count": q_word_count,
+        "inverted_index": q_inverted_index,
+        "aggregation": q_aggregation,
+        "tpch_q1": q_tpch_q1,
+        "join_orders_customer": q_join_orders_customer,
+        "join_5way": q_join_5way,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_topk": q_window_topk,
+        "window_running": q_window_running,
+        "distinct_pairs": q_distinct_pairs,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "topk_global": q_topk_global,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "count_distinct": q_count_distinct,
+        "approx_distinct": q_approx_distinct,
+        "asof_join": q_asof_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_candidates": q_simhash_candidates,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "mr_group_reduce": q_mr_group_reduce,
+        "mr_reduce_by_key": q_mr_reduce_by_key,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = ", ".join(f"'{w}'" for w in text._STOPWORDS["en"])
+    lang_scores = {
+        lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in text._STOPWORDS.items()
+    }
+    return {
+        "word_count": f"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({TOKENS_SQL}) AS word FROM documents) t
+            GROUP BY word
+        """,
+        "inverted_index": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS word FROM documents
+            )
+            SELECT word,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS postings,
+                   count(*) AS postings_n
+            FROM tok GROUP BY word
+        """,
+        "aggregation": """
+            SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
+                   CAST(sum(l_partkey) AS BIGINT) AS sum_l_partkey,
+                   CAST(sum(l_suppkey) AS BIGINT) AS sum_l_suppkey,
+                   CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_discount,
+                   CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_tax
+            FROM lineitem
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_5way": """
+            SELECT r_name, n_name, count(*) AS n_rows,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) t
+            WHERE rk <= 3
+        """,
+        "window_running": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_qty
+            FROM lineitem
+        """,
+        "distinct_pairs": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "set_ops": """
+            WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+                 high_bal AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT custkey, 'both' AS tag
+            FROM (SELECT custkey FROM high_bal INTERSECT SELECT custkey FROM with_orders) a
+            UNION ALL
+            SELECT custkey, 'no_orders' AS tag
+            FROM (SELECT custkey FROM high_bal EXCEPT SELECT custkey FROM with_orders) b
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "topk_global": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot": """
+            WITH sums AS (
+              SELECT l_returnflag,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p,
+                     CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'q' AS measure, q AS value FROM sums
+            UNION ALL SELECT l_returnflag, 'p', p FROM sums
+            UNION ALL SELECT l_returnflag, 'd', d FROM sums
+        """,
+        "count_distinct": """
+            SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order
+            FROM lineitem
+        """,
+        "asof_join": """
+            SELECT o_orderkey, o_custkey,
+                   (SELECT max(ts) FROM events
+                    WHERE user_id = o_custkey AND ts <= o_orderdate) AS asof_ts
+            FROM orders WHERE o_custkey <= 14
+        """,
+        "events_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessed AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sessed GROUP BY user_id, session_id
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents
+              GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "dedup_groups": """
+            SELECT count(*) AS n_dups,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS members
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            HAVING count(*) > 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+                 s AS (SELECT query_id, match_id,
+                              list_cosine_similarity(qv, cv) AS cos
+                       FROM q, c WHERE query_id <> match_id)
+            SELECT query_id, match_id, rank FROM (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, match_id) AS rank
+              FROM s) t
+            WHERE rank <= 10
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(toks) AS n_tokens,
+                   list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+                   len(list_distinct(list_filter(toks, x -> list_contains([{stop_en}], x)))) / len(toks) AS stopword_ratio
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT len(list_distinct(list_filter({TOKENS_SQL}, x -> list_contains([{lang_scores['en']}], x)))) AS s_en,
+                     len(list_distinct(list_filter({TOKENS_SQL}, x -> list_contains([{lang_scores['de']}], x)))) AS s_de,
+                     len(list_distinct(list_filter({TOKENS_SQL}, x -> list_contains([{lang_scores['fr']}], x)))) AS s_fr,
+                     len(list_distinct(list_filter({TOKENS_SQL}, x -> list_contains([{lang_scores['es']}], x)))) AS s_es
+              FROM documents)
+            SELECT lang_pred, count(*) AS n_docs FROM (
+              SELECT CASE
+                       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       ELSE 'es' END AS lang_pred
+              FROM scored) t
+            GROUP BY lang_pred
+        """,
+        "token_stats": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "mr_group_reduce": """
+            SELECT o_orderstatus AS key, CAST(count(*) AS VARCHAR) AS out
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "mr_reduce_by_key": """
+            SELECT l_returnflag AS key,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # no oracle (non-SQL-expressible, hash-seeded or approximate):
+        # approx_distinct, minhash_candidates, minhash_dedup,
+        # simhash_candidates, embedding_near_dup, ann_lsh, doc_fingerprint
+    }

@@ -1,0 +1,270 @@
+"""Deduplication operators (north-star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant is shuffle-bounded —
+
+- exact: hash the normalized text first so the distinct shuffle moves
+  (hash, id), never full documents;
+- MinHash-LSH: documents never pairwise-compare globally; candidate
+  pairs only form inside an LSH band bucket (self-join on the band
+  hash), the classic sub-quadratic near-dup pipeline;
+- SimHash: 64-bit signature via bit-vote aggregation, candidates from
+  exact signature-prefix buckets;
+- verification (Jaccard / cosine) happens only on candidate pairs.
+
+Built-ins end-to-end: shingling, hashing, min-reduction, band hashing
+are all codegen'd SQL expressions (higher-order functions), no Python
+in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators.text import shingles
+
+
+def _norm_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# -- exact ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text
+    group. Shuffles (hash, id) pairs only; the winning ids then
+    semi-join back to fetch full rows — at 100 TB the wide document
+    payload moves at most once."""
+    hashed = df.select(
+        F.col(id_col), F.xxhash64(_norm_text(F.col(text_col))).alias("_h")
+    )
+    winners = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters: (hash, n_dups, member ids) for groups
+    with >1 member — the audit view of exact_dedup."""
+    hashed = df.select(
+        F.col(id_col), F.xxhash64(_norm_text(F.col(text_col))).alias("h")
+    )
+    return (
+        hashed.groupBy("h")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.array_join(F.sort_array(F.collect_list(F.col(id_col).cast("string"))), ",").alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# -- MinHash ----------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_k: int = 5
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-values, where
+    hash_i(s) = xxhash64(s, seed=i) over the char-shingle set. One
+    pass, all higher-order functions."""
+    sh = shingles(text, shingle_k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: signature split into
+    ``bands`` rows of ``num_hashes/bands``; docs sharing any band hash
+    become a candidate pair (id_a < id_b). The self-join is on the
+    (band_idx, band_hash) key — sub-quadratic, shuffle keyed by
+    bucket."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard; keeps
+    pairs >= threshold. Shingle sets are joined in (small candidate
+    set), computed via array_intersect/array_union on distinct
+    shingles."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates -> Jaccard verify -> drop the
+    larger id of each verified pair (greedy union toward min id)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -- SimHash ----------------------------------------------------------
+
+
+def simhash_signature(text: Column, bits: int = 64, shingle_k: int = 5) -> Column:
+    """SimHash: per-bit majority vote over shingle hashes. For each bit
+    position, count shingles with that bit set; bit is 1 when count >
+    n/2. Expressed with aggregate() over the shingle array — codegen,
+    no UDF. 64-bit signature packed into a long."""
+    sh = F.array_distinct(shingles(text, shingle_k))
+    n = F.size(sh)
+    # votes[i] = number of shingles whose hash has bit i set
+    # (shift amounts must be literals, so the bit array is unrolled
+    # Python-side — 64 fixed expressions, still one codegen'd stage)
+    votes = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_i = (
+            F.when(F.element_at(votes, i + 1) * 2 > n, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit_i, i))
+    return sig
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing a ``prefix_bits`` signature
+    prefix bucket (one of the classic SimHash table partitions)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        simhash_signature(F.col(text_col), 64, shingle_k).alias("sig"),
+    )
+    bucketed = sig.withColumn("bucket", F.shiftright("sig", 64 - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _hamming(x: Column, y: Column) -> Column:
+    return F.bit_count(x.bitwiseXOR(y))
+
+
+# -- embedding near-dup ----------------------------------------------
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    sign-bit sketch buckets candidates, exact cosine verifies. The
+    hyperplanes are deterministic pseudo-random (hash of (plane, dim)),
+    so the operator needs no model artifact and is reproducible."""
+    from eclipse_spark.operators.similarity import cosine_sim, sign_sketch
+
+    sk = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_sketch(F.col(vec_col), planes, seed).alias("bucket"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

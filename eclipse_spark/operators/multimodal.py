@@ -1,0 +1,98 @@
+"""Multimodal column operators (north-star).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct; decode / feature-extract run as Arrow-batched pandas stages
+over ``mapInPandas``. The decode kernels themselves are STUBBED (the
+image/audio libraries are not in this container): ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder exercises the full Spark-side plumbing —
+schema, batching, partition sizing — which IS real and tested.
+
+Scale notes: binary payloads are heavy — operators never shuffle the
+bytes; metadata-only projections go first (column pruning drops the
+binary column at the scan when untouched), and per-batch memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "id long, kind string, bytes binary, "
+    "meta struct<width:int, height:int, mime:string>"
+)
+
+
+def read_binary_dir(spark, path: str) -> DataFrame:
+    """Ingest a directory of files as (path, modificationTime, length,
+    content) — Spark's binaryFile source; the standard way raw media
+    enters the engine."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def with_content_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Cheap metadata without decoding: byte length + content hash
+    (for exact dedup of media blobs). Pure built-ins."""
+    return df.withColumns(
+        {
+            "n_bytes": F.length(F.col(bytes_col)),
+            "content_hash": F.sha2(F.col(bytes_col), 256),
+        }
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an image decoder: 8 floats derived
+    from the content hash. Lets the pipeline be end-to-end testable
+    without PIL/ffmpeg."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def decode_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "id",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract as a mapInPandas stage:
+    (id, features array<double>). With ``fake=False`` this raises at
+    plan-build time — the real kernel needs PIL/torchvision/ffmpeg,
+    which this container lacks; the operator signature, output schema,
+    and Arrow batching are the deliverable."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg (not in this container); "
+            "use fake=True to exercise the pipeline with the deterministic stub"
+        )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "features": pdf[bytes_col].map(lambda b: _fake_decode(bytes(b) if b is not None else b"")),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(_run, schema="id long, features array<double>")
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "id", bytes_col: str = "bytes", every_n: int = 30
+) -> DataFrame:
+    """Video frame-sampling plumbing: emits (id, frame_idx) rows for a
+    stubbed decoder — frame count faked deterministically from byte
+    length (real impl: ffprobe). Demonstrates the explode-style fanout
+    with the binary column pruned from the shuffle."""
+    n_frames = (F.length(F.col(bytes_col)) % 300 + F.lit(1)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

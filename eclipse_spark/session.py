@@ -1,0 +1,72 @@
+"""Session management for the engine.
+
+Eclipse reads a JSON settings file (port, master_address, nodes[]; ref
+``src/common/settings.cc:21-55``) and spins up master/slave/fileserver
+processes. Here the entire runtime is a SparkSession; this module owns
+the tuned builder so every entry point (tests, bench, driver) gets the
+same scale-conscious configuration.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+# Defaults are sized for the local[32] single-JVM test rig; on a real
+# cluster the same knobs are what you'd tune (shuffle partitions ~
+# 2-3x total cores, AQE coalesces the rest).
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+}
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level configuration (the Spark-side analogue of
+    Eclipse's ``eclipse.json`` settings object)."""
+
+    master: str = field(
+        default_factory=lambda: f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    app_name: str = "eclipse_spark"
+    confs: dict[str, str] = field(default_factory=dict)
+
+    def merged_confs(self) -> dict[str, str]:
+        out = dict(_DEFAULT_CONFS)
+        out.update(self.confs)
+        return out
+
+
+def get_spark(config: EngineConfig | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Reuses an active session when present (pytest/driver own the
+    lifecycle); only applies master/memory settings when creating.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    config = config or EngineConfig()
+    builder = SparkSession.builder.master(config.master).appName(config.app_name)
+    for k, v in config.merged_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,164 @@
+"""Storage layer — the Spark-side equivalent of Eclipse's DHT file
+commands and output-file protocol.
+
+Reference surface being re-expressed (SURVEY §2.1):
+
+- ``mrput``   (hash-place local files; ``src/bin/mrput``,
+  ``src/file_distributor/fd_core.cc:11-54``)          -> :meth:`Catalog.put`
+- ``mrcat``   (``src/file_distributor/mrcat_core.cc``) -> :meth:`Catalog.get`
+- ``mrls``    (``src/bin/mrls``)                       -> :meth:`Catalog.ls`
+- ``mrrm``    (``src/file_distributor/mrrm_core.cc``)  -> :meth:`Catalog.rm`
+- ``Owrite`` append-to-placed-file
+  (``src/file_distributor/fileserver.hh:1025-1071,3057-3086``)
+                                                       -> :meth:`Catalog.write`
+
+Placement (Hsieh hash mod N, ``src/common/hash.cc:5-56``) is NOT
+reimplemented: on Spark the filesystem + partitioning owns data
+placement. A "file" here is a named parquet table under a root
+directory; the unit of parallelism is the parquet row-group/partition,
+not the whole file — that alone is the main 100 TB upgrade over the
+reference's one-map-task-per-file granularity
+(``src/master/dht/master.cc:750-771``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class TableInfo:
+    name: str
+    path: str
+    version: int  # bumped on every write; feeds semantic-cache keys
+    mtime: float
+
+
+class Catalog:
+    """Named-table registry over a filesystem root.
+
+    Table versioning exists so the semantic cache (semcache.py) can key
+    cached results on *input snapshot identity*, mirroring how Eclipse
+    keys its Icache on immutable DHT files (``fileserver.hh:354-359``).
+    """
+
+    _MANIFEST = "_eclipse_catalog.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._versions: dict[str, int] = {}
+        self._load_manifest()
+
+    # -- manifest -------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self._MANIFEST)
+
+    def _load_manifest(self) -> None:
+        try:
+            with open(self._manifest_path()) as f:
+                self._versions = {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            self._versions = {}
+
+    def _save_manifest(self) -> None:
+        with open(self._manifest_path(), "w") as f:
+            json.dump(self._versions, f)
+
+    def _bump(self, name: str) -> None:
+        self._versions[name] = self._versions.get(name, 0) + 1
+        self._save_manifest()
+
+    # -- paths ----------------------------------------------------------
+    def path_of(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path_of(name))
+
+    def info(self, name: str) -> TableInfo:
+        p = self.path_of(name)
+        return TableInfo(
+            name=name,
+            path=p,
+            version=self._versions.get(name, 0),
+            mtime=os.path.getmtime(p) if os.path.exists(p) else 0.0,
+        )
+
+    # -- the mr* surface ------------------------------------------------
+    def put(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """``mrput`` analogue: materialize a DataFrame as a named table
+        (overwrite). ``partition_by`` gives hive-style partition pruning
+        at scan time — the declarative replacement for DHT placement."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        path = self.path_of(name)
+        writer.parquet(path)
+        self._bump(name)
+        return path
+
+    def put_text(self, name: str, local_path: str) -> str:
+        """``mrput`` for raw text files: one row per line, like
+        Eclipse's newline-record model (``src/common/fileclient.hh:362-431``)."""
+        df = self.spark.read.text(local_path)
+        return self.put(name, df)
+
+    def get(self, name: str) -> DataFrame:
+        """``mrcat``/``Rread`` analogue: read a named table. Raw-input
+        caching (Eclipse C1/C2) is Spark's buffer/page cache + optional
+        ``.persist()`` at the call site."""
+        return self.spark.read.parquet(self.path_of(name))
+
+    def ls(self) -> list[str]:
+        """``mrls`` analogue."""
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
+    def rm(self, name: str) -> bool:
+        """``mrrm`` analogue."""
+        p = self.path_of(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            self._versions.pop(name, None)
+            self._save_manifest()
+            return True
+        return False
+
+    def write(self, name: str, df: DataFrame) -> str:
+        """``Owrite`` analogue: append records to a named output table
+        (Eclipse appends lines to the DHT-placed output file)."""
+        path = self.path_of(name)
+        df.write.mode("append").parquet(path)
+        self._bump(name)
+        return path
+
+
+def open_sf_dir(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver-generated parquet table under a testdata dir."""
+    out: dict[str, DataFrame] = {}
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            out[f[: -len(".parquet")]] = spark.read.parquet(os.path.join(sf_dir, f))
+    return out
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the standard tables (or ``names``) from an sf dir."""
+    if names is None:
+        return open_sf_dir(spark, sf_dir)
+    return {
+        n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names
+    }

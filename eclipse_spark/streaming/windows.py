@@ -1,0 +1,133 @@
+"""Streaming / windowed-event operators (north-star; SURVEY §7 step 6).
+
+The reference has no streaming at all (SURVEY §1 'Streams: not
+present'); these are the Structured Streaming capabilities our engine
+adds over the ``events`` table. Every window op has a *batch* form
+(same expressions on a static DataFrame — used by the duckdb oracle
+gate) and a *streaming* form (readStream + watermark). Batch/stream
+parity is the test contract (FIXTURES F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts+sums. Emits window_start/window_end as
+    plain timestamps (oracle-friendly)."""
+    keys = keys if keys is not None else ["event_type"]
+    w = F.window(F.col(ts_col), width)
+    return (
+        events.groupBy(w.alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    keys = keys if keys is not None else ["event_type"]
+    w = F.window(F.col(ts_col), width, slide)
+    return (
+        events.groupBy(w.alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_windows_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: lag + gap>threshold cumsum — the classic
+    window-function formulation (oracle-parity with SQL). One shuffle
+    on user_id; the running sum rides the same partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        gap.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(gap) > gap_minutes * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessed = events.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessed.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native session_window +
+    watermark (late rows beyond the watermark are dropped)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def stream_from_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """readStream over a parquet dir — the local test source (real
+    deployments: kafka). ``maxFilesPerTrigger`` bounds batch size."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query synchronously to completion over a
+    finite source (processAllAvailable), results in the in-memory
+    table ``name``."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eclipse_spark.session import EngineConfig, get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        EngineConfig(
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+            app_name="eclipse_spark_tests",
+        )
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_smoke() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_correct() -> str:
+    return SF_CORRECT
