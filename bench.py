@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect). Headliners cover the reference's three canonical apps
+plus the relational / LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "word_count",
+    "inverted_index",
+    "aggregation",
+    "tpch_q1",
+    "join_5way",
+    "window_topk",
+    "events_sessionize",
+    "dedup_exact",
+    "minhash_candidates",
+    "ann_topk",
+    "asof_join",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("eclipse_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen/IO warmup (not part of the measured suite): touch
+    # each table once and compile the hot codegen paths (scan, split/
+    # explode, hash-agg, shuffle) on tiny samples.
+    from pyspark.sql import functions as F
+
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).limit(1000).groupBy().count().collect()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # one warm plan-build outside the clock would hide analysis cost;
+        # the driver's gate measures end-to-end, so we do too.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eclipse_spark.util import ensure_parallelism
+
 # Tokenization contract shared by word count / inverted index and their
 # DuckDB oracles: lowercase, split on whitespace runs, drop empties.
 # (Eclipse's record model is raw lines; tokenization was user C++.)
@@ -25,7 +27,8 @@ def tokens_col(text: Column) -> Column:
 def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """word -> occurrence count across the corpus."""
     return (
-        docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        ensure_parallelism(docs.select(text_col))
+        .select(F.explode(tokens_col(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -41,7 +44,8 @@ def inverted_index(
     oracle-comparable); `postings_n` carries the list length. distinct
     before the groupBy keeps the shuffle narrow (token,doc) pairs."""
     tok = (
-        docs.select(
+        ensure_parallelism(docs.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens_col(F.col(text_col))).alias("word"),
         )

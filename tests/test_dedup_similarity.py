@@ -1,0 +1,113 @@
+"""Dedup + similarity operators on planted fixtures (FIXTURES F7):
+exact dups, near-dups with small edits, planted nearest neighbors."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    random.seed(42)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(random.choices(vocab, k=40)) for _ in range(50)]
+    rows = []
+    did = 0
+    for i, text in enumerate(base):
+        rows.append((did, text, i)); did += 1
+    # exact duplicates of first 5
+    for i in range(5):
+        rows.append((did, base[i], i)); did += 1
+    # near duplicates of next 5 (edit one word)
+    for i in range(5, 10):
+        toks = base[i].split(); toks[3] = "EDITED"
+        rows.append((did, " ".join(toks), i)); did += 1
+    return spark.createDataFrame(rows, ["doc_id", "text", "group"])
+
+
+def test_exact_dedup_drops_exact_only(planted_docs):
+    kept = dedup.exact_dedup(planted_docs)
+    assert kept.count() == 60 - 5  # 5 exact dups removed
+    groups = dedup.exact_dup_groups(planted_docs)
+    assert groups.count() == 5
+    assert all(r["n_dups"] == 2 for r in groups.collect())
+
+
+def test_minhash_finds_near_dups(planted_docs):
+    cands = dedup.minhash_lsh_candidates(planted_docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    # every exact pair (i, 50+i) i<5 and near pair (i, 55+i-5) must be caught
+    for i in range(5):
+        assert (i, 50 + i) in pairs, f"exact dup pair {i} missed"
+    for i in range(5, 10):
+        assert (i, 50 + i) in pairs, f"near dup pair {i} missed"
+
+
+def test_minhash_dedup_end_to_end(planted_docs):
+    kept = dedup.minhash_dedup(planted_docs, num_hashes=32, bands=16, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # all duplicate ids (50..59) removed, originals retained
+    assert ids.issuperset(set(range(0, 50))) or len(ids) == 50
+    assert not ids.intersection(set(range(50, 60)))
+
+
+def test_simhash_close_on_near_dups(planted_docs):
+    sig = planted_docs.select(
+        "doc_id",
+        dedup.simhash_signature(F.col("text"), shingle_k=5).alias("sig"),
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    for i in range(5):  # exact dups: identical signature
+        assert sigs[i] == sigs[50 + i]
+    for i in range(5, 10):  # near dups: small hamming distance
+        ham = bin((sigs[i] ^ sigs[50 + i]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16, f"near dup {i} hamming {ham}"
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    random.seed(7)
+    dim = 16
+    rows = []
+    for i in range(100):
+        v = [random.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    # plant near neighbors: vec 100+i ~= vec i (tiny noise)
+    for i in range(5):
+        v = [x + random.gauss(0, 0.01) for x in rows[i][1]]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((100 + i, [x / n for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_finds_planted(planted_vectors):
+    queries = planted_vectors.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(queries, planted_vectors, k=1)
+    top1 = {r["query_id"]: r["match_id"] for r in out.collect()}
+    assert top1 == {i: 100 + i for i in range(5)}
+
+
+def test_lsh_topk_recall_on_planted(planted_vectors):
+    queries = planted_vectors.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(queries, planted_vectors, k=1, planes=4)
+    top1 = {r["query_id"]: r["match_id"] for r in out.collect()}
+    # sign-sketch buckets: a planted near-identical vector lands in the
+    # same bucket with overwhelming probability at 4 planes
+    hits = sum(1 for i in range(5) if top1.get(i) == 100 + i)
+    assert hits >= 4
+
+
+def test_embedding_near_dup_pairs(planted_vectors):
+    out = dedup.embedding_near_dup(
+        planted_vectors, threshold=0.98, planes=4
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    found = sum(1 for i in range(5) if (i, 100 + i) in pairs)
+    assert found >= 4

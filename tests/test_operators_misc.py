@@ -1,0 +1,150 @@
+"""Skew helpers, multimodal plumbing, text ops, sources, scalar fns."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclipse_spark.functions.scalar import murmur_bucket, safe_div
+from eclipse_spark.operators import multimodal, skew, text
+from eclipse_spark.sources import read_any, write_any
+
+
+# -- skew -------------------------------------------------------------
+
+def test_two_phase_agg_matches_direct(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    direct = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    two = skew.two_phase_agg(
+        li,
+        ["l_returnflag"],
+        [F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q_part")],
+        [F.sum("q_part").alias("s")],
+        buckets=8,
+    )
+    got = {r["l_returnflag"]: r["s"] for r in two.collect()}
+    assert got == direct
+
+
+def test_salt_is_deterministic_and_bounded(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(1000)
+    s1 = skew.salt(li, "l_returnflag", 8).select("_salt").toPandas()["_salt"]
+    s2 = skew.salt(li, "l_returnflag", 8).select("_salt").toPandas()["_salt"]
+    assert (s1 == s2).all()
+    assert s1.between(0, 7).all()
+
+
+def test_skew_join_salted_matches_plain(spark, sf_smoke):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_smoke}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").count()
+    salted = skew.skew_join_salted(orders, customer, "o_custkey", buckets=4).count()
+    assert salted == plain
+
+
+# -- multimodal -------------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfakebytes-1"), (4, 4, "image/png")),
+        (2, "image", bytearray(b"\x89PNGfakebytes-22"), (8, 8, "image/png")),
+        (3, "audio", bytearray(b"RIFFfakewav"), (0, 0, "audio/wav")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_content_meta(media_df):
+    out = multimodal.with_content_meta(media_df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 15
+    assert len(rows[1]["content_hash"]) == 64
+
+
+def test_decode_features_stub_raises(media_df):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media_df, fake=False)
+
+
+def test_decode_features_fake_is_deterministic(media_df):
+    out1 = {r["id"]: r["features"] for r in multimodal.decode_features(media_df, fake=True).collect()}
+    out2 = {r["id"]: r["features"] for r in multimodal.decode_features(media_df, fake=True).collect()}
+    assert out1 == out2
+    assert all(len(v) == 8 for v in out1.values())
+
+
+def test_frame_sample_plan(media_df):
+    out = multimodal.frame_sample_plan(media_df, every_n=5)
+    assert out.columns == ["id", "frame_idx"]
+    assert out.count() > 0
+
+
+# -- text -------------------------------------------------------------
+
+def test_language_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "der hund ist nicht in das haus und die katze"),
+            (3, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_doc_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar baz"), (2, "hello   world\tfoo bar baz")],
+        ["doc_id", "text"],
+    )
+    fps = [r["fp"] for r in text.doc_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_stats_columns(spark):
+    df = spark.createDataFrame([(1, "The quick brown fox, it is 42!")], ["doc_id", "text"])
+    row = text.quality_stats(df).collect()[0]
+    assert row["n_tokens"] == 7
+    assert 0 < row["punct_ratio"] < 0.2
+    assert row["digit_ratio"] > 0
+    assert row["stopword_ratio"] > 0
+
+
+# -- sources ----------------------------------------------------------
+
+def test_read_any_requires_schema_for_csv(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_any(spark, str(tmp_path), "csv")
+
+
+def test_write_read_roundtrip(spark, sf_smoke, tmp_path):
+    df = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    out = str(tmp_path / "r.json")
+    write_any(df, out, fmt="json")
+    back = read_any(spark, out, fmt="json", schema="r_regionkey int, r_name string")
+    assert back.count() == df.count()
+
+
+# -- scalar fns -------------------------------------------------------
+
+def test_safe_div_and_bucket(spark):
+    df = spark.range(4).select(
+        safe_div(F.lit(10.0), F.col("id")).alias("d"),
+        murmur_bucket(F.col("id"), 4).alias("b"),
+    )
+    rows = df.collect()
+    assert rows[0]["d"] is None  # 10/0 -> NULL
+    assert all(0 <= r["b"] < 4 for r in rows)

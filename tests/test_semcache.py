@@ -1,0 +1,70 @@
+"""Semantic cache (Orthrus-equivalent) semantics per FIXTURES F6:
+hit on identical (app, input) re-run, byte-identical output, miss
+after input version change, LRU eviction under budget."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eclipse_spark.pipeline import Pipeline
+from eclipse_spark.semcache import SemanticCache
+from eclipse_spark.storage import Catalog
+
+
+def _wc_pipeline(cat: Catalog, cache: SemanticCache) -> Pipeline:
+    return (
+        Pipeline.from_table(cat, "docs", app="wc")
+        .emit_kv(
+            fn=lambda pdf: pd.DataFrame(
+                {"key": pdf["text"].str.lower().str.split().explode().dropna(), "value": "1"}
+            )
+        )
+        .count_by_key()
+        .cached(cache)
+    )
+
+
+def test_hit_and_identical_output(spark, sf_smoke, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "tables"))
+    cat.put("docs", spark.read.parquet(f"{sf_smoke}/documents.parquet"))
+    cache = SemanticCache(spark, str(tmp_path / "cache"))
+
+    df1, hit1 = _wc_pipeline(cat, cache).run()
+    rows1 = sorted((r["key"], r["value"]) for r in df1.collect())
+    df2, hit2 = _wc_pipeline(cat, cache).run()
+    rows2 = sorted((r["key"], r["value"]) for r in df2.collect())
+
+    assert (hit1, hit2) == (False, True)
+    assert rows1 == rows2
+    assert cache.stats.hits == 1 and cache.stats.misses == 1
+
+
+def test_miss_after_input_change(spark, sf_smoke, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "tables"))
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    cat.put("docs", docs)
+    cache = SemanticCache(spark, str(tmp_path / "cache"))
+
+    _, hit1 = _wc_pipeline(cat, cache).run()
+    cat.put("docs", docs.limit(10))  # version bump = new snapshot
+    _, hit2 = _wc_pipeline(cat, cache).run()
+    assert (hit1, hit2) == (False, False)
+
+
+def test_lru_eviction(spark, tmp_path):
+    cache = SemanticCache(spark, str(tmp_path / "cache"), budget_bytes=1)
+    df = spark.range(10)
+    cache.materialize("fp_a", df)
+    cache.materialize("fp_b", df)
+    # budget of 1 byte: materializing b must evict a (a is LRU tail)
+    assert cache.lookup("fp_a") is None
+    assert cache.stats.evictions >= 1
+
+
+def test_invalidate(spark, tmp_path):
+    cache = SemanticCache(spark, str(tmp_path / "cache"))
+    cache.materialize("fp_x", spark.range(5))
+    assert cache.lookup("fp_x") is not None
+    cache.invalidate("fp_x")
+    assert cache.lookup("fp_x") is None
