@@ -258,31 +258,232 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (orders -> latest event at/before o_orderdate per
-    user): implemented shuffle-once via union + running max window —
-    Spark has no native as-of; this composition scales (single
-    partition-by-key shuffle, no per-row subquery)."""
+    """As-of join: for each 'error' event, the user's latest 'click'
+    at-or-before it. Implemented shuffle-once via union + running-max
+    window — Spark has no native as-of; this composition scales (one
+    partition-by-key shuffle, no per-row subquery, no range explosion).
+    Ref: the classic merge_asof semantics over the events stream."""
     _utc(spark)
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 14)
     events = _events(spark, sf_dir)
-    ev = events.select(
+    clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("k"), F.col("ts").alias("t"),
-        F.lit(None).cast("long").alias("o_orderkey"), F.lit(0).alias("is_order"),
-        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("is_probe"),
+        F.col("ts").alias("click_ts"),
     )
-    od = orders.select(
-        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
-        F.col("o_orderkey"), F.lit(1).alias("is_order"),
-        F.lit(None).cast("timestamp").alias("ev_ts"),
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"), F.lit(1).alias("is_probe"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
     )
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "is_order")
+        .orderBy("t", "is_probe")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = ev.unionByName(od).withColumn("asof_ts", F.max("ev_ts").over(w))
-    return merged.filter(F.col("is_order") == 1).select(
-        "o_orderkey", F.col("k").alias("o_custkey"), "asof_ts"
+    merged = clicks.unionByName(errors).withColumn(
+        "asof_click_ts", F.max("click_ts").over(w)
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_click_ts"
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per 'error' event, how many 'click' events of the
+    same user in the preceding hour. Scale path: equi-join on
+    (user, hour-bucket) with a 2-bucket explode on the probe side,
+    then the exact range filter — turns the non-equi join (nested-loop
+    in Spark) into a bucket-keyed hash join."""
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("click_ts"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("err_ts"),
+        F.explode(
+            F.array(
+                (F.unix_timestamp("ts") / 3600).cast("long"),
+                (F.unix_timestamp("ts") / 3600).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    in_range = (
+        F.when(
+            (F.col("click_ts") <= F.col("err_ts"))
+            & (F.col("click_ts") > F.col("err_ts") - F.expr("INTERVAL 1 HOUR")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    joined = errors.join(clicks, on=["k", "bucket"], how="left")
+    return joined.groupBy("event_id").agg(
+        F.sum(in_range).cast("long").alias("n_clicks_1h")
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function layer (SURVEY §2.6): one codegen'd
+    projection, no shuffle."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.concat_ws("#", "p_brand", "p_type").alias("cc"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("pad"),
+        F.reverse("p_brand").alias("rev"),
+        F.col("p_name").contains("a").cast("int").alias("has_a"),
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("eom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev / correlation computed from exact
+    decimal moment sums (engine-independent), finalized in double —
+    deterministic where native stddev/corr float accumulation is not."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy"),
+        F.min(x).alias("min_qty"),
+        F.max(x).alias("max_qty"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / n, 9).alias("mean_qty"),
+        F.round(var, 9).alias("var_qty"),
+        F.round(F.sqrt(var), 9).alias("std_qty"),
+        F.round(corr, 9).alias("corr_qty_price"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    return li.groupBy("l_linestatus").agg(
+        pct[0].alias("p25"), pct[1].alias("p50"), pct[2].alias("p75")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap"),
+        F.col("c_acctbal").isNull().cast("int").alias("is_null_bal"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "brushed").cast("int").alias("has_brushed"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+    )
+
+
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: lag / lead / first / last over an
+    explicit deterministic ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_quantity").over(wf).alias("first_qty"),
+        F.last("l_quantity").over(wf).alias("last_qty"),
+    )
+
+
+def q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-hash sampling (reproducible across engines and
+    runs — the scale-safe alternative to TABLESAMPLE)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 17 == 0).agg(
+        F.count("*").alias("n_sampled"),
+        _dsum("o_totalprice", "sum_price"),
     )
 
 
@@ -298,6 +499,16 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         _dsum("value", "sum_value", 6),
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h width / 30m slide) in batch form — each
+    event lands in exactly two windows via Spark's window()."""
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    return stream_windows.sliding_counts(events, "1 hour", "30 minutes").select(
+        "window_start", "event_type", "n_events"
     )
 
 
@@ -460,7 +671,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "approx_distinct": q_approx_distinct,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "stats_agg": q_stats_agg,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        "conditional_funcs": q_conditional_funcs,
+        "array_funcs": q_array_funcs,
+        "window_nav": q_window_nav,
+        "ntile_rank": q_ntile_rank,
+        "hash_sample": q_hash_sample,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
@@ -617,10 +840,137 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "asof_join": """
-            SELECT o_orderkey, o_custkey,
-                   (SELECT max(ts) FROM events
-                    WHERE user_id = o_custkey AND ts <= o_orderdate) AS asof_ts
-            FROM orders WHERE o_custkey <= 14
+            SELECT e.event_id, e.user_id,
+                   (SELECT max(c.ts) FROM events c
+                    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                      AND c.ts <= e.ts) AS asof_click_ts
+            FROM events e WHERE e.event_type = 'error'
+        """,
+        "range_join": """
+            SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks_1h
+            FROM events e
+            LEFT JOIN events c
+              ON c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 1 HOUR
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_name) AS u,
+                   lower(p_brand) AS lo,
+                   length(p_name) AS len,
+                   substring(p_name, 1, 5) AS sub,
+                   concat_ws('#', p_brand, p_type) AS cc,
+                   replace(p_type, ' ', '_') AS rep,
+                   lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+                   reverse(p_brand) AS rev,
+                   CAST(contains(p_name, 'a') AS INT) AS has_a
+            FROM part
+        """,
+        "date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(day(o_orderdate) AS INT) AS d,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+                   strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
+                   strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+            FROM orders
+        """,
+        "stats_agg": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                     min(l_quantity) AS min_qty,
+                     max(l_quantity) AS max_qty
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   round(sx / CAST(n AS DOUBLE), 9) AS mean_qty,
+                   round((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 9) AS var_qty,
+                   round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 9) AS std_qty,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr_qty_price,
+                   min_qty, max_qty
+            FROM s
+        """,
+        "percentiles": """
+            SELECT l_linestatus,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "conditional_funcs": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS bal_band,
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+                   greatest(c_acctbal, 0.0) AS bal_floor,
+                   least(c_acctbal, 1000.0) AS bal_cap,
+                   CAST(c_acctbal IS NULL AS INT) AS is_null_bal
+            FROM customer
+        """,
+        "array_funcs": """
+            WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
+            SELECT p_partkey,
+                   len(words) AS n_words,
+                   CAST(list_contains(words, 'brushed') AS INT) AS has_brushed,
+                   array_to_string(list_sort(words), '|') AS sorted_words,
+                   words[1] AS first_word,
+                   words[-1] AS last_word
+            FROM t
+        """,
+        "window_nav": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   lag(l_quantity) OVER w AS prev_qty,
+                   lead(l_quantity) OVER w AS next_qty,
+                   first_value(l_quantity) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_qty,
+                   last_value(l_quantity) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        """,
+        "ntile_rank": """
+            SELECT o_orderkey,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pr,
+                   dense_rank() OVER w AS dr
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "hash_sample": """
+            SELECT count(*) AS n_sampled,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_orderkey % 17 = 0
+        """,
+        "events_sliding": """
+            WITH exploded AS (
+              SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS window_start,
+                     event_type
+              FROM events)
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM exploded GROUP BY window_start, event_type
         """,
         "events_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
