@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eclipse_spark import apps
-from eclipse_spark.operators import dedup, relational, similarity, text
+from eclipse_spark.operators import dedup, multimodal, relational, similarity, skew, text
 from eclipse_spark.pipeline import Pipeline
 from eclipse_spark.streaming import windows as stream_windows
 
@@ -487,6 +487,139 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides — aggregate-before-
+    join keeps both shuffle inputs tiny (nationkey cardinality), the
+    100 TB-safe shape for reconciliation queries."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return relational.join(c, s, on="nationkey", how="full").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (the only sane cross join at
+    scale: both sides tiny, result broadcast-sized)."""
+    region = _t(spark, sf_dir, "region")
+    statuses = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.select("r_name").crossJoin(statuses)
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a non-key predicate — lowered to a left-semi hash
+    join (filter pushed below the join, no row duplication)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    hit = part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")), on="p_partkey", how="left_semi"
+    )
+    return hit.groupBy("p_brand").agg(F.count("*").alias("n_parts"))
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their customer's mean
+    price) decorrelated into one window pass — no per-row subplan.
+    Compared as o_totalprice * n > sum (exact decimal sum, identical
+    IEEE ops in both engines — no float-boundary flakes)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    n = F.count("*").over(w)
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    above = orders.withColumn("_above", F.col("o_totalprice") * n > s).filter("_above")
+    return above.groupBy("o_orderstatus").agg(F.count("*").alias("n_above_avg"))
+
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collecting aggregate, sorted for determinism (collect_set
+    order is partition-dependent; sort_array makes it canonical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (top customer by balance per nation) with a
+    total tie-break order — rank-and-filter, one shuffle."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface kept to the RE2 ∩ Java common subset so Spark and
+    DuckDB agree byte-for-byte."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("no_vowels"),
+        F.col("p_name").rlike("red").cast("int").alias("has_red"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("last_type_word"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("abs_dev"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
+        # round(price/1000, 2) half-up, computed in exact integer cents:
+        # double round() disagrees between engines at .xx5 boundaries
+        # (Spark rounds the shortest decimal repr, DuckDB the binary value)
+        (
+            F.expr(
+                "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500) div 1000"
+            ).cast("double")
+            / 100
+        ).alias("price_k"),
+        F.pow(q, 2).alias("qty_sq"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.round(F.log(q), 9).alias("qty_ln"),
+        F.signum(q - 25).cast("int").alias("sign_dev"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (the EM-KDE moral equivalent,
+    SURVEY §4): hot keys fan out over 32 salt buckets in phase 1, phase
+    2 merges ≤32 partials per key. Oracle = the plain aggregate —
+    results must be identical, only the shuffle shape differs."""
+    events = _events(spark, sf_dir)
+    return skew.two_phase_agg(
+        events,
+        keys=["user_id"],
+        partial_aggs=[
+            F.count("*").alias("n_part"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s_part"),
+        ],
+        final_aggs=[
+            F.sum("n_part").alias("n_events"),
+            F.sum("s_part").cast("double").alias("sum_value"),
+        ],
+        buckets=32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # events / streaming (batch-parity forms)
 # ---------------------------------------------------------------------------
@@ -612,6 +745,69 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(docs, k=9).select("doc_id", "fp")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (word 3-shingle sets,
+    all-pairs on a bounded subset). This is the exact baseline the
+    MinHash-LSH path approximates; at 100 TB the cross join is replaced
+    by minhash_lsh_candidates + ngram_jaccard_verify (same verify
+    expression, LSH-pruned pair set)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(text.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.withColumn("jaccard", F.round(jac, 6)).filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (north-star): binary payload + typed metadata.
+# Real corpora carry image/audio bytes; the synthetic stand-in encodes
+# document text as the payload so the oracle can recompute everything.
+# ---------------------------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free media metadata: byte length + sha256 content hash
+    (exact blob dedup key). Pure built-ins, binary column never
+    shuffled."""
+    return multimodal.with_content_meta(_media(spark, sf_dir)).select(
+        "id", "n_bytes", "content_hash"
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: per-blob frame index fanout
+    (stub frame count = byte_len % 300 + 1, sampled every 30th)."""
+    return multimodal.frame_sample_plan(_media(spark, sf_dir), every_n=30)
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (deterministic fake
+    kernel — real decoder needs PIL/ffmpeg; the Spark-side schema,
+    batching and partitioning are the tested deliverable). Non-SQL op:
+    rows-only check."""
+    feats = multimodal.decode_features(_media(spark, sf_dir), fake=True)
+    return feats.select(
+        "id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MapReduce surface (SURVEY §2.2) through the Pipeline API
 # ---------------------------------------------------------------------------
@@ -682,6 +878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_nav": q_window_nav,
         "ntile_rank": q_ntile_rank,
         "hash_sample": q_hash_sample,
+        "full_outer_join": q_full_outer_join,
+        "cross_join": q_cross_join,
+        "exists_subquery": q_exists_subquery,
+        "scalar_subquery": q_scalar_subquery,
+        "collect_agg": q_collect_agg,
+        "argmax": q_argmax,
+        "regex_funcs": q_regex_funcs,
+        "math_funcs": q_math_funcs,
+        "skew_salted_agg": q_skew_salted_agg,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -698,6 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "media_meta": q_media_meta,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode": q_media_decode,
         "mr_group_reduce": q_mr_group_reduce,
         "mr_reduce_by_key": q_mr_reduce_by_key,
     }
@@ -962,6 +1171,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_sampled,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM orders WHERE o_orderkey % 17 = 0
+        """,
+        "full_outer_join": """
+            WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                       FROM customer GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                       FROM supplier GROUP BY 1)
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM c FULL OUTER JOIN s USING (nationkey)
+        """,
+        "cross_join": """
+            SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        """,
+        "exists_subquery": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.09)
+            GROUP BY p_brand
+        """,
+        "scalar_subquery": """
+            WITH t AS (
+              SELECT o_orderstatus, o_totalprice,
+                     count(*) OVER (PARTITION BY o_custkey) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey) AS DOUBLE) AS s
+              FROM orders)
+            SELECT o_orderstatus, count(*) AS n_above_avg
+            FROM t WHERE o_totalprice * n > s
+            GROUP BY o_orderstatus
+        """,
+        "collect_agg": """
+            SELECT l_returnflag,
+                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "argmax": """
+            SELECT c_nationkey, c_custkey, c_acctbal
+            FROM customer
+            QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal DESC, c_custkey) = 1
+        """,
+        "regex_funcs": """
+            SELECT p_partkey,
+                   regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+                   regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+                   CAST(regexp_matches(p_name, 'red') AS INT) AS has_red,
+                   regexp_extract(p_type, '(\\w+)$', 1) AS last_type_word
+            FROM part
+        """,
+        "math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   abs(l_quantity - 25) AS abs_dev,
+                   CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+                   CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+                   CAST((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500) // 1000
+                        AS DOUBLE) / 100 AS price_k,
+                   pow(l_quantity, 2) AS qty_sq,
+                   sqrt(l_quantity) AS qty_sqrt,
+                   round(ln(l_quantity), 9) AS qty_ln,
+                   CAST(sign(l_quantity - 25) AS INT) AS sign_dev,
+                   CAST(l_orderkey % 7 AS BIGINT) AS mod7
+            FROM lineitem
+        """,
+        "skew_salted_agg": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id <= 300) t)
+            SELECT * FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.id < b.id)
+            WHERE jaccard >= 0.5
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "media_meta": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS content_hash
+            FROM documents
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS id,
+                   CAST(unnest(range(0, octet_length(encode(text)) % 300 + 1, 30)) AS INT)
+                     AS frame_idx
+            FROM documents
         """,
         "events_sliding": """
             WITH exploded AS (
