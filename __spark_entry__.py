@@ -96,6 +96,94 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter first, big
+    fact joins shuffle on their keys, top-10 with a total tie-break."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return relational.top_k(
+        agg, 10, F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join with the
+    c_nationkey = s_nationkey correlation. Dims broadcast; facts
+    shuffle once per join key."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue): pure scan-filter-agg — every
+    predicate reaches the parquet scan (PushedFilters)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): quarter of orders x returned lines,
+    grouped per customer, top-20."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-10-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return relational.top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey"))
+
+
 def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -599,6 +687,68 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (keeps multiplicity difference), re-grouped
+    for an order-stable result."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_suppkey")
+    return relational.except_all(a, b).groupBy("l_suppkey").agg(
+        F.count("*").alias("n_remaining")
+    )
+
+
+def q_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over timestamps, boolean aggregates, filtered count."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: per customer, rolling 30-day order
+    total. Value-based frames need a numeric ordering in Spark — epoch
+    seconds; same partition-by-key single shuffle as any window."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d_total"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construct, access, cardinality."""
+    part = _t(spark, sf_dir, "part")
+    mp = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(mp, "brand").alias("brand_val"),
+        F.element_at(mp, "type").alias("type_val"),
+        F.size(mp).alias("n_keys"),
+        F.array_join(F.map_keys(mp), ",").alias("keys_joined"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (the EM-KDE moral equivalent,
     SURVEY §4): hot keys fan out over 32 salt buckets in phase 1, phase
@@ -643,6 +793,34 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_windows.sliding_counts(events, "1 hour", "30 minutes").select(
         "window_start", "event_type", "n_events"
     )
+
+
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming (readStream over the parquet source,
+    complete-mode window aggregation, memory sink driven to
+    completion) — not the batch re-expression. Counts and exact
+    decimal sums are batch/stream deterministic, so this streaming op
+    carries a full SQL oracle."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as long nanos
+    # FileStreamSource requires a directory basePath; a glob over the
+    # single file keeps the parent dir as basePath
+    stream = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    stream_windows.run_stream_to_memory(agg, "ev_stream_tumbling", "complete")
+    return spark.table("ev_stream_tumbling")
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,6 +1029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "aggregation": q_aggregation,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "join_orders_customer": q_join_orders_customer,
         "join_5way": q_join_5way,
         "semi_join": q_semi_join,
@@ -887,8 +1069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_funcs": q_regex_funcs,
         "math_funcs": q_math_funcs,
         "skew_salted_agg": q_skew_salted_agg,
+        "except_all": q_except_all,
+        "agg_misc": q_agg_misc,
+        "window_range_frame": q_window_range_frame,
+        "map_funcs": q_map_funcs,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        "events_stream_tumbling": q_events_stream_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
@@ -1242,6 +1429,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-03-15'
+              AND l_shipdate > TIMESTAMP '1997-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "except_all": """
+            SELECT l_suppkey, count(*) AS n_remaining
+            FROM (
+              SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+              EXCEPT ALL
+              SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08
+            )
+            GROUP BY l_suppkey
+        """,
+        "agg_misc": """
+            SELECT o_orderpriority,
+                   min(o_orderdate) AS first_order,
+                   max(o_orderdate) AS last_order,
+                   bool_or(o_totalprice > 400000) AS any_jumbo,
+                   bool_and(o_totalprice > 1000) AS all_over_1k,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "window_range_frame": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS rolling_30d_total
+            FROM orders
+        """,
+        "map_funcs": """
+            WITH t AS (SELECT p_partkey,
+                              map(['brand','type'], [p_brand, p_type]) AS mp
+                       FROM part)
+            SELECT p_partkey,
+                   element_at(mp, 'brand')[1] AS brand_val,
+                   element_at(mp, 'type')[1] AS type_val,
+                   CAST(cardinality(mp) AS INT) AS n_keys,
+                   array_to_string(map_keys(mp), ',') AS keys_joined
+            FROM t
+        """,
+        "events_stream_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "ngram_jaccard": """
             WITH sh AS (
