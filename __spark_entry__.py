@@ -184,6 +184,40 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey"))
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered semi join —
+    the qualifying-orders aggregate runs map-side-combined first, then
+    the facts semi-join it (no row duplication before the main agg)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 190)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    j = (
+        li.join(orders.join(big, on="o_orderkey", how="left_semi"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        _dsum("l_quantity", "sum_qty")
+    )
+    return relational.top_k(agg, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function surface: posexplode (UDTF shape)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    toks = text.tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word")
+    ).withColumn("pos", (F.col("pos") + 1).cast("long"))
+
+
 def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -886,6 +920,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the 100 TB scale path next to the LSH tier):
+    approximate by construction — rows-only check; recall vs the
+    brute-force baseline is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+    return out.select("query_id", "match_id", "rank")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
@@ -1033,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "posexplode": q_posexplode,
         "join_orders_customer": q_join_orders_customer,
         "join_5way": q_join_5way,
         "semi_join": q_semi_join,
@@ -1086,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -1465,6 +1512,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 190)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "posexplode": """
+            SELECT doc_id,
+                   CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+                   unnest(toks) AS word
+            FROM (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id <= 50) t
+        """.replace("{TOKENS}", TOKENS_SQL),
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
                    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))

@@ -131,3 +131,61 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_cells`` Voronoi
+    cells around deterministically-sampled centroid vectors; queries
+    exact-score only their ``n_probe`` nearest cells. Recall/compute
+    trades with n_probe/n_cells (n_probe == n_cells degenerates to
+    exact search).
+
+    Scale shape: centroids are picked one-per-hash-bucket with a
+    row_number over *bucket-partitioned* windows — no global sort, no
+    driver collect, no stored model. Cell assignment and probing are
+    broadcast nested-loop joins against the (tiny) centroid set; the
+    candidate join shuffles on the cell id, never all-pairs."""
+    c = corpus.select(F.col(c_id).alias("match_id"), F.col(c_vec).alias("cv"))
+    hcell = F.pmod(F.xxhash64("match_id", F.lit(seed)), F.lit(n_cells))
+    wc = Window.partitionBy("_hcell").orderBy(F.xxhash64("match_id", F.lit(seed + 1)))
+    cents = (
+        c.withColumn("_hcell", hcell)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_hcell").alias("cell"), F.col("cv").alias("centroid"))
+    )
+    wa = Window.partitionBy("match_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cosine_sim(F.col("cv"), F.col("centroid")))
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select("match_id", "cv", "cell")
+    )
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cosine_sim(F.col("qv"), F.col("centroid")))
+        .withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)

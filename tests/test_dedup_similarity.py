@@ -104,6 +104,30 @@ def test_lsh_topk_recall_on_planted(planted_vectors):
     assert hits >= 4
 
 
+def test_ivf_topk_finds_planted(planted_vectors):
+    """A near-identical planted neighbor shares the query's Voronoi
+    cell by construction, so IVF top-1 must find it even at low
+    n_probe."""
+    queries = planted_vectors.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(queries, planted_vectors, k=1, n_cells=8, n_probe=2)
+    top1 = {r["query_id"]: r["match_id"] for r in out.collect()}
+    hits = sum(1 for i in range(5) if top1.get(i) == 100 + i)
+    assert hits >= 4
+
+
+def test_ivf_topk_recall_vs_brute_force(planted_vectors):
+    """Recall@5 against the exact baseline must beat the probed-cell
+    fraction by a wide margin (probing nearest-by-centroid cells is
+    better than random cells even on unclustered data)."""
+    queries = planted_vectors.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, planted_vectors, k=5)
+    approx = similarity.ivf_topk(queries, planted_vectors, k=5, n_cells=8, n_probe=4)
+    truth = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall}"
+
+
 def test_embedding_near_dup_pairs(planted_vectors):
     out = dedup.embedding_near_dup(
         planted_vectors, threshold=0.98, planes=4

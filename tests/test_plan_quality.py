@@ -1,0 +1,72 @@
+"""Physical-plan hygiene gates — the 100 TB posture checks.
+
+Correctness tests prove results; these prove the *plans* are the ones
+we'd want on a 1000-executor cluster: filters reach the parquet scan,
+small dims broadcast, windows/aggs reuse a single shuffle, and scans
+prune to the referenced columns.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (not BroadcastExchange)
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def test_q6_pushdown_and_pruning(spark, sf_smoke):
+    plan = _plan(QUERIES["tpch_q6"](spark, sf_smoke))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" not in read_schema, "scan reads columns the query never touches"
+
+
+def test_broadcast_joins_used(spark, sf_smoke):
+    for name in ("join_orders_customer", "tpch_q5", "tpch_q3", "tpch_q10"):
+        plan = _plan(QUERIES[name](spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join did not broadcast"
+
+
+def test_single_shuffle_window_ops(spark, sf_smoke):
+    # asof: union + one partition-by-key window => exactly 1 shuffle
+    assert _n_exchanges(_plan(QUERIES["asof_join"](spark, sf_smoke))) == 1
+    # running window: one partition-by-key shuffle
+    assert _n_exchanges(_plan(QUERIES["window_running"](spark, sf_smoke))) == 1
+    # sessionize: lag + cumsum + groupBy all ride the user_id shuffle
+    assert _n_exchanges(_plan(QUERIES["events_sessionize"](spark, sf_smoke))) == 1
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_smoke):
+    plan = _plan(QUERIES["tpch_q1"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, "no map-side partial aggregation"
+    assert _n_exchanges(plan) == 1
+
+
+def test_scalar_subquery_decorrelated(spark, sf_smoke):
+    # window-decorrelated plan: no per-row subplan, bounded shuffles
+    plan = _plan(QUERIES["scalar_subquery"](spark, sf_smoke))
+    assert "Subquery" not in plan
+    assert _n_exchanges(plan) <= 2
+
+
+def test_semi_join_for_exists(spark, sf_smoke):
+    plan = _plan(QUERIES["exists_subquery"](spark, sf_smoke))
+    assert "LeftSemi" in plan
