@@ -25,14 +25,19 @@ HEADLINE = [
     "inverted_index",
     "aggregation",
     "tpch_q1",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     "join_5way",
     "window_topk",
     "events_sessionize",
     "dedup_exact",
     "minhash_candidates",
     "ann_topk",
+    "ann_ivf",
     "asof_join",
     "text_quality",
+    "media_meta",
 ]
 
 
