@@ -783,6 +783,66 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (keeps min multiplicity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    b = li.filter(F.col("l_tax") > 0.05).select("l_suppkey")
+    return relational.intersect_all(a, b).groupBy("l_suppkey").agg(
+        F.count("*").alias("n_common")
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JSON path extraction over the props column (not regex)."""
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+    )
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform / filter / aggregate) —
+    all JVM-side codegen, the idiom that replaces per-row Python in
+    pipelines over array columns."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.array_join(F.transform(words, F.upper), ",").alias("upper_joined"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("total_len"),
+    )
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: hourly spine (sequence + explode over the
+    observed bounds) left-joined against hourly counts, missing hours
+    zero-filled. The spine derives from a 1-row bounds aggregate, so
+    it broadcasts; no driver-side loop."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("mn"),
+        F.max(F.date_trunc("hour", "ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    return spine.join(hourly, on="h", how="left").select(
+        F.col("h").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (the EM-KDE moral equivalent,
     SURVEY §4): hot keys fan out over 32 salt buckets in phase 1, phase
@@ -1115,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_funcs": q_regex_funcs,
         "math_funcs": q_math_funcs,
         "skew_salted_agg": q_skew_salted_agg,
+        "intersect_all": q_intersect_all,
+        "json_funcs": q_json_funcs,
+        "array_hof": q_array_hof,
+        "events_resample": q_events_resample,
         "except_all": q_except_all,
         "agg_misc": q_agg_misc,
         "window_range_frame": q_window_range_frame,
@@ -1542,6 +1606,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "intersect_all": """
+            SELECT l_suppkey, count(*) AS n_common
+            FROM (
+              SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+              INTERSECT ALL
+              SELECT l_suppkey FROM lineitem WHERE l_tax > 0.05
+            )
+            GROUP BY l_suppkey
+        """,
+        "json_funcs": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+            FROM events
+        """,
+        "array_hof": """
+            WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
+            SELECT p_partkey,
+                   CAST(len(list_filter(words, w -> length(w) > 5)) AS INT) AS n_long_words,
+                   array_to_string(list_transform(words, w -> upper(w)), ',') AS upper_joined,
+                   CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_len
+            FROM t
+        """,
+        "events_resample": """
+            WITH ev AS (SELECT date_trunc('hour', ts) AS h FROM events
+                        WHERE event_type = 'click'),
+                 b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+                 spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+                 hourly AS (SELECT h, count(*) AS n FROM ev GROUP BY h)
+            SELECT spine.h AS hour_start, coalesce(n, 0) AS n_events
+            FROM spine LEFT JOIN hourly USING (h)
         """,
         "except_all": """
             SELECT l_suppkey, count(*) AS n_remaining

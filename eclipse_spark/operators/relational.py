@@ -56,6 +56,10 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersectAll(b)
+
+
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 

@@ -164,6 +164,8 @@ def ivf_topk(
         .withColumn("_rn", F.row_number().over(wc))
         .filter(F.col("_rn") == 1)
         .select(F.col("_hcell").alias("cell"), F.col("cv").alias("centroid"))
+        .persist()  # the centroid table is built once and read by both
+        # the assignment pass and the probe pass (n_cells rows — tiny)
     )
     wa = Window.partitionBy("match_id").orderBy(F.desc("_sim"), F.asc("cell"))
     assigned = (
