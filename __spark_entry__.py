@@ -1118,6 +1118,67 @@ def q_mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided arbitrary per-key logic via cogroup + applyInPandas —
+    the engine surface for reduce-side joins with custom merge code
+    (the classic Eclipse-API pattern: emit keys from two inputs, pair
+    in reduce). One shuffle per side on the key; Arrow-batched."""
+    import pandas as pd
+
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    events = _events(spark, sf_dir).select(F.col("user_id").alias("k"))
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_orders": [len(left)], "n_events": [len(right)]}
+        )
+
+    return (
+        orders.groupby("k")
+        .cogroup(events.groupby("k"))
+        .applyInPandas(merge, schema="user_id long, n_orders long, n_events long")
+    )
+
+
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counter. The finite parquet source arrives
+    as one batch here, so the final state equals the batch aggregate
+    and the op carries a full SQL oracle; in production the same code
+    runs incrementally with state persisted across triggers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    )
+
+    def count_state(key, pdf_iter, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            count_state,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    stream_windows.run_stream_to_memory(out, "ev_stream_stateful", "update")
+    return spark.table("ev_stream_stateful")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1207,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "mr_group_reduce": q_mr_group_reduce,
         "mr_reduce_by_key": q_mr_reduce_by_key,
+        "mr_cogroup": q_mr_cogroup,
+        "events_stream_stateful": q_events_stream_stateful,
     }
 
 
@@ -1817,7 +1880,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM lineitem GROUP BY l_returnflag
         """,
+        "mr_cogroup": """
+            WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders
+                       FROM orders GROUP BY 1),
+                 e AS (SELECT user_id AS k, count(*) AS n_events
+                       FROM events GROUP BY 1)
+            SELECT coalesce(o.k, e.k) AS user_id,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events
+            FROM o FULL OUTER JOIN e USING (k)
+        """,
+        "events_stream_stateful": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
         # no oracle (non-SQL-expressible, hash-seeded or approximate):
         # approx_distinct, minhash_candidates, minhash_dedup,
-        # simhash_candidates, embedding_near_dup, ann_lsh, doc_fingerprint
+        # simhash_candidates, embedding_near_dup, ann_lsh, ann_ivf,
+        # doc_fingerprint, media_decode
     }

@@ -105,6 +105,35 @@ class Catalog:
         self._bump(name)
         return path
 
+    def put_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str],
+        buckets: int = 8,
+        sorted_by_key: bool = True,
+    ) -> str:
+        """Bucketed layout for repeatedly-joined keys (SURVEY §4): two
+        tables bucketed on the same keys with the same bucket count
+        join/aggregate with NO shuffle on either side — the standing
+        replacement for Eclipse's shuffle-free DHT placement of
+        intermediate data (``idistributor.hh:85-125``), paid once at
+        write time instead of per-query."""
+        path = self.path_of(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+        if sorted_by_key:
+            writer = writer.sortBy(*keys)
+        writer.option("path", path).saveAsTable(name)
+        self._bump(name)
+        return path
+
+    def get_table(self, name: str) -> DataFrame:
+        """Read a bucketed (catalog-registered) table; the bucket spec
+        rides along so downstream joins can skip the shuffle."""
+        return self.spark.table(name)
+
     def put_text(self, name: str, local_path: str) -> str:
         """``mrput`` for raw text files: one row per line, like
         Eclipse's newline-record model (``src/common/fileclient.hh:362-431``)."""

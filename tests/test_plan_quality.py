@@ -70,3 +70,26 @@ def test_scalar_subquery_decorrelated(spark, sf_smoke):
 def test_semi_join_for_exists(spark, sf_smoke):
     plan = _plan(QUERIES["exists_subquery"](spark, sf_smoke))
     assert "LeftSemi" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
+    """Two tables bucketed on the join key => sort-merge join with zero
+    shuffle exchanges (SURVEY §4: the bucketBy co-location story)."""
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    cat.put_bucketed("b_orders", orders, ["o_custkey"], buckets=4)
+    cat.put_bucketed(
+        "b_customer", customer.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"], buckets=4,
+    )
+    j = cat.get_table("b_orders").hint("merge").join(
+        cat.get_table("b_customer"), on="o_custkey"
+    )
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert _n_exchanges(plan) == 0, "co-bucketed join should not shuffle"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
