@@ -1118,6 +1118,40 @@ def q_mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode + grouped exact
+    aggregation — elementwise array math as one shuffle on
+    (label, pos); no UDF, no driver collect. The building block for
+    IVF training / cluster assignment at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        # float -> double -> decimal: the direct float->decimal cast
+        # rounds off the float32 repr in DuckDB but the promoted double
+        # in Spark; the explicit double hop makes both engines identical
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("centroid_val"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training curation pipeline: quality gates
+    (token count, digit/upper ratios) -> exact near-dup removal ->
+    per-source survivor counts. Composes quality_stats + exact_dedup;
+    one pass for the gates, one key-hash shuffle for the dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = text.quality_stats(docs).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("digit_ratio") < 0.2)
+        & (F.col("upper_ratio") < 0.3)
+    )
+    kept = dedup.exact_dedup(gated)
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
+
+
 def q_mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided arbitrary per-key logic via cogroup + applyInPandas —
     the engine surface for reduce-side joins with custom merge code
@@ -1270,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_reduce_by_key": q_mr_reduce_by_key,
         "mr_cogroup": q_mr_cogroup,
         "events_stream_stateful": q_events_stream_stateful,
+        "embedding_centroids": q_embedding_centroids,
+        "pretrain_filter": q_pretrain_filter,
     }
 
 
@@ -1894,8 +1930,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id
         """,
+        "embedding_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                     unnest(embedding) AS x
+              FROM embeddings)
+            SELECT label, pos,
+                   CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*) AS centroid_val,
+                   count(*) AS n_vecs
+            FROM ex GROUP BY label, pos
+        """,
+        "pretrain_filter": """
+            WITH q AS (
+              SELECT doc_id, source, text,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE)
+                          ELSE 0 END AS digit_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE)
+                          ELSE 0 END AS upper_ratio
+              FROM documents),
+            kept AS (SELECT * FROM q
+                     WHERE n_tokens >= 5 AND digit_ratio < 0.2 AND upper_ratio < 0.3),
+            winners AS (SELECT min(doc_id) AS doc_id FROM kept
+                        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            SELECT source, count(*) AS n_docs_kept
+            FROM kept WHERE doc_id IN (SELECT doc_id FROM winners)
+            GROUP BY source
+        """,
+        "media_decode": """
+            WITH h AS (SELECT doc_id AS id, sha256(text) AS hx FROM documents)
+            SELECT id,
+                   round(('0x' || substr(hx, 1, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 3, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 5, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 7, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 9, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 11, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 13, 2))::INT / 255.0
+                       + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
+            FROM h
+        """,
         # no oracle (non-SQL-expressible, hash-seeded or approximate):
         # approx_distinct, minhash_candidates, minhash_dedup,
         # simhash_candidates, embedding_near_dup, ann_lsh, ann_ivf,
-        # doc_fingerprint, media_decode
+        # doc_fingerprint
     }
