@@ -96,6 +96,132 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS over the fact
+    table lowered to a semi join; both sides pre-filtered before the
+    join so the shuffle carries only qualifying keys."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    # no commit/receipt dates in the synthetic schema; the Q4 predicate
+    # becomes "has a returned line" — same EXISTS plan shape
+    ret = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    hit = orders.join(ret, on="o_orderkey", how="left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): two nation dims joined to the
+    two fact-side keys (customer nation x supplier nation), both
+    broadcast; revenue per nation pair per year."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), on="c_nationkey")
+        .join(F.broadcast(n2), on="s_nationkey")
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation over one
+    join — promo share of monthly revenue."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): anti-join filter
+    + count(distinct) per group."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(9, 14, 23, 45))
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): per-part average
+    quantity as a decorrelated aggregate joined back — no per-row
+    subquery; the avg side is the pre-aggregated (tiny) build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty")
+        )
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty.join(part.select("p_partkey"), on="p_partkey")),
+              on="p_partkey")
+        .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunctive multi-attribute
+    predicates — Catalyst pushes the common conjuncts into the scan
+    and evaluates the OR-of-ANDs post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return j.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): selective dim filter first, big
     fact joins shuffle on their keys, top-10 with a total tie-break."""
@@ -1229,6 +1355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregation": q_aggregation,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
@@ -1652,6 +1784,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer, supplier, nation n1, nation n2
+            WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q14": """
+            SELECT 100.0
+                   * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_size IN (9, 14, 23, 45)
+            GROUP BY p_brand, p_size
+        """,
+        "tpch_q17": """
+            WITH a AS (SELECT l_partkey AS p_partkey,
+                              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                / count(*) AS avg_qty
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                     AS avg_yearly
+            FROM lineitem l, part p, a
+            WHERE l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+              AND a.p_partkey = p.p_partkey AND l.l_quantity * 5 < a.avg_qty
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30))
         """,
         "tpch_q5": """
             SELECT n_name,
