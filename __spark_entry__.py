@@ -909,6 +909,31 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the scalable binning shape: one pass,
+    one small shuffle of bin partials)."""
+    orders = _t(spark, sf_dir, "orders")
+    bin_ = (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long")
+    return orders.groupBy(bin_.alias("price_bin")).agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist + nth_value."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = Window.partitionBy("l_suppkey").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("l_quantity", 3).over(wf).alias("third_qty"),
+    )
+
+
 def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset INTERSECT ALL (keeps min multiplicity)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1402,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_funcs": q_regex_funcs,
         "math_funcs": q_math_funcs,
         "skew_salted_agg": q_skew_salted_agg,
+        "histogram": q_histogram,
+        "window_dist": q_window_dist,
         "intersect_all": q_intersect_all,
         "json_funcs": q_json_funcs,
         "array_hof": q_array_hof,
@@ -1900,6 +1927,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "histogram": """
+            SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bin,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "window_dist": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(cume_dist() OVER w, 9) AS cd,
+                   nth_value(l_quantity, 3) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_quantity, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS third_qty
+            FROM lineitem WHERE l_suppkey <= 20
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)
         """,
         "intersect_all": """
             SELECT l_suppkey, count(*) AS n_common
