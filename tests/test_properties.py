@@ -1,0 +1,107 @@
+"""Property-based invariants (hypothesis) for the dedup/text/skew
+operators — semantic guarantees that hold for ALL inputs, not just the
+fixtures: idempotence, containment, representative-choice, and
+salted-vs-plain aggregation identity."""
+
+from __future__ import annotations
+
+import sys
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from eclipse_spark.operators import dedup, skew, text
+
+WORDS = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "Xy"]
+texts = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs(spark, docs: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+
+
+@SETTINGS
+@given(docs=texts)
+def test_exact_dedup_invariants(spark, docs):
+    df = _docs(spark, docs)
+    out = dedup.exact_dedup(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # containment + no duplicates kept
+    assert set(kept) <= set(range(len(docs)))
+    norm = lambda t: " ".join(t.lower().split())
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(docs):
+        groups.setdefault(norm(t), []).append(i)
+    # exactly one representative per normalized-text group, and it is the min id
+    assert kept == sorted(min(g) for g in groups.values())
+    # idempotence
+    again = sorted(r["doc_id"] for r in dedup.exact_dedup(out).collect())
+    assert again == kept
+
+
+@SETTINGS
+@given(docs=texts)
+def test_minhash_whitespace_invariance(spark, docs):
+    """Signatures are invariant under whitespace renormalization (the
+    same normalization contract the exact path uses)."""
+    df = _docs(spark, docs)
+    noisy = df.withColumn("text", F.regexp_replace("text", " ", "   "))
+    a = {r["id"]: tuple(r[h] for h in r.asDict() if h != "id")
+         for r in dedup.minhash_signatures_df(df, num_hashes=4).collect()}
+    b = {r["id"]: tuple(r[h] for h in r.asDict() if h != "id")
+         for r in dedup.minhash_signatures_df(noisy, num_hashes=4).collect()}
+    assert a == b
+
+
+@SETTINGS
+@given(docs=texts)
+def test_token_count_matches_python(spark, docs):
+    df = _docs(spark, docs)
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    want = {i: len(t.split()) for i, t in enumerate(docs)}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_two_phase_agg_equals_plain(spark, rows):
+    """Salted two-phase aggregation is result-identical to the plain
+    aggregate for any input (the EM-KDE-equivalent safety property)."""
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in skew.two_phase_agg(
+            df,
+            keys=["k"],
+            partial_aggs=[F.count("*").alias("pn"), F.sum("v").alias("ps")],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            buckets=4,
+        ).collect()
+    }
+    assert salted == plain
