@@ -1303,6 +1303,28 @@ def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
 
 
+def q_mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship app through the engine's own MapReduce
+    API end-to-end: Arrow-batched pandas multi-emit map (D1+D2,
+    the ``write_keyvalue`` contract) into the associative count
+    reduce (D5 fast path, map-side combined). Same result as the
+    DataFrame-native word_count — two roads, one semantics."""
+    import pandas as pd
+
+    p = Pipeline.from_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet"), app="wordcount"
+    )
+
+    def tokenize(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            pdf["text"].str.strip().str.lower().str.split(r"\s+", regex=True).explode()
+        )
+        words = words[words.notna() & (words != "")]
+        return pd.DataFrame({"key": words, "value": "1"})
+
+    return p.emit_kv(fn=tokenize).count_by_key().to_df()
+
+
 def q_mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided arbitrary per-key logic via cogroup + applyInPandas —
     the engine surface for reduce-side joins with custom merge code
@@ -1461,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "mr_group_reduce": q_mr_group_reduce,
         "mr_reduce_by_key": q_mr_reduce_by_key,
+        "mr_word_count": q_mr_word_count,
         "mr_cogroup": q_mr_cogroup,
         "events_stream_stateful": q_events_stream_stateful,
         "embedding_centroids": q_embedding_centroids,
@@ -2155,6 +2178,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM lineitem GROUP BY l_returnflag
         """,
+        "mr_word_count": """
+            SELECT word AS key, count(*) AS value
+            FROM (SELECT unnest({TOKENS}) AS word FROM documents) t
+            GROUP BY word
+        """.replace("{TOKENS}", TOKENS_SQL),
         "mr_cogroup": """
             WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders
                        FROM orders GROUP BY 1),

@@ -33,6 +33,7 @@ from eclipse_spark.session import get_spark, stop_spark
 from eclipse_spark.storage import Catalog
 from eclipse_spark.pipeline import Pipeline
 from eclipse_spark.semcache import SemanticCache
+from eclipse_spark.admin import EngineStatus, status
 
 __version__ = "0.1.0"
 
@@ -42,5 +43,7 @@ __all__ = [
     "Catalog",
     "Pipeline",
     "SemanticCache",
+    "EngineStatus",
+    "status",
     "__version__",
 ]

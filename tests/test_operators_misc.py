@@ -105,6 +105,15 @@ def test_language_id_basic(spark):
     assert out[3] == "und"
 
 
+def test_admin_status(spark):
+    import eclipse_spark
+
+    st = eclipse_spark.status(spark)
+    assert st.default_parallelism >= 1
+    assert st.n_executors >= 1
+    assert st.n_active_jobs >= 0
+
+
 def test_doc_fingerprint_stable_under_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "hello world foo bar baz"), (2, "hello   world\tfoo bar baz")],
