@@ -909,6 +909,23 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName with allowMissingColumns
+    (the append path when a new ingest batch gains/loses columns)."""
+    c = _t(spark, sf_dir, "customer")
+    old_batch = c.filter(F.col("c_custkey") <= 700).select(
+        "c_custkey", "c_mktsegment"
+    )
+    new_batch = c.filter(F.col("c_custkey") > 700).select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("acctbal")
+    )
+    u = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return u.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("acctbal").alias("n_with_balance"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (the scalable binning shape: one pass,
     one small shuffle of bin partials)."""
@@ -1449,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_funcs": q_regex_funcs,
         "math_funcs": q_math_funcs,
         "skew_salted_agg": q_skew_salted_agg,
+        "union_by_name": q_union_by_name,
         "histogram": q_histogram,
         "window_dist": q_window_dist,
         "intersect_all": q_intersect_all,
@@ -1950,6 +1968,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "union_by_name": """
+            WITH u AS (
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 700
+              UNION ALL BY NAME
+              SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal
+              FROM customer WHERE c_custkey > 700)
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   count(acctbal) AS n_with_balance
+            FROM u GROUP BY c_mktsegment
         """,
         "histogram": """
             SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bin,
