@@ -1190,6 +1190,14 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (top-20 corpus vocabulary): map-side-combined
+    count then a 20-row total-order cut — the partial agg means the
+    sort input is |vocab| rows, not |tokens|."""
+    wc = apps.word_count(_t(spark, sf_dir, "documents"))
+    return relational.top_k(wc, 20, F.desc("cnt"), F.asc("word"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.doc_fingerprint(docs, k=9).select("doc_id", "fp")
@@ -1495,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "heavy_hitters": q_heavy_hitters,
         "ngram_jaccard": q_ngram_jaccard,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
@@ -2072,6 +2081,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "heavy_hitters": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({TOKENS}) AS word FROM documents) t
+            GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """.replace("{TOKENS}", TOKENS_SQL),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id AS id,
