@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 @dataclass(frozen=True)
@@ -102,6 +103,42 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         path = self.path_of(name)
         writer.parquet(path)
+        self._bump(name)
+        return path
+
+    def compact(self, name: str, target_partitions: int) -> str:
+        """Small-files compaction: rewrite a table at a chosen file
+        count. The standing operational fix for streaming/append sinks
+        that accrue many tiny files — at 100 TB, scan task count and
+        NameNode/liststatus pressure are both file-count problems.
+        Uses coalesce (no shuffle) when shrinking."""
+        df = self.get(name)
+        cur = df.rdd.getNumPartitions()
+        out = (
+            df.coalesce(target_partitions)
+            if target_partitions < cur
+            else df.repartition(target_partitions)
+        )
+        tmp = self.path_of(f"_compact_tmp_{name}")
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path_of(name))
+        os.rename(tmp, self.path_of(name))
+        self._bump(name)
+        return self.path_of(name)
+
+    def put_sorted(
+        self, name: str, df: DataFrame, sort_by: list[str], partitions: int | None = None
+    ) -> str:
+        """Sorted layout: repartition-by-range + sortWithinPartitions
+        before writing, so parquet row-group min/max statistics become
+        selective on ``sort_by`` — range predicates then skip row
+        groups at scan time (the declarative cousin of Z-ordering for
+        single-key access patterns)."""
+        out = df.repartitionByRange(
+            *( [partitions] if partitions else [] ), *[F_col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
+        path = self.path_of(name)
+        out.write.mode("overwrite").parquet(path)
         self._bump(name)
         return path
 

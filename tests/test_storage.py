@@ -37,3 +37,24 @@ def test_version_bumps(spark, sf_smoke, tmp_path):
 def test_load_tables(spark, sf_smoke):
     t = load_tables(spark, sf_smoke, ["region", "nation"])
     assert set(t) == {"region", "nation"}
+
+
+def test_compact_and_sorted_layout(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    cat.put("t", df.repartition(16))
+    assert cat.get("t").rdd.getNumPartitions() >= 8
+    cat.compact("t", 2)
+    assert cat.get("t").rdd.getNumPartitions() <= 2
+    assert cat.get("t").count() == 1000
+
+    cat.put_sorted("t_sorted", df, sort_by=["k"], partitions=4)
+    got = cat.get("t_sorted")
+    assert got.count() == 1000
+    # range-partitioned + sorted: every file holds one contiguous range
+    part = got.withColumn("_p", F.spark_partition_id()).groupBy("_p").agg(
+        (F.max("k") - F.min("k") + 1 == F.count("*")).alias("contig")
+    )
+    assert all(r["contig"] for r in part.collect())
