@@ -222,6 +222,35 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
 
 
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-opportunity customers): global scalar
+    aggregate (1-row broadcast, no per-row subquery) gating the
+    customer side + anti join against orders. Compared in multiply
+    form (bal * n > sum) so both engines hit identical IEEE ops."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    g = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(g))
+        .filter(F.col("c_acctbal") * F.col("_n") > F.col("_s"))
+    )
+    # every customer has SOME order in the synthetic data, so the Q22
+    # "no orders" anti join is against urgent orders — same plan shape,
+    # non-degenerate result
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = rich.join(urgent, on="c_custkey", how="left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        _dsum("c_acctbal", "totacctbal"),
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): selective dim filter first, big
     fact joins shuffle on their keys, top-10 with a total tie-break."""
@@ -392,8 +421,12 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against urgent orders (every customer has SOME order
+    in the synthetic data — a bare no-orders anti join is degenerate)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     none = relational.join(
         customer, orders.select(F.col("o_custkey").alias("c_custkey")),
         on="c_custkey", how="left_anti",
@@ -1103,13 +1136,25 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline operators (north-star)
 # ---------------------------------------------------------------------------
 
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has zero exact duplicates, which would make
+    the exact-dedup checks vacuous — plant deterministic
+    whitespace-perturbed copies of every 5th doc (normalization-equal,
+    byte-different) so the operators have real work to prove."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id")
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_with_dups(spark, sf_dir)
     return dedup.exact_dup_groups(docs).select("n_dups", "members")
 
 
@@ -1433,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
@@ -1586,7 +1632,9 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_mktsegment, count(*) AS n_customers
             FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment
         """,
         "window_topk": """
@@ -1861,6 +1909,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "tpch_q22": """
+            WITH g AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                              count(*) AS n
+                       FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer, g
+            WHERE c_acctbal * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
@@ -2154,16 +2215,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """
-            SELECT doc_id FROM documents
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT doc_id FROM d
             WHERE doc_id IN (
-              SELECT min(doc_id) FROM documents
+              SELECT min(doc_id) FROM d
               GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         """,
         "dedup_groups": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0)
             SELECT count(*) AS n_dups,
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY CAST(doc_id AS VARCHAR)) AS members
-            FROM documents
+            FROM d
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             HAVING count(*) > 1
         """,

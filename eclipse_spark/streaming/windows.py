@@ -118,6 +118,29 @@ def stream_from_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_stream_to_table(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Durable streaming sink: append micro-batches as parquet under
+    ``path`` with exactly-once bookkeeping in ``checkpoint``. Drives
+    the finite local source to completion; in production the same
+    query runs continuously (trigger cadence owns file sizes —
+    pair with ``Catalog.compact`` for the small-files tail)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query synchronously to completion over a
     finite source (processAllAvailable), results in the in-memory

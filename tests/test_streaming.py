@@ -65,6 +65,25 @@ def test_sliding_counts_overlap(spark, events_small):
     assert slid == 2 * tumb
 
 
+def test_parquet_sink_exactly_once(spark, events_small, tmp_path):
+    """Durable sink: all source rows land exactly once, and re-running
+    the same query against the same checkpoint appends nothing."""
+    path, batch_df = events_small
+    schema = spark.read.parquet(path).schema
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = W.stream_from_parquet(spark, path, schema)
+        W.write_stream_to_table(stream.select("event_id"), out_dir, ckpt)
+
+    run()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == batch_df.count()
+    run()  # same checkpoint -> no new data, no duplicates
+    assert spark.read.parquet(out_dir).count() == n1
+
+
 def test_session_batch_golden(spark):
     rows = [
         (1, 10, "2024-01-01 00:00:00"),
