@@ -1373,6 +1373,42 @@ def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
 
 
+def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar @pandas_udf (Arrow columnar transfer) — the
+    third Python-UDF form beside mapInPandas/applyInPandas. The kernel
+    is a vectorized pandas string op (findall of non-space runs), not
+    per-row Python — the contract for any Python in a 100 TB hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which breaks pandas_udf signature inference
+    n_tokens = pandas_udf(
+        lambda s: s.str.findall(r"\S+").str.len().astype("int32"), "int"
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_tok"))
+
+
+def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (native session_window + watermark,
+    append mode): only watermark-closed sessions emit, so the tail
+    sessions of the finite source are withheld — correct streaming
+    semantics, deterministic for a fixed input, checked rows-only."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream_windows.session_windows_stream(
+        stream, gap="30 minutes", watermark="1 hour"
+    )
+    stream_windows.run_stream_to_memory(agg, "ev_stream_session", "append")
+    return spark.table("ev_stream_session")
+
+
 def q_mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship app through the engine's own MapReduce
     API end-to-end: Arrow-batched pandas multi-emit map (D1+D2,
@@ -1556,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "mr_group_reduce": q_mr_group_reduce,
         "mr_reduce_by_key": q_mr_reduce_by_key,
+        "pandas_udf_tokens": q_pandas_udf_tokens,
+        "events_stream_session": q_events_stream_session,
         "mr_word_count": q_mr_word_count,
         "mr_cogroup": q_mr_cogroup,
         "events_stream_stateful": q_events_stream_stateful,
@@ -2293,6 +2331,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM lineitem GROUP BY l_returnflag
         """,
+        "pandas_udf_tokens": """
+            SELECT doc_id,
+                   CAST(len({TOKENS}) AS INT) AS n_tok
+            FROM documents
+        """.replace("{TOKENS}", TOKENS_SQL),
         "mr_word_count": """
             SELECT word AS key, count(*) AS value
             FROM (SELECT unnest({TOKENS}) AS word FROM documents) t
