@@ -1358,6 +1358,35 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means iteration (the iterative-algorithm building block):
+    fixed seed centroids -> nearest-centroid assignment (broadcast NL
+    join against 8 rows) -> per-cell elementwise mean via posexplode +
+    one (cell,pos) shuffle. Chain N of these for full Lloyd's; each
+    step is two narrow stages, no driver-side vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    sim = similarity.cosine_sim(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("cell", "embedding")
+    )
+    ex = assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+    return ex.groupBy("cell", F.col("pos").cast("long").alias("pos")).agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("c_val"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pre-training curation pipeline: quality gates
     (token count, digit/upper ratios) -> exact near-dup removal ->
@@ -1598,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_cogroup": q_mr_cogroup,
         "events_stream_stateful": q_events_stream_stateful,
         "embedding_centroids": q_embedding_centroids,
+        "kmeans_step": q_kmeans_step,
         "pretrain_filter": q_pretrain_filter,
     }
 
@@ -2366,6 +2396,25 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS centroid_val,
                    count(*) AS n_vecs
             FROM ex GROUP BY label, pos
+        """,
+        "kmeans_step": """
+            WITH cents AS (SELECT vec_id AS cell, embedding AS centroid
+                           FROM embeddings WHERE vec_id < 8),
+            scored AS (SELECT e.vec_id, e.embedding, c.cell,
+                              list_cosine_similarity(e.embedding, c.centroid) AS sim
+                       FROM embeddings e, cents c),
+            assigned AS (SELECT vec_id, embedding, cell FROM scored
+                         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY sim DESC, cell) = 1),
+            ex AS (SELECT cell,
+                          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                          unnest(embedding) AS x
+                   FROM assigned)
+            SELECT cell, pos,
+                   CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*) AS c_val,
+                   count(*) AS n_members
+            FROM ex GROUP BY cell, pos
         """,
         "pretrain_filter": """
             WITH q AS (

@@ -72,6 +72,24 @@ def test_semi_join_for_exists(spark, sf_smoke):
     assert "LeftSemi" in plan
 
 
+def test_partition_pruning_on_partitioned_table(spark, sf_smoke, tmp_path):
+    """Hive-style partition layout written via Catalog.put(partition_by)
+    prunes at the scan: a partition-key filter must appear as a
+    PartitionFilter, not a post-scan Filter over all partitions."""
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    cat.put("p_orders", orders, partition_by=["o_orderstatus"])
+    import pyspark.sql.functions as F
+
+    df = cat.get("p_orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "o_orderstatus" in pf, "partition-key predicate did not prune"
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
     """Two tables bucketed on the join key => sort-merge join with zero
     shuffle exchanges (SURVEY §4: the bucketBy co-location story)."""
