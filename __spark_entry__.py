@@ -1518,7 +1518,15 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stream_windows.run_stream_to_memory(out, "ev_stream_stateful", "update")
-    return spark.table("ev_stream_stateful")
+    # Update mode emits one row per (user, micro-batch) — intermediate
+    # running counts when the source spans >1 batch. The counter is
+    # monotone, so the final state per user is the max: dedupe here so
+    # the batch oracle holds regardless of how the source is batched.
+    return (
+        spark.table("ev_stream_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
 
 
 # ---------------------------------------------------------------------------

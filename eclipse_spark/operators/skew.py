@@ -18,14 +18,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salt(df: DataFrame, key_col: str, buckets: int, salt_col: str = "_salt") -> DataFrame:
+def salt(
+    df: DataFrame,
+    key_col: str | Sequence[str] | None = None,
+    buckets: int = 32,
+    salt_col: str = "_salt",
+) -> DataFrame:
     """Append a deterministic per-row salt in [0, buckets): the hot key
-    fans out over ``buckets`` reducers. Deterministic (hash of the full
-    row via monotonically-increasing id is NOT — we hash stable columns)
-    so retries and cache fingerprints stay stable."""
-    cols = [c for c in df.columns]
+    fans out over ``buckets`` reducers. The salt hashes the *non-key*
+    columns (the row discriminator) — rows of the same hot key must land
+    in different buckets, so hashing the key itself would be useless,
+    and hashing key+value couples the salt to the key's value columns.
+    Deterministic (monotonically_increasing_id is NOT) so retries and
+    cache fingerprints stay stable."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col or [])
+    disc = [c for c in df.columns if c not in keys] or list(df.columns)
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in disc]), F.lit(buckets)).cast("int")
     )
 
 
@@ -44,7 +53,7 @@ def two_phase_agg(
     ``partial_aggs`` aliases must produce the columns ``final_aggs``
     consume, e.g. partial ``sum(x) as x_part`` -> final
     ``sum(x_part) as sum_x``."""
-    salted = salt(df, keys[0] if keys else "", buckets, salt_col)
+    salted = salt(df, keys, buckets, salt_col)
     partial = salted.groupBy(*keys, salt_col).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
 
@@ -60,7 +69,7 @@ def skew_join_salted(
     small side: big rows get a random-ish salt, small rows are
     replicated ``buckets`` times, join key becomes (key, salt).
     Prefer AQE's skew-join first; this is the manual fallback."""
-    b = big.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets)).cast("int"))
+    b = salt(big, key, buckets)
     s = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))

@@ -61,6 +61,10 @@ class SemanticCache:
         os.makedirs(root, exist_ok=True)
         # entries: fingerprint -> {"bytes": int, "last_access": float}
         self._entries: dict[str, dict] = {}
+        # Entries handed out by lookup() this session: their DataFrames
+        # are lazy reads over the cache path, so eviction must not rmtree
+        # them out from under an unexecuted plan (use-after-evict).
+        self._pinned: set[str] = set()
         self._load_manifest()
 
     # -- manifest -------------------------------------------------------
@@ -75,8 +79,12 @@ class SemanticCache:
             self._entries = {}
 
     def _save_manifest(self) -> None:
-        with open(self._manifest_path(), "w") as f:
+        # Write-and-rename so a concurrent session reading the manifest
+        # never observes a torn file.
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self._entries, f)
+        os.replace(tmp, self._manifest_path())
 
     def _entry_path(self, fp: str) -> str:
         return os.path.join(self.root, f"{fp}.parquet")
@@ -100,6 +108,7 @@ class SemanticCache:
         entry["last_access"] = time.time()  # move-to-front (cache.hh:52-60)
         self._save_manifest()
         self.stats.hits += 1
+        self._pinned.add(fingerprint)  # see _pinned: lazy reads must survive
         return self.spark.read.parquet(path)
 
     def materialize(self, fingerprint: str, df: DataFrame) -> DataFrame:
@@ -129,12 +138,13 @@ class SemanticCache:
         total = sum(e["bytes"] for e in self._entries.values())
         if total <= self.budget_bytes:
             return
-        # Oldest-access first; the just-written entry is locked, like
-        # Eclipse skipping locked entries at the LRU tail (cache.hh:78-86).
+        # Oldest-access first; the just-written entry and every entry
+        # handed out this session are locked, like Eclipse skipping
+        # locked entries at the LRU tail (cache.hh:78-86).
         for fp, _e in sorted(self._entries.items(), key=lambda kv: kv[1]["last_access"]):
             if total <= self.budget_bytes:
                 break
-            if fp == keep:
+            if fp == keep or fp in self._pinned:
                 continue
             total -= self._entries[fp]["bytes"]
             shutil.rmtree(self._entry_path(fp), ignore_errors=True)
@@ -146,4 +156,13 @@ class SemanticCache:
         for fp in targets:
             shutil.rmtree(self._entry_path(fp), ignore_errors=True)
             self._entries.pop(fp, None)
+            self._pinned.discard(fp)
         self._save_manifest()
+
+    def unpin(self, fingerprint: str | None = None) -> None:
+        """Release session pins (all, or one) once the caller has
+        executed its plans — makes the entries evictable again."""
+        if fingerprint is None:
+            self._pinned.clear()
+        else:
+            self._pinned.discard(fingerprint)

@@ -111,7 +111,13 @@ class Catalog:
         count. The standing operational fix for streaming/append sinks
         that accrue many tiny files — at 100 TB, scan task count and
         NameNode/liststatus pressure are both file-count problems.
-        Uses coalesce (no shuffle) when shrinking."""
+        Uses coalesce (no shuffle) when shrinking.
+
+        Swap is crash-safe: the rewrite lands in a ``.parquet.tmp`` path
+        (invisible to :meth:`ls`/:meth:`path_of`, which key on the
+        ``.parquet`` suffix), the original is renamed aside, the new data
+        renamed in, and only then is the old copy deleted — at no point
+        can a crash lose the table or surface a half-written one."""
         df = self.get(name)
         cur = df.rdd.getNumPartitions()
         out = (
@@ -119,12 +125,17 @@ class Catalog:
             if target_partitions < cur
             else df.repartition(target_partitions)
         )
-        tmp = self.path_of(f"_compact_tmp_{name}")
+        path = self.path_of(name)
+        tmp = path + ".tmp"
+        old = path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path_of(name))
-        os.rename(tmp, self.path_of(name))
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
         self._bump(name)
-        return self.path_of(name)
+        return path
 
     def put_sorted(
         self, name: str, df: DataFrame, sort_by: list[str], partitions: int | None = None

@@ -95,6 +95,54 @@ def test_fingerprint_fn_sensitivity():
     assert fingerprint_fn(f1) == fingerprint_fn(f1b)
 
 
+def test_fingerprint_fn_sees_closure_values():
+    # Two parameterized UDFs differing ONLY in the captured value must
+    # not collide — a collision makes the semantic cache serve silently
+    # wrong results (ADVICE r1, medium).
+    def make(k):
+        return lambda x: x + k
+
+    assert fingerprint_fn(make(2)) != fingerprint_fn(make(3))
+    assert fingerprint_fn(make(2)) == fingerprint_fn(make(2))
+
+
+def test_fingerprint_fn_sees_defaults_and_partials():
+    import functools
+
+    def g1(x, k=2):
+        return x + k
+
+    def g2(x, k=3):
+        return x + k
+
+    # identical bytecode, different default value
+    assert fingerprint_fn(g1) != fingerprint_fn(g2)
+
+    base = lambda x, k: x + k  # noqa: E731
+    assert fingerprint_fn(functools.partial(base, k=2)) != fingerprint_fn(
+        functools.partial(base, k=3)
+    )
+    assert fingerprint_fn(functools.partial(base, k=2)) == fingerprint_fn(
+        functools.partial(base, k=2)
+    )
+
+
+def test_fingerprint_fn_nested_code_stable():
+    # Nested lambdas used to be repr()'d, embedding memory addresses —
+    # two structurally identical outer functions (fresh inner code
+    # objects each call) must fingerprint identically.
+    def outer_a():
+        inner = lambda y: y * 2  # noqa: E731
+        return inner
+
+    src = "def outer_b():\n    inner = lambda y: y * 2\n    return inner\n"
+    ns: dict = {}
+    exec(compile(src, "<t>", "exec"), ns)
+    f_a = outer_a
+    f_b = ns["outer_b"]
+    assert fingerprint_fn(f_a) == fingerprint_fn(f_b)
+
+
 def test_plan_node_fingerprint_structure():
     a = PlanNode.leaf("scan", table="t", version=1)
     b = PlanNode.leaf("scan", table="t", version=2)

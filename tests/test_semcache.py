@@ -62,6 +62,20 @@ def test_lru_eviction(spark, tmp_path):
     assert cache.stats.evictions >= 1
 
 
+def test_lookup_pins_against_eviction(spark, tmp_path):
+    # ADVICE r1: a DataFrame returned by lookup() is a lazy read over
+    # the cache path; later eviction must not delete its files before
+    # the caller executes the plan.
+    cache = SemanticCache(spark, str(tmp_path / "cache"), budget_bytes=1)
+    cache.materialize("fp_a", spark.range(10))
+    held = cache.lookup("fp_a")  # pins fp_a for the session
+    cache.materialize("fp_b", spark.range(10))  # over budget -> wants to evict a
+    assert held.count() == 10  # plan still executes
+    cache.unpin("fp_a")
+    cache.materialize("fp_c", spark.range(10))
+    assert cache.lookup("fp_a") is None  # evictable again after unpin
+
+
 def test_invalidate(spark, tmp_path):
     cache = SemanticCache(spark, str(tmp_path / "cache"))
     cache.materialize("fp_x", spark.range(5))
