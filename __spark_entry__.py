@@ -1174,8 +1174,16 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic embeddings contain no true near-dups at 0.9, which
+    would make a rows-only check vacuous — plant exact copies of every
+    20th vector (same convention as _docs_with_dups) so the operator
+    provably finds them: copy == original -> identical sketch bucket +
+    cosine 1.0, so each planted pair MUST appear."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_dup(emb, threshold=0.9)
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.embedding_near_dup(emb.unionByName(dups), threshold=0.9)
     return out.select("id_a", "id_b")
 
 

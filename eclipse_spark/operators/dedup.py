@@ -347,13 +347,9 @@ def embedding_near_dup(
     sign-bit sketch buckets candidates, exact cosine verifies. The
     hyperplanes are deterministic pseudo-random (hash of (plane, dim)),
     so the operator needs no model artifact and is reproducible."""
-    from eclipse_spark.operators.similarity import cosine_sim, sign_sketch
+    from eclipse_spark.operators.similarity import cosine_sim, sign_sketch_df
 
-    sk = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sign_sketch(F.col(vec_col), planes, seed).alias("bucket"),
-    )
+    sk = sign_sketch_df(emb, id_col, vec_col, planes, seed, "id", "v")
     a, b = sk.alias("a"), sk.alias("b")
     return (
         a.join(b, on="bucket")

@@ -128,6 +128,31 @@ def test_ivf_topk_recall_vs_brute_force(planted_vectors):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_sign_sketch_df_matches_hof_spec(planted_vectors):
+    """The codegen sign_sketch_df must produce bucket-identical sketches
+    to the interpreted HOF spec (sign_sketch) — same hash, same weight
+    formula, same empty-vector convention."""
+    for planes, seed in [(4, 7), (12, 7), (10, 3)]:
+        spec = planted_vectors.select(
+            F.col("vec_id").alias("id"),
+            similarity.sign_sketch(F.col("embedding"), planes, seed).alias("bucket"),
+        )
+        fast = similarity.sign_sketch_df(
+            planted_vectors, "vec_id", "embedding", planes, seed
+        ).select("id", "bucket")
+        a = {r["id"]: r["bucket"] for r in spec.collect()}
+        b = {r["id"]: r["bucket"] for r in fast.collect()}
+        assert a == b, f"sketch mismatch at planes={planes} seed={seed}"
+
+
+def test_sign_sketch_df_handles_empty_vector(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.25]), (2, [])], "vec_id long, embedding array<double>")
+    out = {r["id"]: r["bucket"] for r in
+           similarity.sign_sketch_df(df, "vec_id", "embedding", planes=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == 0b1111  # empty vec: every projection 0.0 -> bit 1 (HOF convention)
+
+
 def test_embedding_near_dup_pairs(planted_vectors):
     out = dedup.embedding_near_dup(
         planted_vectors, threshold=0.98, planes=4
