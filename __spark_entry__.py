@@ -1169,8 +1169,12 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(docs, prefix_bits=12)
+    """Multi-table SimHash (4 disjoint 16-bit bands, hamming<=3 verify)
+    over the corpus plus planted whitespace-perturbed near-copies: a
+    planted copy normalizes to the same shingle set, so its signature is
+    identical (hamming 0) and the pair is guaranteed back — making the
+    rows-only driver check non-degenerate."""
+    return dedup.simhash_candidates(_docs_with_dups(spark, sf_dir))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

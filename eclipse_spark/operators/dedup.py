@@ -9,7 +9,7 @@ Scale design: every variant is shuffle-bounded —
   pairs only form inside an LSH band bucket (self-join on the band
   hash), the classic sub-quadratic near-dup pipeline;
 - SimHash: 64-bit signature via bit-vote aggregation, candidates from
-  exact signature-prefix buckets;
+  multi-table disjoint-band buckets with a hamming verify;
 - verification (Jaccard / cosine) happens only on candidate pairs.
 
 Built-ins end-to-end: shingling, hashing, min-reduction, band hashing
@@ -308,22 +308,58 @@ def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix_bits: int = 16,
+    tables: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing a ``prefix_bits`` signature
-    prefix bucket (one of the classic SimHash table partitions)."""
+    """Near-dup pairs via multi-table SimHash (Manku et al.'s table
+    decomposition): the 64-bit signature splits into ``tables`` disjoint
+    ``band_bits``-bit bands; table *t* buckets on band *t*; candidates
+    from all tables union, then a codegen ``hamming <= max_hamming``
+    verify keeps real near-dups.
+
+    Recall is *guaranteed*, not probabilistic: a pair within
+    ``max_hamming <= tables - 1`` bit flips differs in at most
+    ``tables - 1`` bands, so by pigeonhole at least one band matches
+    exactly and the pair surfaces as a candidate (property-tested
+    against exact all-pairs hamming).
+
+    Scale shape vs the old single 12/16-bit-prefix bucket: each table's
+    join key carries 16 signature bits (65k+ buckets/table), popular
+    prefixes no longer concentrate into one bucket, near-dups differing
+    in a high bit are caught by the other tables, and the verify bounds
+    the emitted pair set. Output: (id_a, id_b, hamming)."""
+    assert tables * band_bits <= 64, "bands must fit the 64-bit signature"
     sig = simhash_signatures_df(df, text_col, id_col, 64, shingle_k)
-    bucketed = sig.withColumn("bucket", F.shiftright("sig", 64 - prefix_bits))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftright("sig", t * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.tbl").alias("tbl"), F.col("bb.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["tbl", "bkey"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             _hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 

@@ -70,6 +70,36 @@ def test_simhash_close_on_near_dups(planted_docs):
         assert ham <= 16, f"near dup {i} hamming {ham}"
 
 
+def test_simhash_candidates_exact_recall(planted_docs):
+    """Multi-table SimHash is exact for hamming <= tables-1: candidates
+    must EQUAL the brute-force all-pairs {hamming <= max_hamming} set —
+    superset by the pigeonhole band argument, subset by the verify."""
+    sigs = {
+        r["id"]: r["sig"]
+        for r in dedup.simhash_signatures_df(planted_docs).collect()
+    }
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert truth, "fixture must contain at least one near-dup pair"
+    cands = dedup.simhash_candidates(planted_docs, tables=4, band_bits=16, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert got == truth
+
+
+def test_simhash_candidates_bounded_fanout(planted_docs):
+    """The hamming verify bounds the emitted pair set: every returned
+    pair is a real near-dup, never a within-bucket explosion."""
+    out = dedup.simhash_candidates(planted_docs, max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in out)
+    n_docs = planted_docs.count()
+    assert len(out) < n_docs  # pairs stay linear-ish, not quadratic
+
+
 @pytest.fixture(scope="module")
 def planted_vectors(spark):
     random.seed(7)
