@@ -1125,8 +1125,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate over a JSON property — parsed with a real JSON
+    path (get_json_object), not a regex, so nested/escaped values parse
+    correctly on non-synthetic data."""
     events = _events(spark, sf_dir)
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return events.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count("*").alias("n_events")
     )
@@ -1541,6 +1544,41 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of Eclipse's flagship Icache feature (C3/C4: cache
+    write keyed on (app, input), hit -> skip the map entirely;
+    ``fileserver.hh:556-585``, ``mapreduce.hh:849-884``): the same
+    Pipeline aggregate runs twice through a SemanticCache. Run 1 must
+    miss and materialize; run 2 must hit and read the materialized
+    parquet. The rows returned come from the HIT path with the observed
+    (hit_first, hit_second) flags on every row — a failed hit, or a
+    stale cached result, hash-mismatches the oracle."""
+    import tempfile
+
+    from eclipse_spark.semcache import SemanticCache
+
+    cache = SemanticCache(spark, tempfile.mkdtemp(prefix="eclipse_semcache_demo_"))
+
+    def build() -> Pipeline:
+        return (
+            Pipeline.from_parquet(
+                spark, os.path.join(sf_dir, "orders.parquet"), app="semcache_demo"
+            )
+            .emit_kv(key=F.col("o_orderstatus"))
+            .count_by_key()
+            .cached(cache)
+        )
+
+    _, hit_first = build().run()
+    result, hit_second = build().run()
+    return result.select(
+        "key",
+        F.col("value").alias("n_orders"),
+        F.lit(int(hit_first)).cast("int").alias("hit_first"),
+        F.lit(int(hit_second)).cast("int").alias("hit_second"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1649,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "kmeans_step": q_kmeans_step,
         "pretrain_filter": q_pretrain_filter,
+        "semcache_demo": q_semcache_demo,
     }
 
 
@@ -2298,7 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json": """
             SELECT event_type,
-                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -2404,6 +2443,12 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_stateful": """
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "semcache_demo": """
+            SELECT o_orderstatus AS key, count(*) AS n_orders,
+                   CAST(0 AS INTEGER) AS hit_first,
+                   CAST(1 AS INTEGER) AS hit_second
+            FROM orders GROUP BY o_orderstatus
         """,
         "embedding_centroids": """
             WITH ex AS (
