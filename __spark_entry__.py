@@ -364,6 +364,157 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_k(agg, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic schema has no partsupp table; the part-supplier
+    catalog is derived from lineitem — supply cost = min listed
+    l_extendedprice per (part, supplier), exact decimal (no division,
+    so both engines agree bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 variant (min-cost supplier per part). The correlated
+    scalar-min subquery is a window min over the part partition: one
+    shuffle on p_partkey, no aggregate re-join. Dims (supplier, nation,
+    region, filtered part) broadcast against the derived partsupp."""
+    _utc(spark)
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    elig = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(parts), ps.l_partkey == parts.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("_min", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("_cost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 variant (national market share): NATION_5 suppliers'
+    share of AMERICA customers' ECONOMY-part order volume by year.
+    Facts shuffle on join keys; part/supplier/nation/region broadcast.
+    The share divides two exact decimal sums surfaced as doubles —
+    engine-independent."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").alias("nc")
+    n_supp = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("ns_key"))
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 variant (product-type profit): revenue minus derived
+    qty-scaled supply cost, by (supplier nation, order year), for parts
+    named like %bolt%. All arithmetic decimal-exact until the final
+    double surface."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    j = (
+        li.join(ps, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    cost = F.col("_cost") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("n_name", "o_year")
+        .agg((F.sum(rev) - F.sum(cost)).cast("double").alias("profit"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 variant (dominant suppliers): NATION_3 suppliers that
+    shipped >30% of some small%-part's 1995 volume (the availqty >
+    half-shipped predicate re-based on the derived supplied share —
+    partsupp is absent). Shape preserved: nested aggregate, threshold
+    filter, semi-join into the supplier dim."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01")))
+    )
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l95 = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    per_ps = l95.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_supplied")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("_supplied").alias("_total"))
+    big = (
+        per_ps.join(per_p, on="l_partkey")
+        .filter(
+            F.col("_supplied").cast("double") > 0.3 * F.col("_total").cast("double")
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(big, on="s_suppkey", how="left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-generating function surface: posexplode (UDTF shape)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
@@ -1606,6 +1757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q20": q_tpch_q20,
         "posexplode": q_posexplode,
         "join_orders_customer": q_join_orders_customer,
         "join_5way": q_join_5way,
@@ -2146,6 +2301,82 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "tpch_q2": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+                        FROM lineitem GROUP BY 1, 2),
+            elig AS (SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost,
+                            min(cost) OVER (PARTITION BY p_partkey) AS min_cost
+                     FROM ps
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation   ON s_nationkey = n_nationkey
+                     JOIN region   ON n_regionkey = r_regionkey
+                     JOIN part     ON l_partkey = p_partkey
+                     WHERE r_name = 'EUROPE' AND p_type = 'LARGE'
+                       AND p_size BETWEEN 10 AND 20)
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+                   CAST(cost AS DOUBLE) AS supplycost
+            FROM elig WHERE cost = min_cost
+        """,
+        "tpch_q8": """
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region   ON n1.n_regionkey = r_regionkey
+              JOIN part     ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+                   CAST(sum(vol) AS DOUBLE) AS total_volume
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q9": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+                        FROM lineitem GROUP BY 1, 2)
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        - sum(ps.cost * CAST(l.l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN ps       ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+            JOIN part     ON l.l_partkey = p_partkey
+            JOIN supplier ON l.l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l.l_orderkey = o_orderkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q20": """
+            WITH l95 AS (SELECT l_partkey, l_suppkey, l_quantity
+                         FROM lineitem JOIN part ON l_partkey = p_partkey
+                         WHERE p_name LIKE 'small%'
+                           AND l_shipdate >= TIMESTAMP '1995-01-01'
+                           AND l_shipdate < TIMESTAMP '1996-01-01'),
+            per_ps AS (SELECT l_partkey, l_suppkey,
+                              sum(CAST(l_quantity AS DECIMAL(18,2))) AS supplied
+                       FROM l95 GROUP BY 1, 2),
+            per_p AS (SELECT l_partkey, sum(supplied) AS total
+                      FROM per_ps GROUP BY 1),
+            big AS (SELECT DISTINCT l_suppkey
+                    FROM per_ps JOIN per_p USING (l_partkey)
+                    WHERE CAST(supplied AS DOUBLE) > 0.3 * CAST(total AS DOUBLE))
+            SELECT s_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM big)
         """,
         "posexplode": """
             SELECT doc_id,
