@@ -104,6 +104,7 @@ def sign_sketch_df(
     terms = ex.select(
         id_alias,
         vec_alias,
+        F.col("_x").isNull().cast("int").alias("_xnull"),
         *[
             (
                 F.col("_x").cast("double")
@@ -119,14 +120,18 @@ def sign_sketch_df(
     )
     sums = terms.groupBy(id_alias).agg(
         F.first(vec_alias).alias(vec_alias),
-        # empty/null vector -> no terms -> sum NULL; coalesce to 0.0 so
-        # the bit comes out 1, matching the HOF fold's 0.0 >= 0 result
-        *[F.coalesce(F.sum(f"_t{p}"), F.lit(0.0)).alias(f"_s{p}") for p in range(planes)],
+        # the HOF fold propagates null: an empty vector or any null
+        # element nulls the whole projection -> bit 0. SQL sum() skips
+        # nulls instead, so track null presence explicitly.
+        F.max("_xnull").alias("_hasnull"),
+        *[F.sum(f"_t{p}").alias(f"_s{p}") for p in range(planes)],
     )
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
         bit = (
-            F.when(F.col(f"_s{p}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+            F.when((F.col("_hasnull") == 0) & (F.col(f"_s{p}") >= 0), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return sums.select(id_alias, vec_alias, bucket.alias(bucket_col))

@@ -180,7 +180,8 @@ def test_sign_sketch_df_handles_empty_vector(spark):
     out = {r["id"]: r["bucket"] for r in
            similarity.sign_sketch_df(df, "vec_id", "embedding", planes=4).collect()}
     assert set(out) == {1, 2}
-    assert out[2] == 0b1111  # empty vec: every projection 0.0 -> bit 1 (HOF convention)
+    # empty vec: the HOF fold's projection is NULL -> every bit 0
+    assert out[2] == 0
 
 
 def test_embedding_near_dup_pairs(planted_vectors):

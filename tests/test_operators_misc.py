@@ -70,9 +70,26 @@ def test_content_meta(media_df):
     assert len(rows[1]["content_hash"]) == 64
 
 
-def test_decode_features_stub_raises(media_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media_df, fake=False)
+def test_decode_features_real_kernel_or_raise(media_df, spark):
+    """fake=False probe-imports PIL: without it the plan-build raises;
+    with it the real 8x8 RGB kernel runs and keeps the 8-float schema."""
+    if multimodal._pil_image_module() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_features(media_df, fake=False)
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 12), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (16, 12, "image/png"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_features(df, fake=False).collect()[0]["features"]
+    assert len(feats) == 8
+    assert feats[0] > 0.9 and feats[1] < 0.1  # solid red: R high, G low
 
 
 def test_decode_features_fake_is_deterministic(media_df):

@@ -111,3 +111,33 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
     assert _n_exchanges(plan) == 0, "co-bucketed join should not shuffle"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_layout_reused_across_workloads(spark, sf_smoke, tmp_path):
+    """EM-KDE affinity analogue (SURVEY §2.2 D9): Eclipse's scheduler
+    keeps repeatedly-accessed keys on the same node; here the shuffle
+    is paid ONCE at put_bucketed write time and every subsequent
+    same-key workload — an aggregation now, a different-shape join
+    later — reads the persisted layout with zero shuffle exchanges."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    cat.put_bucketed("aff_orders", orders, ["o_custkey"], buckets=4)
+
+    # workload 1: per-key aggregation — bucketing satisfies the
+    # required distribution, no Exchange
+    agg = cat.get_table("aff_orders").groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert _n_exchanges(_plan(agg)) == 0, "bucketed agg should not shuffle"
+
+    # workload 2 (repeat run, different shape): self-join on the same
+    # key — still zero shuffles, both sides reuse the layout
+    a = cat.get_table("aff_orders").select("o_custkey", "o_totalprice")
+    b = cat.get_table("aff_orders").select("o_custkey", "o_orderstatus")
+    j = a.hint("merge").join(b, on="o_custkey")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert _n_exchanges(plan) == 0, "repeat same-key workload should reuse layout"
+    spark.sql("DROP TABLE IF EXISTS aff_orders")

@@ -78,6 +78,59 @@ def test_token_count_matches_python(spark, docs):
 
 
 @SETTINGS
+@given(docs=texts)
+def test_simhash_multitable_recall_property(spark, docs):
+    """Multi-table SimHash candidates EQUAL the brute-force
+    {hamming <= max_hamming} pair set for any corpus: superset by the
+    pigeonhole band argument (hamming <= tables-1 leaves one band
+    untouched), subset by the verify filter."""
+    df = _docs(spark, docs)
+    sigs = {r["id"]: r["sig"] for r in dedup.simhash_signatures_df(df).collect()}
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(df).collect()}
+    assert got == truth
+
+
+@SETTINGS
+@given(
+    vs=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sign_sketch_codegen_equals_spec(spark, vs):
+    """The codegen sign_sketch_df is bucket-identical to the HOF spec
+    for arbitrary vectors (including empty ones)."""
+    from eclipse_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "vec_id long, embedding array<double>"
+    )
+    spec = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", similarity.sign_sketch(F.col("embedding"), 6, 7).alias("b")
+        ).collect()
+    }
+    fast = {
+        r["id"]: r["bucket"]
+        for r in similarity.sign_sketch_df(df, "vec_id", "embedding", 6, 7).collect()
+    }
+    assert fast == spec
+
+
+@SETTINGS
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 3), st.integers(-100, 100)),
