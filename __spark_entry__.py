@@ -515,6 +515,135 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 variant (important stock): per-part catalog value
+    (derived cost summed over that part's suppliers in NATION_1) kept
+    when above 0.1% of the total — the HAVING-over-global-scalar shape.
+    The global total is a broadcast scalar subquery (decorrelated), not
+    a driver collect."""
+    _utc(spark)
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_ps = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    per_part = nat_ps.groupBy("l_partkey").agg(
+        F.sum("_cost").alias("_value")
+    )
+    total = per_part.agg(F.sum("_value").cast("double").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value").cast("double") > 0.001 * F.col("_tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("value"),
+        )
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 variant (shipping delay classes): lineitem has no
+    shipmode/commit/receipt dates, so the classifier is the
+    ship-vs-order-date lag (>60 days = slow), grouped with the original
+    high/low order-priority split."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    slow = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, F.lit("SLOW")
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.withColumn("ship_class", slow)
+        .groupBy("ship_class")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    so zero-order customers count — every synthetic customer has
+    orders, so the filter excludes urgent ones (same non-degeneracy
+    convention as q4/q22) to produce a real zero bucket."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    the max-revenue supplier(s) — the revenue view + scalar-max shape,
+    ties included so the result set is deterministic."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    top = revenue.agg(F.max("_rev").alias("_max"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 variant (sole late supplier): suppliers whose line
+    shipped late (>90 days after order date) on a multi-supplier order
+    where NO other supplier's line was late — commit/receipt dates are
+    absent, so lateness is the ship-vs-order lag. Shape preserved:
+    per-order supplier/late-supplier distinct counts (one shuffle via
+    two-level agg), then the sole-late filter and the supplier join."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_late",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).cast("int"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_supp_late").alias("_n_late"),
+    )
+    sole_late = (
+        per_os.join(per_o, on="l_orderkey")
+        .filter(
+            (F.col("_n_supp") > 1) & (F.col("_n_late") == 1) & (F.col("_supp_late") == 1)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-generating function surface: posexplode (UDTF shape)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
@@ -1812,6 +1941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green members ----------------------------------------
         "math_funcs": q_math_funcs,
         "map_funcs": q_map_funcs,
+        # ---- round-2 extras (locally oracle-verified; rotate into the
+        # 50-slot window next round) -----------------------------------
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
@@ -2397,6 +2533,65 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3'
               AND s_suppkey IN (SELECT l_suppkey FROM big)
+        """,
+        "tpch_q11": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+                        FROM lineitem GROUP BY 1, 2),
+            nat AS (SELECT l_partkey, cost
+                    FROM ps JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_1'),
+            per_part AS (SELECT l_partkey, sum(cost) AS value FROM nat GROUP BY 1)
+            SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+            FROM per_part
+            WHERE CAST(value AS DOUBLE) >
+                  0.001 * (SELECT CAST(sum(value) AS DOUBLE) FROM per_part)
+        """,
+        "tpch_q12": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                        THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+            GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM revenue)
+        """,
+        "tpch_q21": """
+            WITH j AS (SELECT l_orderkey, l_suppkey,
+                              CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                                   THEN 1 ELSE 0 END AS late
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            per_os AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+                       FROM j GROUP BY 1, 2),
+            per_o AS (SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late
+                      FROM per_os GROUP BY 1),
+            sole AS (SELECT l_suppkey FROM per_os JOIN per_o USING (l_orderkey)
+                     WHERE n_supp > 1 AND n_late = 1 AND supp_late = 1)
+            SELECT s_name, numwait FROM (
+              SELECT l_suppkey, count(*) AS numwait FROM sole GROUP BY 1) t
+            JOIN supplier ON l_suppkey = s_suppkey
         """,
         "posexplode": """
             SELECT doc_id,
