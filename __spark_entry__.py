@@ -1824,6 +1824,35 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over verified near-dup edges —
+    the transitive-closure step a production dedup runs after pairwise
+    verification (a~b, b~c => one cluster). Edges here are exact
+    word-3-shingle Jaccard >= 0.5 over a bounded planted-dup corpus so
+    the oracle (a DuckDB recursive CTE) can recompute them; at 100 TB
+    the edge list comes from minhash LSH + verify and the same
+    min-label-propagation operator runs unchanged."""
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") <= 300) | F.col("doc_id").between(100000, 100300)
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(text.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(jac, 6) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(edges)
+
+
 def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of Eclipse's flagship Icache feature (C3/C4: cache
     write keyed on (app, input), hit -> skip the map entirely;
@@ -1948,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
+        "dedup_cc": q_dedup_cc,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
@@ -2735,6 +2765,30 @@ def oracle_sql() -> dict[str, str]:
                            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
               FROM sh a JOIN sh b ON a.id < b.id)
             WHERE jaccard >= 0.5
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "dedup_cc": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id <= 300
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0 AND doc_id <= 300),
+            sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, {TOKENS} AS toks FROM d) t),
+            e AS (
+              SELECT a.id AS src, b.id AS dst
+              FROM sh a JOIN sh b ON a.id <> b.id
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+            reach(node, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node)
+            SELECT node, min(r) AS component FROM reach GROUP BY node
         """.replace("{TOKENS}", TOKENS_SQL),
         "media_meta": """
             SELECT doc_id AS id,

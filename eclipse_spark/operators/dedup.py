@@ -222,6 +222,83 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+# -- connected components (cluster dedup) ----------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) over an undirected edge list via iterative
+    min-label propagation: every node adopts the smallest label among
+    itself and its neighbors until a fixpoint; the component id is the
+    smallest node id in the component.
+
+    This is the clustering step production near-dedup needs after
+    pairwise verification — transitive closure (a~b, b~c => one
+    cluster {a,b,c}), which no single join can express.
+
+    Scale shape: each round is one shuffle (neighbor-min groupBy on the
+    node id) + a broadcast-free join; results are localCheckpoint'd per
+    round so lineage stays flat. Rounds needed = graph diameter —
+    near-dup clusters from LSH buckets are shallow (a handful of
+    rounds). Convergence is detected with a monotone O(1) aggregate
+    (labels only ever decrease, so the label sum strictly decreases
+    until the fixpoint) — no per-round data collect. For adversarial
+    high-diameter graphs the standard upgrade is large-star/small-star
+    (Kiveris et al.), same per-round join shape."""
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def near_dedup_cc(
+    df: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster-level dedup: connected components over verified near-dup
+    pairs, keep the min-id representative of each component plus every
+    unpaired document. Unlike pairwise loser-dropping, transitive
+    chains (a~b, b~c with a!~c) collapse to ONE survivor."""
+    comp = connected_components(verified_pairs, max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # -- SimHash ----------------------------------------------------------
 
 

@@ -100,6 +100,45 @@ def test_simhash_candidates_bounded_fanout(planted_docs):
     assert len(out) < n_docs  # pairs stay linear-ish, not quadratic
 
 
+def _uf_components(edges, nodes):
+    """Reference union-find: node -> min id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_chain_and_cycle(spark):
+    """A 10-node path (diameter 9: exercises multi-round propagation),
+    a triangle, and an isolated pair — labels must match union-find."""
+    edges = [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22), (22, 20), (30, 31)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+    nodes = {n for e in edges for n in e}
+    assert got == _uf_components(edges, nodes)
+
+
+def test_near_dedup_cc_collapses_chains(spark):
+    """Transitive chain a~b, b~c (a never directly paired with c) must
+    leave exactly one survivor — the pairwise-drop shape can't express
+    this without the component step."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup.near_dedup_cc(docs, pairs).collect())
+    assert kept == [0, 3, 4]
+
+
 @pytest.fixture(scope="module")
 def planted_vectors(spark):
     random.seed(7)

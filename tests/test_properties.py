@@ -132,6 +132,35 @@ def test_sign_sketch_codegen_equals_spec(spark, vs):
 
 @SETTINGS
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Min-label propagation reaches the union-find fixpoint for any
+    graph (self-loops and parallel edges included)."""
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+    nodes = {n for e in edges for n in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {n: find(n) for n in nodes}
+
+
+@SETTINGS
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 3), st.integers(-100, 100)),
         min_size=1,
