@@ -1824,6 +1824,41 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (the funnel/attribution
+    shape): click events pair with same-user purchases within 30
+    minutes. With a finite source and a horizon watermark, the inner
+    join emits exactly the batch join's pairs, so the full SQL oracle
+    applies."""
+    _utc(spark)
+    clicks = _event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    buys = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_windows.interval_join_stream(clicks, buys, max_delay="30 minutes")
+    stream_windows.run_stream_to_memory(joined, "ev_stream_join", "append")
+    return spark.table("ev_stream_join")
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark over
+    (user_id, event_type): first arrival emits, repeats drop, state
+    expires with the watermark. Projected to the keys, the emitted set
+    equals DISTINCT over the batch — full SQL oracle."""
+    _utc(spark)
+    out = stream_windows.dedup_stream(
+        _event_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    stream_windows.run_stream_to_memory(out, "ev_stream_dedup", "append")
+    return spark.table("ev_stream_dedup")
+
+
 def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering over verified near-dup edges —
     the transitive-closure step a production dedup runs after pairwise
@@ -1978,6 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
         "dedup_cc": q_dedup_cc,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_dedup": q_events_stream_dedup,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
@@ -2949,6 +2986,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
             FROM orders GROUP BY o_orderstatus
+        """,
+        "events_stream_join": """
+            SELECT a.user_id AS user_id,
+                   a.event_id AS event_a, b.event_id AS event_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        "events_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "embedding_centroids": """
             WITH ex AS (

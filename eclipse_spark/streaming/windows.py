@@ -108,6 +108,53 @@ def session_windows_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Watermarked stream-stream inner interval join: each left event
+    pairs with right events of the same key that occur within
+    (0, max_delay] after it. The time-range condition is what lets
+    Spark bound join state — each side keeps only rows younger than
+    watermark+delay, the canonical funnel/attribution shape. Output:
+    (key, left event_id/ts, right event_id/ts)."""
+    a = left.withWatermark(ts_col, watermark).alias("a")
+    b = right.withWatermark(ts_col, watermark).alias("b")
+    cond = (
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col(f"b.{ts_col}") > F.col(f"a.{ts_col}"))
+        & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return a.join(b, cond).select(
+        F.col(f"a.{key}").alias(key),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark: the first
+    arrival per key emits, repeats within the watermark horizon drop,
+    and state self-expires with the watermark (the unbounded-state
+    hazard of plain dropDuplicates on streams). Projects to the key
+    columns so results don't depend on which physical row arrived
+    first."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 def stream_from_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
     """readStream over a parquet dir — the local test source (real
     deployments: kafka). ``maxFilesPerTrigger`` bounds batch size."""
