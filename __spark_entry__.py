@@ -1682,6 +1682,16 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd's iterations through kmeans_iterate — proves the
+    iterative-algorithm loop (assignment -> mean -> centroid
+    reassembly -> next round) stays distributed and engine-exact; the
+    oracle unrolls both iterations in SQL, rebuilding centroid arrays
+    with an ordered list aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_iterate(emb, n_cells=8, n_iter=2)
+
+
 def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pre-training curation pipeline: quality gates
     (token count, digit/upper ratios) -> exact near-dup removal ->
@@ -1821,6 +1831,67 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("ev_stream_stateful")
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write a deterministic orders subset in ``fmt`` via the sources
+    layer, read it back with an explicit schema (never inferSchema at
+    scale), and aggregate — proving the format connector end-to-end.
+    Java's shortest-round-trip double formatting makes the text
+    round-trip value-exact, so the parquet-based oracle applies."""
+    import tempfile
+
+    from eclipse_spark.sources import readers
+
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix=f"eclipse_src_{fmt}_"), f"orders_{fmt}")
+    readers.write_any(sub, path, fmt=fmt)
+    back = readers.read_any(
+        spark, path, fmt=fmt,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (lateral table function): per-document word
+    bigrams with positions from a generator-style eval. Row-at-a-time
+    by construction (the UDTF contract) — bounded here to 50 docs; the
+    vectorized path for the same job is word_shingles_raw + posexplode
+    (used by the dedup operators)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    docs.createOrReplaceTempView("_docs_u50")
+    return spark.sql(
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, bigram "
+        "FROM _docs_u50, LATERAL bigrams_udtf(text)"
     )
 
 
@@ -2015,6 +2086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": q_dedup_cc,
         "events_stream_join": q_events_stream_join,
         "events_stream_dedup": q_events_stream_dedup,
+        "kmeans_iter2": q_kmeans_iter2,
+        "source_csv": q_source_csv,
+        "source_json": q_source_json,
+        "source_orc": q_source_orc,
+        "udtf_ngrams": q_udtf_ngrams,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
@@ -2998,6 +3074,31 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
+        "source_csv": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+        """,
+        "source_json": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+        """,
+        "source_orc": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+        """,
+        "udtf_ngrams": """
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks
+                       FROM documents WHERE doc_id <= 50),
+            b AS (SELECT doc_id,
+                         unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> {'p': i - 1, 'bg': toks[i] || ' ' || toks[i+1]})) AS s
+                  FROM t WHERE len(toks) > 1)
+            SELECT doc_id, CAST(s.p AS BIGINT) AS pos, s.bg AS bigram FROM b
+        """.replace("{TOKENS}", TOKENS_SQL),
         "embedding_centroids": """
             WITH ex AS (
               SELECT label,
@@ -3028,6 +3129,42 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS c_val,
                    count(*) AS n_members
             FROM ex GROUP BY cell, pos
+        """,
+        "kmeans_iter2": """
+            WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents0 AS (SELECT vid AS cell, v AS centroid FROM e WHERE vid < 8),
+            s1 AS (SELECT e.vid, e.v, c.cell,
+                          list_cosine_similarity(e.v, c.centroid) AS sim
+                   FROM e, cents0 c),
+            a1 AS (SELECT vid, v, cell FROM s1
+                   QUALIFY row_number() OVER (PARTITION BY vid
+                                              ORDER BY sim DESC, cell) = 1),
+            m1 AS (SELECT cell,
+                          CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+                          unnest(v) AS x
+                   FROM a1),
+            c1 AS (SELECT cell, pos,
+                          CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                            / count(*) AS c_val
+                   FROM m1 GROUP BY cell, pos),
+            cents1 AS (SELECT cell, list(c_val ORDER BY pos) AS centroid
+                       FROM c1 GROUP BY cell),
+            s2 AS (SELECT e.vid, e.v, c.cell,
+                          list_cosine_similarity(e.v, c.centroid) AS sim
+                   FROM e, cents1 c),
+            a2 AS (SELECT vid, v, cell FROM s2
+                   QUALIFY row_number() OVER (PARTITION BY vid
+                                              ORDER BY sim DESC, cell) = 1),
+            m2 AS (SELECT cell,
+                          CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+                          unnest(v) AS x
+                   FROM a2)
+            SELECT cell, pos,
+                   CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*) AS c_val,
+                   count(*) AS n_members
+            FROM m2 GROUP BY cell, pos
         """,
         "pretrain_filter": """
             WITH q AS (

@@ -195,6 +195,62 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_iterate(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full Lloyd's k-means for ``n_iter`` iterations — the iterative-
+    algorithm pattern on DataFrames. Seeds are the first ``n_cells``
+    ids (deterministic, no sampling); each iteration is (1) broadcast
+    nearest-centroid assignment against the tiny centroid table,
+    (2) per-cell elementwise mean via posexplode + one (cell, pos)
+    shuffle, (3) centroid-array reassembly with an ordered collect_list
+    over n_cells*dim rows (tiny). Centroids are persisted per iteration
+    and never leave the cluster; per-iteration cost is two narrow
+    stages regardless of corpus size.
+
+    Means accumulate in decimal (engine-exact) and surface as double;
+    embeddings are cast to double upfront so every engine computes the
+    same cosines. Returns the final (cell, pos, c_val, n_members)."""
+    e = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell"), F.col("v").alias("centroid")
+    )
+    means = None
+    for _ in range(n_iter):
+        wa = Window.partitionBy("vid").orderBy(F.desc("_sim"), F.asc("cell"))
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("_sim", cosine_sim(F.col("v"), F.col("centroid")))
+            .withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1)
+            .select("cell", "v")
+        )
+        ex = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        means = ex.groupBy("cell", F.col("pos").cast("long").alias("pos")).agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*")
+            ).alias("c_val"),
+            F.count("*").alias("n_members"),
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c_val"))),
+                    lambda s: s.c_val,
+                ).alias("centroid")
+            )
+            .persist()
+        )
+    return means
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

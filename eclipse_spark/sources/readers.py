@@ -69,6 +69,10 @@ def write_any(
     **options: str,
 ) -> None:
     writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        # mirror read_any's header default — an asymmetric default eats
+        # the first data row on round-trip
+        writer = writer.option("header", options.pop("header", "true"))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for k, v in options.items():
