@@ -364,29 +364,29 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_k(agg, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
-def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic schema has no partsupp table; the part-supplier
-    catalog is derived from lineitem — supply cost = min listed
-    l_extendedprice per (part, supplier), exact decimal (no division,
-    so both engines agree bit-for-bit)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
-    )
-
-
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 variant (min-cost supplier per part). The correlated
     scalar-min subquery is a window min over the part partition: one
     shuffle on p_partkey, no aggregate re-join. Dims (supplier, nation,
     region, filtered part) broadcast against the derived partsupp."""
     _utc(spark)
-    ps = _derived_partsupp(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     parts = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    # Restrict lineitem to eligible parts (broadcast semi-join) BEFORE
+    # the derived-partsupp group min — the filter is on the grouping
+    # key, so per-group mins are unchanged and the agg shuffle shrinks
+    # by the part filter's selectivity.
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
     )
     elig = (
         ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
@@ -461,13 +461,20 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    ps = _derived_partsupp(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    # The selective part filter lands BEFORE the derived-partsupp group
+    # min: the filter is on the grouping key (l_partkey), so per-group
+    # mins are unchanged, and the (partkey, suppkey) shuffle shrinks by
+    # the filter's selectivity. The group-min-then-rejoin collapses into
+    # a window min — one shuffle, no agg + shuffle-join.
+    lib = li.join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+    wps = Window.partitionBy("l_partkey", "l_suppkey")
     j = (
-        li.join(ps, ["l_partkey", "l_suppkey"])
-        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        lib.withColumn(
+            "_cost", F.min(F.col("l_extendedprice").cast("decimal(18,2)")).over(wps)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
@@ -522,12 +529,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global total is a broadcast scalar subquery (decorrelated), not
     a driver collect."""
     _utc(spark)
-    ps = _derived_partsupp(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    nat_ps = (
-        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    # Nation filter restricts l_suppkey — a grouping key of the derived
+    # partsupp — so the broadcast semi-join lands before the group min
+    # and the (partkey, suppkey) shuffle carries only NATION_1 rows.
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    nat_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
     )
     per_part = nat_ps.groupBy("l_partkey").agg(
         F.sum("_cost").alias("_value")
