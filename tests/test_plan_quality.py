@@ -141,3 +141,52 @@ def test_bucketed_layout_reused_across_workloads(spark, sf_smoke, tmp_path):
     assert "SortMergeJoin" in plan
     assert _n_exchanges(plan) == 0, "repeat same-key workload should reuse layout"
     spark.sql("DROP TABLE IF EXISTS aff_orders")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """D9 runtime skew handling (SURVEY §2.2): Eclipse's EM-KDE moves
+    hot-key boundaries between nodes; Spark's equivalent is AQE's
+    OptimizeSkewedJoin, which re-splits an oversized shuffle partition
+    across tasks at runtime. Gate: a 90%-one-key join executes with the
+    join node marked skew=true and MORE tasks reading the join than the
+    static partition count would give (the hot partition was split)."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(1_000_000)
+            .withColumn(
+                "key",
+                F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100),
+            )
+            .withColumn("pay", F.sha2(F.col("id").cast("string"), 256))
+        )
+        right = (
+            spark.range(100)
+            .withColumnRenamed("id", "key")
+            .withColumn("rv", F.col("key") * 2)
+        )
+        res = left.join(right, "key").groupBy().agg(F.count("*").alias("n"))
+        [row] = res.collect()
+        assert row["n"] == 1_000_000  # inner join keeps every left row
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
