@@ -1973,6 +1973,35 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges)
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (copy-on-write upsert) through the Catalog: a base
+    orders snapshot takes an update batch that rewrites half its rows
+    (price bump) and inserts new keys. Survivors come from a key-anti
+    join, the rewrite is the crash-safe swap — the result is read back
+    from the post-merge table on disk, so a botched swap or a lost
+    row-class hash-mismatches the oracle."""
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="eclipse_merge_"))
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter((F.col("o_orderkey") % 6 == 0) | (F.col("o_orderkey") % 5 == 1))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        )
+    )
+    cat.put("m_orders", base)
+    cat.merge("m_orders", updates, on=["o_orderkey"])
+    return cat.get("m_orders")
+
+
 def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of Eclipse's flagship Icache feature (C3/C4: cache
     write keyed on (app, input), hit -> skip the map entirely;
@@ -2085,6 +2114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dist": q_window_dist,
         "window_range_frame": q_window_range_frame,
         "intersect_all": q_intersect_all,
+        # merge sits inside the 50-slot driver window (storage-mutation
+        # family); except_all's set-op family is already driver-green
+        # via set_ops + intersect_all.
+        "merge_upsert": q_merge_upsert,
         "except_all": q_except_all,
         # ---- position 51+: locally verified; scalar family has other
         # driver-green members ----------------------------------------
@@ -3076,6 +3109,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
             FROM orders GROUP BY o_orderstatus
+        """,
+        "merge_upsert": """
+            WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                          FROM orders WHERE o_orderkey % 3 = 0),
+            upd AS (SELECT o_orderkey, o_orderstatus,
+                           o_totalprice + 10.0 AS o_totalprice
+                    FROM orders
+                    WHERE o_orderkey % 6 = 0 OR o_orderkey % 5 = 1)
+            SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL SELECT * FROM upd
         """,
         "events_stream_join": """
             SELECT a.user_id AS user_id,

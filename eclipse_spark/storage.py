@@ -125,6 +125,12 @@ class Catalog:
             if target_partitions < cur
             else df.repartition(target_partitions)
         )
+        return self._swap_rewrite(name, out)
+
+    def _swap_rewrite(self, name: str, out: DataFrame) -> str:
+        """Crash-safe in-place rewrite of a table that ``out`` still
+        reads from: land in ``.parquet.tmp`` (invisible to ls()/path_of),
+        rename original aside, rename new in, delete old last."""
         path = self.path_of(name)
         tmp = path + ".tmp"
         old = path + ".old"
@@ -136,6 +142,33 @@ class Catalog:
         shutil.rmtree(old)
         self._bump(name)
         return path
+
+    def merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        on: list[str],
+        delete_matched: bool = False,
+    ) -> str:
+        """MERGE INTO analogue (copy-on-write upsert): target rows whose
+        ``on`` key appears in ``updates`` are replaced by the update row
+        (or deleted when ``delete_matched``); unmatched update rows are
+        inserted; unmatched target rows survive. The survivor set is a
+        key-shuffled LEFT ANTI join — the scale shape — and the rewrite
+        reuses the compact() crash-safe swap.
+
+        At 100 TB a transaction-log format (Delta/Iceberg) additionally
+        prunes the rewrite to the files whose key ranges overlap the
+        update keys; plain parquet has no file-level transaction log, so
+        this rewrites the whole table but keeps the same logical plan.
+        The reference has no in-place update at all — DHT files are
+        immutable, Owrite is append-only (fileserver.hh Owrite path) —
+        so this is north-star surface, not parity."""
+        target = self.get(name)
+        keys = updates.select(*on).distinct()
+        survivors = target.join(keys, on=on, how="left_anti")
+        out = survivors if delete_matched else survivors.unionByName(updates)
+        return self._swap_rewrite(name, out)
 
     def put_sorted(
         self, name: str, df: DataFrame, sort_by: list[str], partitions: int | None = None

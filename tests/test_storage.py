@@ -58,3 +58,41 @@ def test_compact_and_sorted_layout(spark, tmp_path):
         (F.max("k") - F.min("k") + 1 == F.count("*")).alias("contig")
     )
     assert all(r["contig"] for r in part.collect())
+
+
+def test_merge_upsert_and_delete(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    cat.put("m", base)
+    v0 = cat.info("m").version
+
+    # upsert: k 0-4 replaced with v = -1, k 100-102 inserted
+    upd = (
+        spark.range(0, 5)
+        .select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"))
+        .unionByName(
+            spark.range(100, 103).select(
+                F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+            )
+        )
+    )
+    cat.merge("m", upd, on=["k"])
+    got = {r["k"]: r["v"] for r in cat.get("m").collect()}
+    assert len(got) == 13
+    assert all(got[k] == -1 for k in range(5))
+    assert all(got[k] == k * 100 for k in range(5, 10))
+    assert all(got[k] == 7 for k in (100, 101, 102))
+    assert cat.info("m").version == v0 + 1
+
+    # delete_matched: drop the inserted keys
+    dels = spark.range(100, 103).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    cat.merge("m", dels, on=["k"], delete_matched=True)
+    assert sorted(r["k"] for r in cat.get("m").collect()) == list(range(10))
+    # no stray tmp/old dirs survive the swap
+    leftovers = [f for f in (tmp_path / "cat3").iterdir()
+                 if f.name.endswith((".tmp", ".old"))]
+    assert leftovers == []
