@@ -19,7 +19,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eclipse_spark import apps
-from eclipse_spark.operators import dedup, multimodal, relational, similarity, skew, text
+from eclipse_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    relational,
+    similarity,
+    skew,
+    text,
+)
 from eclipse_spark.pipeline import Pipeline
 from eclipse_spark.streaming import windows as stream_windows
 
@@ -1973,6 +1981,35 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the supplier<->customer trade graph
+    (distinct lineitem x orders pairs, both directions, namespaced ids
+    so the key spaces can't collide). The second iterative-algorithm
+    family next to k-means: per round one src-key join shuffle + one
+    dst-key agg shuffle, degrees persisted, nothing on the driver. The
+    oracle unrolls both rounds in SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("sup"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("sup").alias("src"), F.col("cust").alias("dst")).union(
+        pairs.select(F.col("cust").alias("src"), F.col("sup").alias("dst"))
+    )
+    # surface at 6 decimals: the decimal-accumulated sums are within
+    # 1-2 ULP across engines (double->decimal cast rounds the shortest
+    # repr in Spark, the binary value in DuckDB), and rounding far above
+    # the divergence makes the hash comparison exact
+    return graph.pagerank(edges, n_iter=2).select(
+        "node", F.round(F.col("pr"), 6).alias("pr")
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (copy-on-write upsert) through the Catalog: a base
     orders snapshot takes an update batch that rewrites half its rows
@@ -2131,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
         "dedup_cc": q_dedup_cc,
+        "pagerank": q_pagerank,
         "events_stream_join": q_events_stream_join,
         "events_stream_dedup": q_events_stream_dedup,
         "kmeans_iter2": q_kmeans_iter2,
@@ -3109,6 +3147,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
             FROM orders GROUP BY o_orderstatus
+        """,
+        "pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT 's:' || l_suppkey AS sup, 'c:' || o_custkey AS cust
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            edges AS (SELECT sup AS src, cust AS dst FROM pairs
+                      UNION ALL SELECT cust, sup FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r1 AS (SELECT n.node,
+                          CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                          CAST(coalesce(sum(CAST(CAST(1.0 AS DOUBLE) / d.deg
+                                                 AS DECIMAL(28,15))), 0)
+                               AS DOUBLE) AS pr
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN outdeg d ON d.src = e.src
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node,
+                          CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                          CAST(coalesce(sum(CAST(r.pr / d.deg
+                                                 AS DECIMAL(28,15))), 0)
+                               AS DOUBLE) AS pr
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   LEFT JOIN outdeg d ON d.src = e.src
+                   GROUP BY n.node)
+            SELECT node, round(pr, 6) AS pr FROM r2
         """,
         "merge_upsert": """
             WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice

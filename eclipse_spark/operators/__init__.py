@@ -5,6 +5,7 @@ two-phase aggregation)."""
 
 from eclipse_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,

@@ -187,3 +187,39 @@ def test_two_phase_agg_equals_plain(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """Directed triangle a->b->c->a plus chord a->c, one iteration,
+    against hand-computed simplified-damping PageRank."""
+    from eclipse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=1).collect()}
+    # outdeg: a=2, b=1, c=1; contribs: b <- a/2, c <- a/2 + b, a <- c
+    exp = {
+        "a": 0.15 + 0.85 * 1.0,
+        "b": 0.15 + 0.85 * 0.5,
+        "c": 0.15 + 0.85 * (0.5 + 1.0),
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12, (k, got[k], exp[k])
+
+
+def test_pagerank_rank_conservation(spark):
+    """With no dangling nodes every unit of rank is redistributed:
+    sum(pr) stays n*(teleport + damping*mean) = n for a closed regular
+    graph. Ring graph of 20 nodes: every rank must stay exactly 1."""
+    from eclipse_spark.operators.graph import pagerank
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % n)) for i in range(n)], ["src", "dst"]
+    )
+    got = [r["pr"] for r in pagerank(edges, n_iter=3).collect()]
+    assert len(got) == n
+    for v in got:
+        assert abs(v - 1.0) < 1e-12
