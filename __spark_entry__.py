@@ -989,6 +989,22 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna via
+    approx_percentile): the 100 TB path when exact percentile's
+    full-sort-per-group is too much — partial sketches merge map-side
+    like any other partial agg. Approximate by construction, so no SQL
+    oracle (rows-only driver check); the local test bounds its error
+    against the exact percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+    )
+    return li.groupBy("l_linestatus").agg(
+        pct[0].alias("p25"), pct[1].alias("p50"), pct[2].alias("p75")
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
@@ -1065,6 +1081,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — the scale-safe alternative to TABLESAMPLE)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey") % 17 == 0).agg(
+        F.count("*").alias("n_sampled"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (30% of F, 10% of O, 50% of P
+    orders by md5 key bucket) — reproducible across engines with no RNG
+    state, then an audit aggregate per stratum."""
+    orders = _t(spark, sf_dir, "orders")
+    sampled = relational.stratified_sample(
+        orders, "o_orderkey", "o_orderstatus", {"F": 0.30, "O": 0.10, "P": 0.50}
+    )
+    return sampled.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_sampled"),
         _dsum("o_totalprice", "sum_price"),
     )
@@ -2172,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "events_stream_dedup": q_events_stream_dedup,
         "kmeans_iter2": q_kmeans_iter2,
+        "stratified_sample": q_stratified_sample,
+        "approx_quantiles": q_approx_quantiles,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
         "source_orc": q_source_orc,
@@ -3147,6 +3179,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
             FROM orders GROUP BY o_orderstatus
+        """,
+        "stratified_sample": """
+            SELECT o_orderstatus, count(*) AS n_sampled,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 100
+                  < CASE o_orderstatus WHEN 'F' THEN 30 WHEN 'O' THEN 10
+                                       WHEN 'P' THEN 50 ELSE 0 END
+            GROUP BY o_orderstatus
         """,
         "pagerank": """
             WITH pairs AS (

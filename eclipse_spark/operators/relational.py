@@ -133,3 +133,38 @@ def unpivot(
     return df.selectExpr(
         *id_cols, f"stack({n}, {stack_expr}) as (`{var_name}`, `{value_name}`)"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(key) mod 100 < rate[stratum]*100. Unlike ``sampleBy`` this is
+    reproducible across engines, runs, and partitionings (no RNG
+    state), and a narrow codegen projection — no shuffle, no driver
+    involvement, so it holds at any scale. md5 (not xxhash64) because
+    every engine agrees on it, making sampled outputs auditable
+    outside Spark."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate_pct = None
+    for value, rate in rates.items():
+        pct = F.lit(int(round(rate * 100)))
+        rate_pct = (
+            F.when(F.col(strata_col) == value, pct)
+            if rate_pct is None
+            else rate_pct.when(F.col(strata_col) == value, pct)
+        )
+    rate_pct = (
+        rate_pct.otherwise(F.lit(int(round(default_rate * 100))))
+        if rate_pct is not None
+        else F.lit(int(round(default_rate * 100)))
+    )
+    return df.filter(bucket < rate_pct)

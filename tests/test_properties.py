@@ -223,3 +223,42 @@ def test_pagerank_rank_conservation(spark):
     assert len(got) == n
     for v in got:
         assert abs(v - 1.0) < 1e-12
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_correct):
+    """Sampled fraction per stratum lands near its configured rate, the
+    sample is stable across runs, and strata with rate 0 vanish."""
+    from eclipse_spark.operators.relational import stratified_sample
+
+    orders = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    rates = {"F": 0.30, "O": 0.10}
+    s = stratified_sample(orders, "o_orderkey", "o_orderstatus", rates)
+    got = {r["o_orderstatus"]: r["n"] for r in
+           s.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    tot = {r["o_orderstatus"]: r["n"] for r in
+           orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert "P" not in got  # default_rate=0 drops unlisted strata
+    for k, rate in rates.items():
+        frac = got[k] / tot[k]
+        assert abs(frac - rate) < 0.03, (k, frac)
+    # determinism: same filter twice => identical keys
+    a = sorted(r["o_orderkey"] for r in s.select("o_orderkey").collect())
+    b = sorted(r["o_orderkey"] for r in
+               stratified_sample(orders, "o_orderkey", "o_orderstatus", rates)
+               .select("o_orderkey").collect())
+    assert a == b
+
+
+def test_approx_quantiles_error_bound(spark, sf_correct):
+    """approx_percentile at accuracy 10000 must land within 1% relative
+    error of the exact interpolated percentile on sf0.01."""
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    exact = li.agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("e")
+    ).collect()[0]["e"]
+    approx = li.agg(
+        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+        .alias("a")
+    ).collect()[0]["a"]
+    for e, a in zip(exact, approx):
+        assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (e, a)
