@@ -1947,6 +1947,49 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: each user's event_type runs become
+    validity intervals [valid_from, valid_to), NULL valid_to = current.
+    One key shuffle end-to-end (change-flag lag, run-start filter, and
+    the valid_to lead all ride the user_id partitioning)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return relational.scd2(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: an Update-mode per-user aggregate
+    flows through a foreachBatch MERGE into a Catalog table, which
+    always holds the latest row per key. The finite source drains to
+    the same table a batch group-by would build — the oracle; batch
+    replays are idempotent re-merges."""
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    work = tempfile.mkdtemp(prefix="eclipse_stream_upsert_")
+    cat = Catalog(spark, os.path.join(work, "cat"))
+    stream_windows.merge_stream_to_catalog(
+        agg, cat, "user_counts", on=["user_id"],
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    return cat.get("user_counts")
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -2203,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "kmeans_iter2": q_kmeans_iter2,
         "stratified_sample": q_stratified_sample,
+        "events_stream_upsert": q_events_stream_upsert,
+        "scd2": q_scd2,
         "approx_quantiles": q_approx_quantiles,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -3179,6 +3224,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
             FROM orders GROUP BY o_orderstatus
+        """,
+        "events_stream_upsert": """
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "scd2": """
+            WITH flagged AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN row_number() OVER w = 1
+                               OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), starts AS (SELECT user_id, event_type, ts, event_id
+                          FROM flagged WHERE chg = 1)
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to
+            FROM starts
         """,
         "stratified_sample": """
             SELECT o_orderstatus, count(*) AS n_sampled,

@@ -168,3 +168,35 @@ def stratified_sample(
         else F.lit(int(round(default_rate * 100)))
     )
     return df.filter(bucket < rate_pct)
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse consecutive
+    runs of identical ``attr_cols`` values per key (ordered by
+    ``ts_col`` then ``tiebreak_cols``) into validity intervals
+    ``[valid_from, valid_to)``, ``valid_to`` NULL on the current row.
+
+    One shuffle total: the change-flag lag rides a partitionBy(key)
+    window, the run-start filter preserves that partitioning, and the
+    valid_to lead re-sorts within the same partitions with no new
+    exchange."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for a in attr_cols:
+        changed = changed | ~F.lag(F.col(a)).over(w).eqNullSafe(F.col(a))
+    starts = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    return starts.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(
+            Window.partitionBy(*key_cols).orderBy(*order)
+        ).alias("valid_to"),
+    )

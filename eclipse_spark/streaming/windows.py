@@ -201,3 +201,40 @@ def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def merge_stream_to_catalog(
+    df: DataFrame,
+    catalog,
+    table: str,
+    on: list[str],
+    checkpoint: str,
+):
+    """Streaming-upsert sink: each micro-batch MERGEs (copy-on-write
+    upsert) into a Catalog table, so the table always holds the LATEST
+    row per key — a continuously-maintained materialized view, the
+    streaming face of :meth:`Catalog.merge`.
+
+    Pair with an Update-mode streaming aggregate: each batch emits one
+    refreshed row per changed key (unique per key by construction,
+    which merge requires). Replaying a batch after a failure re-merges
+    the same rows — idempotent — so the sink is effectively
+    exactly-once for deterministic aggregates."""
+
+    def _upsert(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if catalog.exists(table):
+            catalog.merge(table, batch_df, on=on)
+        else:
+            catalog.put(table, batch_df)
+
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -97,3 +97,29 @@ def test_session_batch_golden(spark):
     out = W.session_windows_batch(df, gap_minutes=30)
     got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
     assert got == {(10, 1): 2, (10, 2): 1, (11, 1): 1}
+
+
+def test_merge_stream_upsert_multi_batch(spark, events_small, tmp_path):
+    """foreachBatch MERGE sink over a 4-file source at 1 file/trigger:
+    four micro-batches of refreshed Update-mode rows upsert into the
+    Catalog table, and the final table equals the batch aggregate (not
+    an intermediate count, not duplicated rows)."""
+    from eclipse_spark.storage import Catalog
+
+    path, df = events_small
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    W.merge_stream_to_catalog(
+        agg, cat, "uc", on=["user_id"], checkpoint=str(tmp_path / "ckpt")
+    )
+    got = {r["user_id"]: r["n_events"] for r in cat.get("uc").collect()}
+    exp = {r["user_id"]: r["n"] for r in
+           df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
+    # table version advanced once per non-empty batch (4 files -> >=2 merges)
+    assert cat.info("uc").version >= 2
