@@ -1947,6 +1947,37 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: events scan once into a persisted
+    HOURLY rollup, then a DAILY query is answered by merging the rollup
+    (sum+sum, count-as-sum, max idempotent) — never re-reading raw.
+    The oracle aggregates raw events daily directly, so any mergeability
+    or bucket-alignment bug hash-mismatches."""
+    import tempfile
+
+    from eclipse_spark import rollup as R
+    from eclipse_spark.storage import Catalog
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    measures = {
+        "n_events": ("count", "*"),
+        "sum_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    hourly = R.build_rollup(ev, "ts", 60, ["event_type"], measures)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="eclipse_rollup_"))
+    cat.put("events_hourly", hourly)
+    daily = R.read_rollup(cat.get("events_hourly"), 1440, ["event_type"], measures)
+    return daily.select(
+        F.col("_bucket").alias("day"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").alias("max_value"),
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history: each user's event_type runs become
     validity intervals [valid_from, valid_to), NULL valid_to = current.
@@ -2248,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "events_stream_upsert": q_events_stream_upsert,
         "scd2": q_scd2,
+        "hypertable_rollup": q_hypertable_rollup,
         "approx_quantiles": q_approx_quantiles,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -3227,6 +3259,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_upsert": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "hypertable_rollup": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
         """,
         "scd2": """
             WITH flagged AS (

@@ -262,3 +262,30 @@ def test_approx_quantiles_error_bound(spark, sf_correct):
     ).collect()[0]["a"]
     for e, a in zip(exact, approx):
         assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (e, a)
+
+
+def test_rollup_reaggregation_equals_direct(spark, sf_correct):
+    """Merging an hourly rollup to 2-hour buckets must equal the direct
+    2-hour aggregate of raw rows, and non-mergeable measures are
+    rejected at build time."""
+    import pytest
+
+    from eclipse_spark import rollup as R
+    from __spark_entry__ import _events, _utc
+
+    _utc(spark)
+    ev = _events(spark, sf_correct)
+    measures = {"n": ("count", "*"), "mx": ("max", "value")}
+    hourly = R.build_rollup(ev, "ts", 60, ["event_type"], measures)
+    from_rollup = {
+        (r["_bucket"], r["event_type"]): (r["n"], r["mx"])
+        for r in R.read_rollup(hourly, 120, ["event_type"], measures).collect()
+    }
+    direct = {
+        (r["_bucket"], r["event_type"]): (r["n"], r["mx"])
+        for r in R.build_rollup(ev, "ts", 120, ["event_type"], measures).collect()
+    }
+    assert from_rollup == direct
+
+    with pytest.raises(ValueError):
+        R.build_rollup(ev, "ts", 60, [], {"a": ("avg", "value")})
