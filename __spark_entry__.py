@@ -1947,6 +1947,49 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a corpus slice with planted emails / phones /
+    IPs / account numbers (the synthetic corpus has none): a chain of
+    codegen regexp_replace projections, scan-speed at any scale. The
+    oracle replays the same patterns through DuckDB's RE2, so engine
+    regex-semantics drift would mismatch."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 150)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1 (415) 555-0199 from 192.168.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" acct 98765432101234."),
+        ).alias("raw"),
+    )
+    return planted.select(
+        "doc_id", text.scrub_pii(F.col("raw")).alias("scrubbed")
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line fractions per document over planted
+    3-line docs (even ids repeat line 1 — dup_line_frac 2/3): explode
+    lines, (id, line) count, per-id ratios. Two codegen agg shuffles on
+    the doc id, no UDF."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    line1 = F.substring("text", 1, 60)
+    line2 = F.substring("text", 61, 60)
+    built = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws("\n", line1, line2, line1),
+        )
+        .otherwise(F.concat_ws("\n", line1, line2))
+        .alias("text"),
+    )
+    return text.repetition_stats(built)
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup: events scan once into a persisted
     HOURLY rollup, then a DAILY query is answered by merging the rollup
@@ -2280,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,
         "scd2": q_scd2,
         "hypertable_rollup": q_hypertable_rollup,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "approx_quantiles": q_approx_quantiles,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -3259,6 +3304,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_upsert": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     substr(text, 1, 80) || ' Contact user' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     '@example.com call +1 (415) 555-0199 from 192.168.1.' ||
+                     CAST(doc_id % 200 AS VARCHAR) || ' acct 98765432101234.'
+                       AS raw
+              FROM documents WHERE doc_id <= 150)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(raw,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
+                     '\\+?\\d[\\d\\s().-]{7,14}\\d', '<PHONE>', 'g')
+                     AS scrubbed
+            FROM planted
+        """,
+        "repetition_stats": """
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN substr(text,1,60) || chr(10) ||
+                               substr(text,61,60) || chr(10) ||
+                               substr(text,1,60)
+                          ELSE substr(text,1,60) || chr(10) ||
+                               substr(text,61,60) END AS t
+              FROM documents WHERE doc_id <= 200),
+            lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+                      FROM built),
+            nz AS (SELECT doc_id, line FROM lines
+                   WHERE length(trim(line)) > 0),
+            pl AS (SELECT doc_id, line, count(*) AS n FROM nz GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+                   sum(CASE WHEN n > 1 THEN n ELSE 0 END) / sum(n)
+                     AS dup_line_frac,
+                   sum(CASE WHEN n > 1 THEN n * length(line) ELSE 0 END)
+                     / sum(n * length(line)) AS dup_char_frac
+            FROM pl GROUP BY doc_id
         """,
         "hypertable_rollup": """
             SELECT date_trunc('day', ts) AS day, event_type,

@@ -144,3 +144,59 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 9, id_col: s
         F.col(id_col), F.explode(shingles_raw(F.col("_norm"), k)).alias("_s")
     )
     return exploded.groupBy(id_col).agg(F.min(F.xxhash64("_s")).alias(out_col))
+
+
+# -- PII scrubbing and repetition filters (pre-training curation) -------
+
+#: Conservative patterns (precision over recall) — the standard public
+#: scrub set: emails, IPv4, long digit runs (account/card numbers),
+#: international-ish phone numbers. Order matters: the phone pattern is
+#: the loosest, so emails, IPs, and digit runs must be masked first or
+#: phone would eat their digit spans.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUMBER>"),
+    (r"\+?\d[\d\s().-]{7,14}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask common PII spans with typed placeholders — a chain of
+    codegen regexp_replace calls (one projection, no UDF, no shuffle),
+    so it runs at full scan speed over any corpus size."""
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of
+    duplicate lines and fraction of characters inside duplicate lines
+    (boilerplate/spam detector). Lines are exploded and counted with a
+    codegen (id, line) partial agg — two key-shuffles on id, no UDF,
+    no per-doc collect; at 100 TB the doc id is the shuffle key so
+    skew is bounded by the longest single document."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("_line"),
+    ).filter(F.length(F.trim(F.col("_line"))) > 0)
+    per_line = lines.groupBy(id_col, "_line").agg(F.count("*").alias("_n"))
+    return per_line.groupBy(id_col).agg(
+        F.sum("_n").alias("n_lines"),
+        (
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(F.lit(0)))
+            / F.sum("_n")
+        ).alias("dup_line_frac"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_n") > 1, F.col("_n") * F.length("_line")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum(F.col("_n") * F.length("_line"))
+        ).alias("dup_char_frac"),
+    )
