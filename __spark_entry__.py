@@ -1776,6 +1776,93 @@ def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", n_tokens("text").alias("n_tok"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence conversion funnel (view -> click -> purchase,
+    each stage strictly after the previous): three chained window mins
+    over the SAME user partitioning — one shuffle total — then one
+    global count row. The standard product-analytics query at any
+    scale."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "_t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "_t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("_t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "_t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("_t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("_t1").alias("t1"), F.max("_t2").alias("t2"), F.max("_t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each subsequent active day. Distinct (user, day) pairs,
+    per-user cohort via a min-window on the same user key, then one
+    (cohort, offset) agg — two shuffles end-to-end, no driver loop."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id")
+    j = ud.withColumn("cohort", F.min("d").over(w))
+    return (
+        j.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").alias("day_n"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_pandas_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function (GROUPED_AGG pandas_udf): the
+    per-group kernel receives the whole group's column as a pandas
+    Series via Arrow — Spark still shuffles/groups JVM-side, only the
+    reduction is Python. Geometric mean of order totals per status;
+    both sides compute exp(mean(ln x)) and round to 9 (derived float
+    stat)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so inference can't see
+    # Series -> scalar
+    gmean = pandas_udf(
+        lambda v: float(np.exp(np.log(v.to_numpy()).mean())),
+        "double",
+        PandasUDFType.GROUPED_AGG,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(gmean("o_totalprice"), 3).alias("gmean_price")
+    )
+
+
 def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (native session_window + watermark,
     append mode): only watermark-closed sessions emit, so the tail
@@ -2325,6 +2412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "pandas_udaf_gmean": q_pandas_udaf_gmean,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "approx_quantiles": q_approx_quantiles,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -3304,6 +3394,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_upsert": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "funnel": """
+            WITH staged AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER w AS t1
+              FROM events WINDOW w AS (PARTITION BY user_id)
+            ), s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                                 THEN ts END) OVER w AS t2
+              FROM staged WINDOW w AS (PARTITION BY user_id)
+            ), s3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                 THEN ts END) OVER w AS t3
+              FROM s2 WINDOW w AS (PARTITION BY user_id)
+            ), per_user AS (
+              SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+              FROM s3 GROUP BY user_id)
+            SELECT count(t1) AS n_view,
+                   count(t2) AS n_click_after_view,
+                   count(t3) AS n_purchase_after_click
+            FROM per_user
+        """,
+        "retention_cohorts": """
+            WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                        FROM events),
+            j AS (SELECT user_id, d,
+                         min(d) OVER (PARTITION BY user_id) AS cohort
+                  FROM ud)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(d - cohort AS INTEGER) AS day_n,
+                   count(*) AS n_users
+            FROM j GROUP BY 1, 2
+        """,
+        "pandas_udaf_gmean": """
+            SELECT o_orderstatus,
+                   round(exp(avg(ln(o_totalprice))), 3) AS gmean_price
+            FROM orders GROUP BY o_orderstatus
         """,
         "pii_scrub": """
             WITH planted AS (
