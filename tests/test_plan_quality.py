@@ -190,3 +190,63 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
+    """Runtime filtering: a selective dimension filter must inject a
+    bloom filter onto the fact-side scan (bloom_filter_agg on the
+    build side / might_contain on the probe side) when broadcast is
+    off — at 100 TB this is what keeps a shuffle join from scanning
+    rows that can never match."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_explain_summary_counts(spark, sf_smoke):
+    from eclipse_spark.admin import explain_summary
+
+    df = QUERIES["tpch_q5"](spark, sf_smoke)
+    s = explain_summary(df)
+    assert s.n_broadcasts >= 2          # dims broadcast
+    assert s.n_scans >= 5
+    assert s.scans_with_pushdown >= 1   # date/region filters reach scans
+    assert s.wholestage_codegen is None  # AQE plan not final yet
+    assert not s.has_python_udf
+
+    df.collect()                        # finalize the adaptive plan
+    assert explain_summary(df).wholestage_codegen is True
+
+    p = explain_summary(QUERIES["pandas_udf_tokens"](spark, sf_smoke))
+    assert p.has_python_udf
+    assert p.n_shuffles == 0            # scalar projection, no exchange
