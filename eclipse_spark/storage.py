@@ -186,6 +186,56 @@ class Catalog:
         self._bump(name)
         return path
 
+    def put_zorder(
+        self,
+        name: str,
+        df: DataFrame,
+        cols: list[str],
+        partitions: int = 8,
+    ) -> str:
+        """Z-order (Morton-curve) layout over two numeric columns:
+        scale each to 16 bits against its min/max, interleave the bits
+        into a single z-value, then range-partition + sort by it. Every
+        file then covers a tight range of BOTH columns, so parquet
+        row-group min/max stats prune scans for predicates on either
+        column — :meth:`put_sorted` can only do that for its leading
+        key. The min/max bounds are a one-row driver aggregate (the
+        same stats collection Delta's OPTIMIZE ZORDER does); everything
+        else is a codegen projection."""
+        if len(cols) != 2:
+            raise ValueError("z-order layout takes exactly two columns")
+        a_col, b_col = cols
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.min(a_col).alias("amn"), F.max(a_col).alias("amx"),
+            F.min(b_col).alias("bmn"), F.max(b_col).alias("bmx"),
+        ).first()
+
+        def scale(c: str, mn, mx):
+            span = float(mx - mn) or 1.0
+            scaled = ((F.col(c) - F.lit(mn)) * F.lit(65535.0 / span)).cast("long")
+            return F.least(F.greatest(scaled, F.lit(0)), F.lit(65535))
+
+        a, b = scale(a_col, row["amn"], row["amx"]), scale(b_col, row["bmn"], row["bmx"])
+        z = F.lit(0).cast("long")
+        for i in range(16):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(partitions, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        path = self.path_of(name)
+        out.write.mode("overwrite").parquet(path)
+        self._bump(name)
+        return path
+
     def put_bucketed(
         self,
         name: str,

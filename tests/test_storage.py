@@ -96,3 +96,42 @@ def test_merge_upsert_and_delete(spark, tmp_path):
     leftovers = [f for f in (tmp_path / "cat3").iterdir()
                  if f.name.endswith((".tmp", ".old"))]
     assert leftovers == []
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """Z-order files must cover tight ranges of BOTH dimensions, where
+    a single-key sorted layout only clusters its leading key. Metric:
+    mean per-file (max-min)/global-span per column, from parquet
+    footer stats via pyarrow — the same stats scans prune on."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, str(tmp_path / "catz"))
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.floor(F.col("id") / 128)).alias("y"),
+    )
+
+    def spans(path, col_idx):
+        fracs = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            fracs.append((mx - mn) / 127.0)
+        return sum(fracs) / len(fracs)
+
+    pz = cat.put_zorder("z", df, ["x", "y"], partitions=16)
+    ps = cat.put_sorted("s", df, sort_by=["x"], partitions=16)
+
+    # z-order: both dims clustered (each file sees a fraction of each)
+    assert spans(pz, 0) < 0.6 and spans(pz, 1) < 0.6, (spans(pz, 0), spans(pz, 1))
+    # leading-key sort: x tight but y spans ~everything per file
+    assert spans(ps, 0) < 0.2
+    assert spans(ps, 1) > 0.9
+    assert cat.get("z").count() == n
