@@ -6,12 +6,14 @@ Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect). Headliners cover the reference's three canonical apps
 plus the relational / LLM-pipeline surface.
 
-The metric is STEADY-STATE latency: the whole suite runs once untimed
-at the target SF (absorbing one-time costs that are not properties of
-the queries — Janino codegen JIT, parquet footer/page cache, Python
-worker spinup), then the timed pass runs the identical plans. Round 1
-showed a single sf0.001 warmup does not absorb these in the driver
-environment (aggregation: 10.65 s driver vs 1.1 s measured warm)."""
+The metric is STEADY-STATE latency: each query runs once untimed
+immediately before its timed run (absorbing one-time costs that are
+not properties of the query — Janino codegen JIT, parquet footer/page
+cache, Python worker spinup). The warmup must be ADJACENT to the timed
+run: round 1 used a single sf0.001 warmup (aggregation: 10.65 s driver
+vs 1.1 s measured warm) and a round-2 experiment with one whole-suite
+warm pass still left the first timed queries paying multi-second GC /
+cache-decay costs from the 20+ intervening queries."""
 
 from __future__ import annotations
 
@@ -49,6 +51,9 @@ HEADLINE = [
     "tpch_q9",
     "simhash_candidates",
     "semcache_demo",
+    "pagerank",
+    "hypertable_rollup",
+    "funnel",
 ]
 
 
@@ -77,22 +82,28 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # Untimed warm pass at the TARGET SF (see module docstring): same
-    # plans, same data — everything one-time is paid here.
-    for name in HEADLINE:
-        try:
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Untimed warm run at the TARGET SF immediately before the
+        # timed run (see module docstring): same plan, same data —
+        # everything one-time is paid here, adjacent to the clock.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
         # plan-build stays inside the clock: the timed number is still
-        # end-to-end (analysis + optimization + execution).
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # end-to-end (analysis + optimization + execution). Min of two
+        # timed runs — single-shot numbers on a shared host showed
+        # transient 2-5x outliers (CPU contention), and min-of-N is the
+        # standard steady-state estimator for that noise model.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -36,11 +36,17 @@ def pagerank(
     surfaces as double — every other arithmetic step is deterministic
     per-row IEEE. Returns (node, pr).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list is referenced once for the node set, once for the
+    # degrees, and once per iteration — persist it so an upstream
+    # subtree (joins/distinct building the edges) materializes exactly
+    # once instead of per reference. At cluster scale this is the
+    # difference between one pass over the source tables and n_iter+2.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     ranks = nodes.withColumn("pr", F.lit(1.0))
