@@ -2308,6 +2308,65 @@ def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-order graph (parts are
+    linked when some order contains both). Degree-oriented wedge join
+    (graph.triangle_count) — out-degree after orientation is
+    O(sqrt(m)), so the wedge fan-out stays bounded on power-law
+    graphs; the naive a<b<c wedge join the oracle runs would explode
+    on a 100 TB hub node. Single-row (n_nodes, n_edges, n_triangles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_count(edges)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the role
+    of a held-out eval set, the rest are the corpus; corpus docs
+    sharing any word 8-gram with the benchmark are flagged with their
+    distinct-colliding-gram count (dedup.ngram_decontaminate; n=8
+    instead of the classic 13 because synthetic docs are 10-99
+    tokens). Benchmark grams broadcast as 64-bit hashes, corpus-side
+    filter is map-side; the oracle replays exact string-gram joins.
+    The synthetic split yields almost no natural overlap, so the
+    corpus also gets PLANTED contamination — padded copies of each
+    benchmark doc (id+100000) — guaranteeing a non-degenerate flagged
+    set whose per-doc hit counts the oracle must reproduce exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_set = docs.filter(F.col("doc_id") % 20 == 0)
+    planted = bench_set.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("leaked eval excerpt follows "), F.col("text")).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", "text")
+        .unionAll(planted)
+    )
+    return dedup.ngram_decontaminate(corpus, bench_set, n=8)
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: 5 orders per o_orderpriority,
+    ranked by (md5(key), key) — an engine-portable uniform order, so
+    the exact same rows come back on any engine/partitioning (unlike
+    rand()-based sampling, which is unreproducible and un-oracleable).
+    One window shuffle on the group key."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.deterministic_group_sample(
+        orders, ["o_orderpriority"], "o_orderkey", 5
+    ).select("o_orderpriority", "o_orderkey", "sample_rank")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus' own
+    unigram LM (text.unigram_logprob): the cheap KenLM-style fluency
+    score of pretraining pipelines. Vocabulary pass + broadcast-join
+    scoring pass; per-token log-probs round to 9 digits and accumulate
+    in decimal so the result is partition-order- and engine-exact."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2420,6 +2479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_json": q_source_json,
         "source_orc": q_source_orc,
         "udtf_ngrams": q_udtf_ngrams,
+        "triangle_count": q_triangle_count,
+        "decontaminate": q_decontaminate,
+        "group_sample": q_group_sample,
+        "unigram_logprob": q_unigram_logprob,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
@@ -3587,6 +3650,67 @@ def oracle_sql() -> dict[str, str]:
                            i -> {'p': i - 1, 'bg': toks[i] || ' ' || toks[i+1]})) AS s
                   FROM t WHERE len(toks) > 1)
             SELECT doc_id, CAST(s.p AS BIGINT) AS pos, s.bg AS bigram FROM b
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            tri AS (
+              SELECT count(*) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT n_triangles FROM tri) AS n_triangles
+        """,
+        "decontaminate": """
+            WITH b AS (
+              SELECT DISTINCT
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - 7, 1) + 1),
+                       i -> array_to_string(toks[i:i+7], ' '))) AS g
+              FROM (SELECT {TOKENS} AS toks FROM documents
+                    WHERE doc_id % 20 = 0) t),
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+              UNION ALL
+              SELECT doc_id + 100000, 'leaked eval excerpt follows ' || text
+              FROM documents WHERE doc_id % 20 = 0),
+            c AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 7, 1) + 1),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS g
+              FROM (SELECT doc_id, {TOKENS} AS toks FROM corpus) t)
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM c JOIN b USING (g) GROUP BY c.doc_id
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "group_sample": """
+            SELECT o_orderpriority, o_orderkey, CAST(rk AS INTEGER) AS sample_rank
+            FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                     ) AS rk
+              FROM orders)
+            WHERE rk <= 5
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id, unnest({TOKENS}) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            lm AS (SELECT tok,
+                          CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9)
+                               AS DECIMAL(16,9)) AS lp
+                   FROM vocab, tot)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(lp) AS DOUBLE) / count(*), 9) AS avg_logprob
+            FROM tok JOIN lm USING (tok) GROUP BY doc_id
         """.replace("{TOKENS}", TOKENS_SQL),
         "embedding_centroids": """
             WITH ex AS (

@@ -474,3 +474,54 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- benchmark decontamination ----------------------------------------
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents that share any word n-gram with a held-out
+    benchmark set — the exact-overlap decontamination gate every
+    pretraining pipeline runs before training (the GPT-3/Pile 13-gram
+    collision rule; n is a parameter because short synthetic docs need
+    a smaller window).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (MBs of eval sets vs 100 TB of corpus), so its distinct n-gram set
+    is BROADCAST and the corpus-side explode is filtered map-side — the
+    only shuffle of corpus-derived data is the per-doc hit count, which
+    carries matched grams only. Grams join on a 64-bit xxhash of the
+    gram text, so the broadcast table and join keys stay fixed-width no
+    matter how long the grams are (hash collisions would need ~2^32
+    distinct benchmark grams to matter).
+
+    Returns (id_col, n_hits) for contaminated documents only:
+    ``n_hits`` = number of DISTINCT corpus-doc n-grams found in the
+    benchmark (0-hit documents are absent; an anti-join against this
+    result is the keep-list).
+    """
+    from eclipse_spark.operators.text import tokens, word_shingles_raw
+
+    bgrams = (
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(word_shingles_raw(F.col("_toks"), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    cgrams = corpus.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles_raw(F.col("_toks"), n))).alias("_g"),
+    ).select(F.col(id_col), F.xxhash64("_g").alias("_gh"))
+    return (
+        cgrams.join(F.broadcast(bgrams), "_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -200,3 +200,30 @@ def scd2(
             Window.partitionBy(*key_cols).orderBy(*order)
         ).alias("valid_to"),
     )
+
+
+def deterministic_group_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Per-group deterministic pseudo-uniform sample: rank rows inside
+    each group by (md5(key), key) and keep the k smallest. md5 of the
+    stringified key is an engine-portable uniform order, so the same
+    rows are selected on any engine and any partitioning — unlike
+    ``df.sample``/rand(), whose output depends on partition layout and
+    so can never be oracle-checked or reproduced across runs.
+
+    One window shuffle on the group key. At 100 TB prefer this over a
+    global orderBy-limit per group: the rank is computed inside each
+    hash partition and rows beyond k are dropped before any further
+    stage. For heavily skewed groups the same trick as top_k_per_group
+    applies (pre-filter with a per-partition partial rank).
+    """
+    order_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(order_key, F.col(key_col))
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )

@@ -200,3 +200,47 @@ def repetition_stats(
             / F.sum(F.col("_n") * F.length("_line"))
         ).alias("dup_char_frac"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus' own
+    unigram language model — the classic cheap fluency/quality score
+    (the KenLM-style filter's degenerate-but-useful little sibling:
+    rare-token-soup documents score low, plain running text scores
+    high).
+
+    Two passes, both shuffle-bounded: (1) token explode + (token)
+    count agg builds the LM; (2) tokens re-join the LM on the token
+    key and aggregate per doc. The vocabulary is far smaller than the
+    corpus (heaps' law), so pass 2 broadcasts it; the only corpus-size
+    shuffle is the per-doc aggregation. Determinism: each token's
+    log-prob is rounded to 9 digits then accumulated in decimal, so
+    the sum is independent of partition order and engine (see the
+    repo's oracle-parity rules).
+
+    Returns (id_col, n_tokens, avg_logprob) with avg_logprob rounded
+    to 9 digits (the decimal sum is cast to double BEFORE the divide,
+    so both operands and the IEEE division are bit-identical on any
+    engine).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        F.round(F.log(F.col("_cnt") / F.col("_total")), 9)
+        .cast("decimal(16,9)")
+        .alias("_lp"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("_lp").cast("double") / F.count("*"), 9
+            ).alias("avg_logprob"),
+        )
+    )

@@ -174,3 +174,102 @@ def test_safe_div_and_bucket(spark):
     rows = df.collect()
     assert rows[0]["d"] is None  # 10/0 -> NULL
     assert all(0 <= r["b"] < 4 for r in rows)
+
+
+# -- graph: co-occurrence edges + triangle count ----------------------
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge: edges of {1,2,3,4} complete except (3,4).
+    # Triangles: {1,2,3} and {1,2,4} -> 2. Fed in MIXED orientation and
+    # with a duplicate + self-loop to exercise canonicalization.
+    from eclipse_spark.operators.graph import triangle_count
+
+    rows = [(1, 2), (2, 3), (3, 1), (4, 1), (2, 4), (2, 1), (3, 3)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    out = triangle_count(edges).collect()[0]
+    assert out["n_nodes"] == 4
+    assert out["n_edges"] == 5
+    assert out["n_triangles"] == 2
+
+
+def test_cooccurrence_edges_bounded_and_canonical(spark):
+    from eclipse_spark.operators.graph import cooccurrence_edges
+
+    rows = [("o1", 10), ("o1", 20), ("o1", 30), ("o2", 20), ("o2", 10), ("o2", 10)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = {(r["a"], r["b"]) for r in cooccurrence_edges(df, "g", "item").collect()}
+    assert got == {(10, 20), (10, 30), (20, 30)}  # a<b, distinct, no self
+
+
+# -- decontamination --------------------------------------------------
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    from eclipse_spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (2, "alpha beta gamma unrelated delta epsilon zeta"),  # no 5-gram run
+            (3, "completely different text with other tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_decontaminate(corpus, bench, n=5).collect()
+    }
+    # doc 1 contains both 5-gram windows of the 6-token benchmark doc
+    assert got == {1: 2}
+
+
+def test_decontaminate_benchmark_side_broadcast(spark, sf_smoke):
+    from eclipse_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# -- deterministic group sample ---------------------------------------
+
+def test_group_sample_deterministic_and_sized(spark, sf_smoke):
+    from eclipse_spark.operators.relational import deterministic_group_sample
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    s1 = deterministic_group_sample(orders, ["o_orderpriority"], "o_orderkey", 3)
+    s2 = deterministic_group_sample(
+        orders.repartition(7), ["o_orderpriority"], "o_orderkey", 3
+    )
+    p1 = {(r["o_orderpriority"], r["o_orderkey"]) for r in s1.collect()}
+    p2 = {(r["o_orderpriority"], r["o_orderkey"]) for r in s2.collect()}
+    assert p1 == p2  # partitioning-independent selection
+    import collections
+
+    per_group = collections.Counter(g for g, _ in p1)
+    assert all(v == 3 for v in per_group.values())
+
+
+# -- unigram log-prob -------------------------------------------------
+
+def test_unigram_logprob_orders_quality(spark):
+    from eclipse_spark.operators.text import unigram_logprob
+
+    # "common common common" should outscore a doc of singletons.
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
