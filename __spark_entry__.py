@@ -2346,6 +2346,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_decontaminate(corpus, bench_set, n=8)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): nearest
+    of 8 fixed centroids buckets the vectors, pairwise cosine runs
+    only inside a cell, larger id of any >=0.95 pair is dropped. The
+    synthetic embeddings have no natural near-dups (max within-cell
+    cosine ~0.49), so every 20th vector gets a planted SCALED copy
+    (id+100000; x1.1 — cosine exactly 1.0 but not bit-identical),
+    guaranteeing drops the oracle must reproduce id-for-id. Output is
+    the full audit (vec_id, cell, kept), so a wrong assignment, a
+    missed drop, or a false drop all hash-mismatch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.1)
+        ).alias("embedding"),
+    )
+    allv = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return dedup.semantic_dedup(allv, cents, threshold=0.95)
+
+
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group sample: 5 orders per o_orderpriority,
     ranked by (md5(key), key) — an engine-portable uniform order, so
@@ -2481,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_ngrams": q_udtf_ngrams,
         "triangle_count": q_triangle_count,
         "decontaminate": q_decontaminate,
+        "semdedup": q_semdedup,
         "group_sample": q_group_sample,
         "unigram_logprob": q_unigram_logprob,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
@@ -3688,6 +3713,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, count(*) AS n_hits
             FROM c JOIN b USING (g) GROUP BY c.doc_id
         """.replace("{TOKENS}", TOKENS_SQL),
+        "semdedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            planted AS (SELECT vec_id + 100000 AS vec_id,
+                               list_transform(v, x -> x * 1.1) AS v
+                        FROM e WHERE vec_id % 20 = 0),
+            allv AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+            cents AS (SELECT vec_id AS cell, v AS centroid
+                      FROM e WHERE vec_id < 8),
+            scored AS (SELECT a.vec_id, a.v, c.cell,
+                              list_cosine_similarity(a.v, c.centroid) AS sim
+                       FROM allv a, cents c),
+            assigned AS (SELECT vec_id, v, cell FROM scored
+                         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY sim DESC, cell) = 1),
+            dropped AS (SELECT DISTINCT b.vec_id AS did
+                        FROM assigned a JOIN assigned b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+            SELECT s.vec_id, s.cell,
+                   CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
+            FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
+        """,
         "group_sample": """
             SELECT o_orderpriority, o_orderkey, CAST(rk AS INTEGER) AS sample_rank
             FROM (

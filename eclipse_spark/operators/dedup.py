@@ -525,3 +525,73 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# -- semantic dedup (SemDeDup-style) ----------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    assign every vector to its nearest centroid (broadcast NL join —
+    the centroid table is k rows), then compare pairs ONLY inside a
+    cell and drop the larger id of any pair with cosine >= threshold
+    (greedy min-id representative, same convention as exact_dedup).
+
+    The cell partition is the entire scale story: pairwise comparison
+    is quadratic, but only within a cell, so the worst case is
+    (max cell size)^2 instead of corpus^2 — SemDeDup's observation
+    that near-duplicate semantics only need within-cluster pairs. At
+    100 TB the centroids come from kmeans_iterate and cells stay
+    bounded by construction.
+
+    Vectors cast to double before any arithmetic (float32 HOF math is
+    neither engine-portable nor precise enough for a stable argmax).
+    Returns one row per input vector: (id_col, cell_col, kept) with
+    kept=1 for survivors; filter kept=1 for the keep-list, kept=0 is
+    the audit trail of what was dropped and from which cell.
+    """
+    from pyspark.sql import Window
+
+    from eclipse_spark.operators.similarity import cosine_sim
+
+    pts = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cts = centroids.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(centroid_col).cast("array<double>").alias("_c"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_cell"))
+    assigned = (
+        pts.crossJoin(F.broadcast(cts))
+        .withColumn("_sim", cosine_sim(F.col("_v"), F.col("_c")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_cell", "_id", "_v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("_cos", cosine_sim(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("b._id").alias("_did"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned._id == dropped._did, "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias(cell_col),
+            F.when(F.col("_did").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )

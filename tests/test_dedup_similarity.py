@@ -230,3 +230,26 @@ def test_embedding_near_dup_pairs(planted_vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     found = sum(1 for i in range(5) if (i, 100 + i) in pairs)
     assert found >= 4
+
+
+def test_semantic_dedup_drops_within_cell_only(spark):
+    """Near-dup pairs in DIFFERENT cells must both survive (SemDeDup
+    compares within a cluster only); within-cell near-dups drop the
+    larger id; assignment goes to the nearest centroid."""
+    from eclipse_spark.operators.dedup import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cell", "centroid"]
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.1, 0.0]),   # cell 0
+            (11, [2.0, 0.2, 0.0]),   # cell 0, cosine 1.0 with 10 -> dropped
+            (12, [0.1, 1.0, 0.0]),   # cell 1, cosine ~0.55 with 10: survives
+            (13, [0.2, 2.0, 0.0]),   # cell 1, cosine 1.0 with 12 -> dropped
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: (r["cell"], r["kept"]) for r in
+           semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert got == {10: (0, 1), 11: (0, 0), 12: (1, 1), 13: (1, 0)}
