@@ -2410,55 +2410,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the back; all of them remain locally oracle-checked by
     tests/test_oracle_parity.py at every position."""
     return {
-        # -- round-2 additions (semantic cache + TPC-H variants) -------
+        # ================= the 50-slot driver window ==================
+        # One representative per operator family that is NOT already
+        # driver-green in CORRECTNESS_r01.json. Redundant variants of
+        # families with an in-window or r1-green representative sit at
+        # position 51+ (still locally oracle-checked at every position).
         "semcache_demo": q_semcache_demo,
         "tpch_q2": q_tpch_q2,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q20": q_tpch_q20,
         # -- MapReduce API surface (D1-D7) -----------------------------
         "mr_word_count": q_mr_word_count,
-        "mr_reduce_by_key": q_mr_reduce_by_key,
         "mr_group_reduce": q_mr_group_reduce,
         "mr_cogroup": q_mr_cogroup,
+        # -- Python UDF/UDAF/UDTF surface ------------------------------
         "pandas_udf_tokens": q_pandas_udf_tokens,
+        "pandas_udaf_gmean": q_pandas_udaf_gmean,
+        "udtf_ngrams": q_udtf_ngrams,
         # -- Structured Streaming --------------------------------------
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_session": q_events_stream_session,
         "events_stream_stateful": q_events_stream_stateful,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_upsert": q_events_stream_upsert,
         # -- event-time batch windows ----------------------------------
         "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
-        "events_resample": q_events_resample,
         "events_json": q_events_json,
         "skew_salted_agg": q_skew_salted_agg,
         # -- LLM-pipeline: dedup ---------------------------------------
         "dedup_exact": q_dedup_exact,
-        "dedup_groups": q_dedup_groups,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
-        # -- LLM-pipeline: similarity search ---------------------------
+        "dedup_cc": q_dedup_cc,
+        "decontaminate": q_decontaminate,
+        "semdedup": q_semdedup,
+        # -- LLM-pipeline: similarity search + clustering --------------
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
-        "kmeans_step": q_kmeans_step,
+        "kmeans_iter2": q_kmeans_iter2,
         # -- LLM-pipeline: text analysis -------------------------------
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
         "heavy_hitters": q_heavy_hitters,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
         # -- LLM-pipeline: multimodal + curation -----------------------
         "media_meta": q_media_meta,
-        "media_frame_sample": q_media_frame_sample,
         "media_decode": q_media_decode,
         "pretrain_filter": q_pretrain_filter,
-        # -- remaining never-driver-verified scalar/window/set variants
+        # -- graph -----------------------------------------------------
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        # -- storage mutation ------------------------------------------
+        "merge_upsert": q_merge_upsert,
+        "scd2": q_scd2,
+        "hypertable_rollup": q_hypertable_rollup,
+        # -- sampling + sketches ---------------------------------------
+        "stratified_sample": q_stratified_sample,
+        "group_sample": q_group_sample,
+        "approx_quantiles": q_approx_quantiles,
+        # -- product analytics -----------------------------------------
+        "funnel": q_funnel,
+        # ============= position 51+: locally verified =================
+        # Family siblings of in-window or r1-green queries.
+        "retention_cohorts": q_retention_cohorts,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
+        "mr_reduce_by_key": q_mr_reduce_by_key,
+        "events_sliding": q_events_sliding,
+        "events_resample": q_events_resample,
+        "dedup_groups": q_dedup_groups,
+        "kmeans_step": q_kmeans_step,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "media_frame_sample": q_media_frame_sample,
+        "source_csv": q_source_csv,
+        "source_json": q_source_json,
+        "source_orc": q_source_orc,
         "regex_funcs": q_regex_funcs,
         "json_funcs": q_json_funcs,
         "array_hof": q_array_hof,
@@ -2468,46 +2508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dist": q_window_dist,
         "window_range_frame": q_window_range_frame,
         "intersect_all": q_intersect_all,
-        # merge sits inside the 50-slot driver window (storage-mutation
-        # family); except_all's set-op family is already driver-green
-        # via set_ops + intersect_all.
-        "merge_upsert": q_merge_upsert,
         "except_all": q_except_all,
-        # ---- position 51+: locally verified; scalar family has other
-        # driver-green members ----------------------------------------
         "math_funcs": q_math_funcs,
         "map_funcs": q_map_funcs,
-        # ---- round-2 extras (locally oracle-verified; rotate into the
-        # 50-slot window next round) -----------------------------------
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q21": q_tpch_q21,
-        "dedup_cc": q_dedup_cc,
-        "pagerank": q_pagerank,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_dedup": q_events_stream_dedup,
-        "kmeans_iter2": q_kmeans_iter2,
-        "stratified_sample": q_stratified_sample,
-        "events_stream_upsert": q_events_stream_upsert,
-        "scd2": q_scd2,
-        "hypertable_rollup": q_hypertable_rollup,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "pandas_udaf_gmean": q_pandas_udaf_gmean,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "approx_quantiles": q_approx_quantiles,
-        "source_csv": q_source_csv,
-        "source_json": q_source_json,
-        "source_orc": q_source_orc,
-        "udtf_ngrams": q_udtf_ngrams,
-        "triangle_count": q_triangle_count,
-        "decontaminate": q_decontaminate,
-        "semdedup": q_semdedup,
-        "group_sample": q_group_sample,
-        "unigram_logprob": q_unigram_logprob,
         # ---- driver-green in CORRECTNESS_r01.json --------------------
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
