@@ -54,6 +54,9 @@ HEADLINE = [
     "pagerank",
     "hypertable_rollup",
     "funnel",
+    "triangle_count",
+    "decontaminate",
+    "semdedup",
 ]
 
 
