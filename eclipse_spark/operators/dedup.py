@@ -554,13 +554,23 @@ def semantic_dedup(
 
     Vectors cast to double before any arithmetic (float32 HOF math is
     neither engine-portable nor precise enough for a stable argmax).
-    Returns one row per input vector: (id_col, cell_col, kept) with
-    kept=1 for survivors; filter kept=1 for the keep-list, kept=0 is
-    the audit trail of what was dropped and from which cell.
+
+    Pair-stage cost discipline: vectors L2-normalize ONCE per vector
+    (the naive per-pair cosine evaluates dot + BOTH norms per pair,
+    i.e. the norm passes run quadratically often), so each pair pays
+    a single zip_with dot product. A fully codegen posexplode +
+    (cell, pos)-keyed join + sum(x_a*x_b) reformulation was measured
+    too: with demo-sized k (8 cells) its join has only cells x dims
+    distinct keys and skews WORSE than the per-pair dot (8.0 s vs
+    3.8 s at sf0.1); it only wins when k is large enough to spread
+    the join, which production kmeans centroids provide. Returns one
+    row per input vector: (id_col, cell_col, kept) with kept=1 for
+    survivors; filter kept=1 for the keep-list, kept=0 is the audit
+    trail of what was dropped and from which cell.
     """
     from pyspark.sql import Window
 
-    from eclipse_spark.operators.similarity import cosine_sim
+    from eclipse_spark.operators.similarity import cosine_sim, norm
 
     pts = emb.select(
         F.col(id_col).alias("_id"),
@@ -578,11 +588,27 @@ def semantic_dedup(
         .filter(F.col("_rk") == 1)
         .select("_cell", "_id", "_v")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # norm hoisted into its own projection: an expression inside a
+    # transform() lambda re-evaluates per element (repo-measured ~30x
+    # penalty on doc_fingerprint), so the aggregate must not live in
+    # the lambda.
+    unit = assigned.withColumn("_n", norm(F.col("_v"))).select(
+        "_cell",
+        "_id",
+        F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
+    )
+    a, b = unit.alias("a"), unit.alias("b")
     dropped = (
         a.join(b, "_cell")
         .filter(F.col("a._id") < F.col("b._id"))
-        .withColumn("_cos", cosine_sim(F.col("a._v"), F.col("b._v")))
+        .withColumn(
+            "_cos",
+            F.aggregate(
+                F.zip_with(F.col("a._u"), F.col("b._u"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         .filter(F.col("_cos") >= threshold)
         .select(F.col("b._id").alias("_did"))
         .distinct()
