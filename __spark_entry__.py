@@ -2370,6 +2370,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(allv, cents, threshold=0.95)
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_tokens): 64-token windows,
+    stride 48 (16-token overlap) — the sequence-prep step between
+    curation and tokenization in a pretraining pipeline. Entirely
+    row-local codegen (explode(sequence) + slice), zero shuffles, so
+    it runs at scan speed at any corpus size. Docs over 64 tokens
+    yield multiple chunks; boundaries are integer-exact so the oracle
+    must agree token-for-token."""
+    return text.chunk_tokens(
+        _t(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group sample: 5 orders per o_orderpriority,
     ranked by (md5(key), key) — an engine-portable uniform order, so
@@ -2460,9 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
+        "chunking": q_chunking,
         # -- LLM-pipeline: multimodal + curation -----------------------
         "media_meta": q_media_meta,
-        "media_decode": q_media_decode,
         "pretrain_filter": q_pretrain_filter,
         # -- graph -----------------------------------------------------
         "pagerank": q_pagerank,
@@ -2492,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_resample": q_events_resample,
         "dedup_groups": q_dedup_groups,
+        "media_decode": q_media_decode,
         "kmeans_step": q_kmeans_step,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -3739,6 +3753,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
             FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
         """,
+        "chunking": """
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                         1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0)
+                                  AS INTEGER) AS nst
+                  FROM t),
+            c AS (SELECT doc_id, toks, unnest(range(0, nst)) AS ci FROM s)
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+                   array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk_text,
+                   CAST(len(toks[ci*48+1 : ci*48+64]) AS BIGINT) AS n_tokens
+            FROM c
+        """.replace("{TOKENS}", TOKENS_SQL),
         "group_sample": """
             SELECT o_orderpriority, o_orderkey, CAST(rk AS INTEGER) AS sample_rank
             FROM (

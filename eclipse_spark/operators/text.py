@@ -244,3 +244,47 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window preparation step of a pretraining/embedding
+    pipeline (chunk i covers tokens [i*stride, i*stride + window)).
+    Every document yields at least one chunk; the last chunk may be
+    short; with stride < window consecutive chunks overlap by
+    (window - stride) tokens.
+
+    Pure codegen: tokenization and the start-index arithmetic sit in
+    projections, chunks materialize via explode(sequence) + slice —
+    no UDF, no shuffle at all (chunking is embarrassingly row-local,
+    so at 100 TB this runs at scan speed and composes with any
+    downstream shuffle). Start count uses integer-exact arithmetic so
+    engines agree on chunk boundaries.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens).
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    # n_starts = 1 + ceil(max(n - window, 0) / stride), integer-exact:
+    # ceil(a/b) = (a + b - 1) div b on non-negative ints. The division
+    # stays well inside 2^53 so the double round-trip is exact.
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    n_starts = (
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    chunks = toks.withColumn(
+        "_ci", F.explode(F.sequence(F.lit(0), n_starts - 1))
+    ).withColumn("_chunk", F.slice("_toks", F.col("_ci") * stride + 1, window))
+    return chunks.select(
+        F.col(id_col),
+        F.col("_ci").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+    )

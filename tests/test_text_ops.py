@@ -31,3 +31,24 @@ def test_repetition_stats_exact_fractions(spark):
     assert got[1] == (3, 2 / 3, 2 / 3)       # aaa twice of three lines
     assert got[2] == (2, 0.0, 0.0)
     assert got[3] == (3, 1.0, 1.0)           # zz x3, blanks dropped
+
+
+def test_chunk_tokens_boundaries_and_overlap(spark):
+    from eclipse_spark.operators.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_tokens(docs, window=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 -> ceil((10-4)/3)=2 -> 1+2=3 starts? No:
+    # extra=6, ceil(6/3)=2, so 3 chunks: [0:4),[3:7),[6:10)
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in got
+    # doc 2 shorter than window: single short chunk
+    assert got[(2, 0)] == ("a b c", 3)
