@@ -2370,6 +2370,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(allv, cents, threshold=0.95)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First two BPE merge rounds over the corpus vocabulary
+    (text.bpe_train): chars -> pair counts weighted by word freq ->
+    argmax merge (lexicographic tiebreak) -> greedy left-to-right
+    application, twice. The corpus-sized work is one word-count
+    shuffle; rounds run over the vocab table. The oracle unrolls both
+    rounds in SQL, mirroring the merge fold exactly (list_reduce with
+    the same marker encoding), so a single mis-merged word or a wrong
+    argmax pair hash-mismatches."""
+    return text.bpe_train(_t(spark, sf_dir, "documents"), n_merges=2)
+
+
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (text.chunk_tokens): 64-token windows,
     stride 48 (16-token overlap) — the sequence-prep step between
@@ -2474,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
         "chunking": q_chunking,
+        "bpe_train": q_bpe_train,
         # -- LLM-pipeline: multimodal + curation -----------------------
         "media_meta": q_media_meta,
         "pretrain_filter": q_pretrain_filter,
@@ -2485,7 +2498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "hypertable_rollup": q_hypertable_rollup,
         # -- sampling + sketches ---------------------------------------
-        "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
         "approx_quantiles": q_approx_quantiles,
         # -- product analytics -----------------------------------------
@@ -2493,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============= position 51+: locally verified =================
         # Family siblings of in-window or r1-green queries.
         "retention_cohorts": q_retention_cohorts,
+        "stratified_sample": q_stratified_sample,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q20": q_tpch_q20,
@@ -3753,6 +3766,61 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
             FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
         """,
+        "bpe_train": """
+            WITH words AS (
+              SELECT tok AS word, count(*) AS freq
+              FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t
+              GROUP BY tok),
+            s0 AS (SELECT word, freq,
+                          list_transform(range(1, len(word) + 1),
+                                         i -> word[i:i]) AS syms
+                   FROM words),
+            p1 AS (SELECT pair FROM (
+                     SELECT s.pair, sum(freq) AS cnt FROM (
+                       SELECT freq,
+                              unnest(list_transform(range(1, len(syms)),
+                                i -> syms[i] || ' ' || syms[i+1])) AS pair
+                       FROM s0 WHERE len(syms) > 1) s
+                     GROUP BY s.pair)
+                   ORDER BY cnt DESC, pair ASC LIMIT 1),
+            s1 AS (SELECT word, freq,
+                          string_split(regexp_replace(
+                            list_reduce(syms, (acc, x) -> CASE
+                              WHEN acc[-1:] = '#'
+                                THEN acc[1:len(acc)-1] || ' ' || x
+                              WHEN list_extract(string_split(acc, ' '), -1)
+                                     = string_split(p1.pair, ' ')[1]
+                                   AND x = string_split(p1.pair, ' ')[2]
+                                THEN left(acc, len(acc) -
+                                          len(string_split(p1.pair, ' ')[1]))
+                                     || replace(p1.pair, ' ', '') || '#'
+                              ELSE acc || ' ' || x END),
+                            '#$', ''), ' ') AS syms
+                   FROM s0, p1),
+            p2 AS (SELECT pair FROM (
+                     SELECT s.pair, sum(freq) AS cnt FROM (
+                       SELECT freq,
+                              unnest(list_transform(range(1, len(syms)),
+                                i -> syms[i] || ' ' || syms[i+1])) AS pair
+                       FROM s1 WHERE len(syms) > 1) s
+                     GROUP BY s.pair)
+                   ORDER BY cnt DESC, pair ASC LIMIT 1),
+            s2 AS (SELECT word, freq,
+                          regexp_replace(
+                            list_reduce(syms, (acc, x) -> CASE
+                              WHEN acc[-1:] = '#'
+                                THEN acc[1:len(acc)-1] || ' ' || x
+                              WHEN list_extract(string_split(acc, ' '), -1)
+                                     = string_split(p2.pair, ' ')[1]
+                                   AND x = string_split(p2.pair, ' ')[2]
+                                THEN left(acc, len(acc) -
+                                          len(string_split(p2.pair, ' ')[1]))
+                                     || replace(p2.pair, ' ', '') || '#'
+                              ELSE acc || ' ' || x END),
+                            '#$', '') AS syms
+                   FROM s1, p2)
+            SELECT word, freq, syms FROM s2
+        """.replace("{TOKENS}", TOKENS_SQL),
         "chunking": """
             WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
             s AS (SELECT doc_id, toks,

@@ -288,3 +288,104 @@ def chunk_tokens(
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
         F.size("_chunk").cast("long").alias("n_tokens"),
     )
+
+
+def _bpe_merge_syms(syms: Column, pair: Column) -> Column:
+    """Apply ONE BPE merge (greedy, left-to-right, non-overlapping —
+    the reference Sennrich semantics) to a symbol array, given the
+    winning pair as an ``"a b"`` string. Pure fold (F.aggregate) with
+    a string accumulator: a trailing ``#`` marks "last symbol was just
+    merged, unavailable as a left partner this pass". Returns the
+    merged sequence as a space-joined string (symbols must not contain
+    spaces or ``#`` — true for natural-language tokens)."""
+    a = F.element_at(F.split(pair, " "), 1)
+    b = F.element_at(F.split(pair, " "), 2)
+    merged = F.concat(a, b)
+
+    def step(acc: Column, x: Column) -> Column:
+        tail = F.element_at(F.split(acc, " "), -1)
+        return (
+            F.when(
+                acc.endswith("#"),
+                F.concat(F.substring(acc, F.lit(1), F.length(acc) - 1), F.lit(" "), x),
+            )
+            .when(
+                (tail == a) & (x == b),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - F.length(tail)),
+                    merged,
+                    F.lit("#"),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    folded = F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        step,
+    )
+    return F.regexp_replace(folded, "#$", "")
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary training, the first n_merges
+    iterations: split the corpus vocabulary into characters, then per
+    round (1) count adjacent symbol pairs weighted by word frequency,
+    (2) pick the most frequent pair (ties broken lexicographically),
+    (3) merge its occurrences greedily left-to-right in every word.
+
+    Scale split: the only corpus-sized work is the word-frequency
+    count (the word-count shuffle shape, map-side combined); every
+    merge round then runs over the VOCABULARY table, which is orders
+    of magnitude smaller than the corpus (Heaps' law) — so the
+    per-round folds are interpreted-HOF over a small table by
+    construction, and pair counting is a vocab-sized explode + agg.
+    The vocab table is persisted so rounds don't rescan the corpus.
+
+    Returns (word, freq, syms) — the post-merge symbol sequence as a
+    space-joined string per vocabulary word. The chosen merges are
+    recoverable as the multi-char symbols.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ).alias("syms"),
+    )
+    for _ in range(n_merges):
+        pairs = (
+            cur.filter(F.size("syms") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at(F.col("syms"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("syms"), i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).select("pair")
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .withColumn("_m", _bpe_merge_syms(F.col("syms"), F.col("pair")))
+            .select("word", "freq", F.split("_m", " ").alias("syms"))
+        )
+    return cur.select("word", "freq", F.concat_ws(" ", "syms").alias("syms"))

@@ -52,3 +52,27 @@ def test_chunk_tokens_boundaries_and_overlap(spark):
     assert (1, 3) not in got
     # doc 2 shorter than window: single short chunk
     assert got[(2, 0)] == ("a b c", 3)
+
+
+def test_bpe_train_two_rounds_known_corpus(spark):
+    from eclipse_spark.operators.text import bpe_train
+
+    # vocab: "aa" (freq 2), "ab" (freq 1). Round 1: pair "a a" has
+    # weighted count 2, "a b" has 1 -> merge "a a". Round 2: only
+    # "a b" remains -> merge it.
+    docs = spark.createDataFrame([(1, "aa aa ab")], ["doc_id", "text"])
+    got = {r["word"]: (r["freq"], r["syms"]) for r in bpe_train(docs, 2).collect()}
+    assert got == {"aa": (2, "aa"), "ab": (1, "ab")}
+
+
+def test_bpe_merge_greedy_left_to_right(spark):
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.text import bpe_train
+
+    # "aaa" (freq 3) dominates: round 1 merges "a a" -> aaa = [aa, a]
+    # (greedy LTR, the merged symbol can't chain in the same pass).
+    docs = spark.createDataFrame([(1, "aaa aaa aaa zq")], ["doc_id", "text"])
+    got = {r["word"]: r["syms"] for r in bpe_train(docs, 1).collect()}
+    assert got["aaa"] == "aa a"
+    assert got["zq"] == "z q"
