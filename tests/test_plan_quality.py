@@ -250,3 +250,39 @@ def test_explain_summary_counts(spark, sf_smoke):
     p = explain_summary(QUERIES["pandas_udf_tokens"](spark, sf_smoke))
     assert p.has_python_udf
     assert p.n_shuffles == 0            # scalar projection, no exchange
+
+
+def test_chunking_is_zero_shuffle(spark, sf_smoke):
+    """Context-window chunking must be row-local: no Exchange anywhere
+    (it runs at scan speed at 100 TB or it's wrong)."""
+    from eclipse_spark.admin import explain_summary
+
+    s = explain_summary(QUERIES["chunking"](spark, sf_smoke))
+    assert s.n_shuffles == 0
+    assert not s.has_python_udf
+
+
+def test_triangle_count_broadcasts_adjacency(spark, sf_smoke):
+    """The |V|-row adjacency table must broadcast by default — the
+    sort-merge alternative sorts array-payload rows (measured 22s vs
+    2.9s at sf0.1)."""
+    from eclipse_spark.operators.graph import cooccurrence_edges, triangle_count
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    out = triangle_count(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_decontaminate_corpus_agg_after_filter(spark, sf_smoke):
+    """The per-doc hit count must aggregate the post-join (matched)
+    rows, and the benchmark side must broadcast — the corpus explode
+    is then filtered map-side with no corpus-sized shuffle."""
+    from eclipse_spark.admin import explain_summary
+
+    s = explain_summary(QUERIES["decontaminate"](spark, sf_smoke))
+    assert s.n_broadcasts >= 1
+    # exactly two shuffles: the benchmark-side gram distinct (benchmark-
+    # sized, tiny) and the per-doc aggregation of MATCHED grams — the
+    # corpus-side explode itself must never shuffle
+    assert s.n_shuffles <= 2
