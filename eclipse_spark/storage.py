@@ -51,9 +51,20 @@ class Catalog:
 
     _MANIFEST = "_eclipse_catalog.json"
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain_versions: int = 0):
+        """``retain_versions > 0`` turns on time travel: every
+        overwrite RETIRES the current table copy (a directory rename —
+        no data copy) instead of deleting it, keeping the newest
+        ``retain_versions`` snapshots readable via ``get(name,
+        version=...)``. Retired copies live at ``<name>.parquet.v<N>``,
+        invisible to :meth:`ls`/:meth:`path_of` (which key on the bare
+        ``.parquet`` suffix). This is the poor-parquet's Delta/Iceberg
+        snapshot log: rename-cheap, scan-compatible, and enough for
+        audit reads and rollback; appends (:meth:`write`) mutate the
+        current copy in place and are not snapshotted."""
         self.spark = spark
         self.root = root
+        self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
         self._versions: dict[str, int] = {}
         self._load_manifest()
@@ -93,6 +104,44 @@ class Catalog:
             mtime=os.path.getmtime(p) if os.path.exists(p) else 0.0,
         )
 
+    # -- time travel ----------------------------------------------------
+    def _version_path(self, name: str, version: int) -> str:
+        return os.path.join(self.root, f"{name}.parquet.v{version}")
+
+    def _retire_current(self, name: str) -> None:
+        """Rename the current copy aside as the just-ended version's
+        snapshot, then prune snapshots beyond the retention budget.
+        No-op when retention is off or the table doesn't exist yet."""
+        if self.retain_versions <= 0 or not self.exists(name):
+            return
+        cur = self._versions.get(name, 0)
+        dst = self._version_path(name, cur)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(self.path_of(name), dst)
+        for v in self.history(name)[: -self.retain_versions]:
+            shutil.rmtree(self._version_path(name, v), ignore_errors=True)
+
+    def history(self, name: str) -> list[int]:
+        """Retained snapshot versions for a table, oldest first (the
+        CURRENT copy is version ``info(name).version`` and is not
+        listed here)."""
+        prefix = f"{name}.parquet.v"
+        out = []
+        for f in os.listdir(self.root):
+            if f.startswith(prefix):
+                try:
+                    out.append(int(f[len(prefix):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def restore(self, name: str, version: int) -> str:
+        """Roll a table back to a retained snapshot: the snapshot data
+        becomes the new CURRENT copy under a NEW version number (like
+        Delta's RESTORE, the rollback is itself a versioned write, so
+        semantic-cache keys can never alias across the rollback)."""
+        return self.put(name, self.get(name, version=version))
+
     # -- the mr* surface ------------------------------------------------
     def put(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
         """``mrput`` analogue: materialize a DataFrame as a named table
@@ -102,7 +151,17 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         path = self.path_of(name)
-        writer.parquet(path)
+        tmp = path + ".tmp" if self.retain_versions > 0 and self.exists(name) else None
+        if tmp is not None:
+            # write first, retire + rename after: the source `df` may
+            # read from the current copy, and a crash mid-way must not
+            # lose the only copy.
+            shutil.rmtree(tmp, ignore_errors=True)
+            writer.parquet(tmp)
+            self._retire_current(name)
+            os.rename(tmp, path)
+        else:
+            writer.parquet(path)
         self._bump(name)
         return path
 
@@ -137,9 +196,12 @@ class Catalog:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         out.write.mode("overwrite").parquet(tmp)
-        os.rename(path, old)
+        if self.retain_versions > 0:
+            self._retire_current(name)
+        else:
+            os.rename(path, old)
         os.rename(tmp, path)
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
         self._bump(name)
         return path
 
@@ -271,11 +333,21 @@ class Catalog:
         df = self.spark.read.text(local_path)
         return self.put(name, df)
 
-    def get(self, name: str) -> DataFrame:
-        """``mrcat``/``Rread`` analogue: read a named table. Raw-input
-        caching (Eclipse C1/C2) is Spark's buffer/page cache + optional
+    def get(self, name: str, version: int | None = None) -> DataFrame:
+        """``mrcat``/``Rread`` analogue: read a named table. With
+        ``version`` (and ``retain_versions`` on), read that retained
+        snapshot instead — time-travel audit reads. Raw-input caching
+        (Eclipse C1/C2) is Spark's buffer/page cache + optional
         ``.persist()`` at the call site."""
-        return self.spark.read.parquet(self.path_of(name))
+        if version is None:
+            return self.spark.read.parquet(self.path_of(name))
+        p = self._version_path(name, version)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"table {name!r} has no retained snapshot v{version}; "
+                f"available: {self.history(name)}"
+            )
+        return self.spark.read.parquet(p)
 
     def ls(self) -> list[str]:
         """``mrls`` analogue."""
@@ -286,8 +358,10 @@ class Catalog:
         )
 
     def rm(self, name: str) -> bool:
-        """``mrrm`` analogue."""
+        """``mrrm`` analogue. Removes retained snapshots too."""
         p = self.path_of(name)
+        for v in self.history(name):
+            shutil.rmtree(self._version_path(name, v), ignore_errors=True)
         if os.path.exists(p):
             shutil.rmtree(p)
             self._versions.pop(name, None)

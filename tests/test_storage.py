@@ -135,3 +135,67 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     assert spans(ps, 0) < 0.2
     assert spans(ps, 1) > 0.9
     assert cat.get("z").count() == n
+
+
+# -- time travel ------------------------------------------------------
+
+def test_time_travel_snapshots_and_restore(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "tt"), retain_versions=2)
+    df1 = spark.range(3).withColumnRenamed("id", "x")
+    df2 = spark.range(5).withColumnRenamed("id", "x")
+    df3 = spark.range(7).withColumnRenamed("id", "x")
+
+    cat.put("t", df1)                       # current v1
+    assert cat.history("t") == []
+    cat.put("t", df2)                       # current v2, snapshot v1
+    cat.put("t", df3)                       # current v3, snapshots v1,v2
+    assert cat.history("t") == [1, 2]
+    assert cat.get("t").count() == 7
+    assert cat.get("t", version=1).count() == 3
+    assert cat.get("t", version=2).count() == 5
+
+    # retention budget: a fourth write prunes v1
+    cat.put("t", df1)
+    assert cat.history("t") == [2, 3]
+
+    # rollback is itself a versioned write
+    v_before = cat.info("t").version
+    cat.restore("t", version=2)
+    assert cat.get("t").count() == 5
+    assert cat.info("t").version == v_before + 1
+
+    # snapshots are invisible to ls(); rm removes them
+    assert cat.ls() == ["t"]
+    assert cat.rm("t")
+    assert cat.history("t") == []
+    assert cat.ls() == []
+
+
+def test_time_travel_off_keeps_old_behavior(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "plain"))
+    cat.put("t", spark.range(3))
+    cat.put("t", spark.range(5))
+    assert cat.history("t") == []
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        cat.get("t", version=1)
+
+
+def test_time_travel_merge_retires_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "m"), retain_versions=1)
+    base = spark.range(4).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    cat.put("t", base)
+    upd = spark.createDataFrame([(1, "new"), (9, "new")], ["k", "v"])
+    cat.merge("t", upd, on=["k"])
+    cur = {(r["k"], r["v"]) for r in cat.get("t").collect()}
+    assert cur == {(0, "old"), (2, "old"), (3, "old"), (1, "new"), (9, "new")}
+    snap = {(r["k"], r["v"]) for r in cat.get("t", version=1).collect()}
+    assert snap == {(0, "old"), (1, "old"), (2, "old"), (3, "old")}
