@@ -2273,6 +2273,37 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.get("m_orders")
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of Catalog time travel: put a base snapshot, MERGE
+    an update batch over it (retain_versions=2), then read BOTH the
+    post-merge current table and the pre-merge snapshot via
+    get(version=1) and union them with a version tag. A broken
+    retirement rename, a snapshot that saw the merge, or a current copy
+    that lost rows each hash-mismatch the oracle, which reconstructs
+    both states relationally."""
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="eclipse_tt_"), retain_versions=2
+    )
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+    )
+    cat.put("tt_orders", base)
+    cat.merge("tt_orders", updates, on=["o_orderkey"])
+    cur = cat.get("tt_orders").withColumn("state", F.lit("current"))
+    snap = cat.get("tt_orders", version=1).withColumn("state", F.lit("v1"))
+    return cur.unionByName(snap)
+
+
 def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of Eclipse's flagship Icache feature (C3/C4: cache
     write keyed on (app, input), hit -> skip the map entirely;
@@ -2493,8 +2524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- graph -----------------------------------------------------
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
-        # -- storage mutation ------------------------------------------
-        "merge_upsert": q_merge_upsert,
+        # -- storage mutation (time_travel runs a MERGE internally, so
+        # it also covers merge_upsert's family) ------------------------
+        "time_travel": q_time_travel,
         "scd2": q_scd2,
         "hypertable_rollup": q_hypertable_rollup,
         # -- sampling + sketches ---------------------------------------
@@ -2506,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Family siblings of in-window or r1-green queries.
         "retention_cohorts": q_retention_cohorts,
         "stratified_sample": q_stratified_sample,
+        "merge_upsert": q_merge_upsert,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q20": q_tpch_q20,
@@ -3669,6 +3702,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM base
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
             UNION ALL SELECT * FROM upd
+        """,
+        "time_travel": """
+            WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                          FROM orders WHERE o_orderkey % 4 = 0),
+            upd AS (SELECT o_orderkey, o_orderstatus,
+                           o_totalprice + 5.0 AS o_totalprice
+                    FROM orders WHERE o_orderkey % 8 = 0)
+            SELECT *, 'current' AS state FROM (
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+              UNION ALL SELECT * FROM upd)
+            UNION ALL
+            SELECT *, 'v1' AS state FROM base
         """,
         "events_stream_join": """
             SELECT a.user_id AS user_id,
