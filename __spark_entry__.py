@@ -2273,6 +2273,54 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.get("m_orders")
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (text.sequence_pack): documents concatenate in
+    md5-pseudo-random order inside 8 parallel streams and split into
+    256-token bins — the pretraining dataloader layout as one window
+    cumsum per bucket. The oracle replays the identical window, so one
+    wrong bucket hash, order key, or running total mismatches."""
+    return text.sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=256, buckets=8
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomaly detection: counts per (event_type,
+    hour) score against the type's own mean/std and hours with
+    |z| >= 2 flag. Variance is computed from decimal-exact sum and
+    sum-of-squares (never the engines' streaming var_samp, whose
+    partition-order accumulation differs), so z is engine-exact at
+    round-9. Two key-shuffles: the hourly count and the per-type
+    stats; the stats table broadcasts back onto the hourly counts."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("_hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("_k"),
+        F.sum(F.col("n").cast("decimal(18,0)")).alias("_s"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(28,0)")).alias("_s2"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("_s").cast("double") / F.col("_k")
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_k")
+    ) / (F.col("_k") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", F.round(z, 9))
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            F.date_format("_hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "z",
+        )
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of Catalog time travel: put a base snapshot, MERGE
     an update batch over it (retain_versions=2), then read BOTH the
@@ -2539,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "stratified_sample": q_stratified_sample,
         "merge_upsert": q_merge_upsert,
+        "sequence_pack": q_sequence_pack,
+        "anomaly_zscore": q_anomaly_zscore,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q20": q_tpch_q20,
@@ -3702,6 +3752,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM base
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
             UNION ALL SELECT * FROM upd
+        """,
+        "sequence_pack": """
+            WITH t AS (SELECT doc_id,
+                              CAST(len({TOKENS}) AS BIGINT) AS n_tokens,
+                              md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+            b AS (SELECT *,
+                         CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INTEGER)
+                           AS bucket
+                  FROM t),
+            w AS (SELECT doc_id, bucket, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY bucket
+                                             ORDER BY h, doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS e
+                  FROM b)
+            SELECT doc_id, bucket,
+                   (e - n_tokens) // 256 AS bin_id,
+                   (e - n_tokens) % 256 AS bin_offset,
+                   n_tokens
+            FROM w
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "anomaly_zscore": """
+            WITH hourly AS (SELECT event_type,
+                                   date_trunc('hour', ts) AS hour_ts,
+                                   count(*) AS n
+                            FROM events GROUP BY 1, 2),
+            stats AS (SELECT event_type, count(*) AS k,
+                             sum(CAST(n AS DECIMAL(18,0))) AS s,
+                             sum(CAST(n*n AS DECIMAL(28,0))) AS s2
+                      FROM hourly GROUP BY event_type),
+            scored AS (SELECT h.event_type, h.hour_ts, h.n,
+                              round((h.n - CAST(s AS DOUBLE) / k) /
+                                    sqrt((CAST(s2 AS DOUBLE)
+                                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+                                         / (k - 1)), 9) AS z
+                       FROM hourly h JOIN stats USING (event_type))
+            SELECT event_type,
+                   strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, n, z
+            FROM scored WHERE abs(z) >= 2.0
         """,
         "time_travel": """
             WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -389,3 +389,53 @@ def bpe_train(
             .select("word", "freq", F.split("_m", " ").alias("syms"))
         )
     return cur.select("word", "freq", F.concat_ws(" ", "syms").alias("syms"))
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int = 256,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-concatenation sequence packing: documents are laid
+    end-to-end in a deterministic pseudo-random order and split into
+    fixed token-budget bins — the standard pretraining dataloader
+    layout (docs may straddle a bin boundary; each doc is recorded at
+    the bin its first token lands in).
+
+    Parallelism: a true global concatenation is one sequential stream,
+    so documents first hash into ``buckets`` independent streams
+    (md5-bucketed — engine-portable, no RNG state) and packing runs
+    per bucket: one window shuffle keyed on the bucket, cumulative-sum
+    frame inside. At 100 TB pick buckets ~ cluster parallelism; bin
+    quality is unaffected because the order within any stream was
+    pseudo-random anyway.
+
+    Returns (id_col, bucket, bin_id, bin_offset, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn(
+        "_bucket",
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % buckets).cast("int"),
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn("_end", F.sum("n_tokens").over(w)).withColumn(
+        "_start", F.col("_end") - F.col("n_tokens")
+    )
+    return packed.select(
+        F.col(id_col),
+        F.col("_bucket").alias("bucket"),
+        F.floor(F.col("_start") / budget).alias("bin_id"),
+        (F.col("_start") % budget).alias("bin_offset"),
+        "n_tokens",
+    )

@@ -76,3 +76,23 @@ def test_bpe_merge_greedy_left_to_right(spark):
     got = {r["word"]: r["syms"] for r in bpe_train(docs, 1).collect()}
     assert got["aaa"] == "aa a"
     assert got["zq"] == "z q"
+
+
+def test_sequence_pack_invariants(spark, sf_smoke):
+    from eclipse_spark.operators.text import sequence_pack
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    rows = sequence_pack(docs, budget=256, buckets=4).collect()
+    assert len(rows) == docs.count()          # every doc packed once
+    assert all(0 <= r["bin_offset"] < 256 for r in rows)
+    assert all(0 <= r["bucket"] < 4 for r in rows)
+    # within a (bucket, bin), offsets are distinct starts
+    seen = {}
+    for r in rows:
+        key = (r["bucket"], r["bin_id"], r["bin_offset"])
+        assert key not in seen
+        seen[key] = r["doc_id"]
+    # repartitioning must not change the packing (determinism)
+    rows2 = sequence_pack(docs.repartition(13), budget=256, buckets=4).collect()
+    assert {(r["doc_id"], r["bucket"], r["bin_id"], r["bin_offset"]) for r in rows} == \
+           {(r["doc_id"], r["bucket"], r["bin_id"], r["bin_offset"]) for r in rows2}
