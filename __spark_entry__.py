@@ -3763,9 +3763,12 @@ def oracle_sql() -> dict[str, str]:
                            AS bucket
                   FROM t),
             w AS (SELECT doc_id, bucket, n_tokens,
-                         sum(n_tokens) OVER (PARTITION BY bucket
-                                             ORDER BY h, doc_id
-                                             ROWS UNBOUNDED PRECEDING) AS e
+                         -- sum(BIGINT) is HUGEINT in DuckDB; cast back
+                         -- or the schema check fails (float64 vs int64)
+                         CAST(sum(n_tokens) OVER (PARTITION BY bucket
+                                                  ORDER BY h, doc_id
+                                                  ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS e
                   FROM b)
             SELECT doc_id, bucket,
                    (e - n_tokens) // 256 AS bin_id,
