@@ -208,6 +208,7 @@ def deterministic_group_sample(
     key_col: str,
     k: int,
     rank_col: str = "sample_rank",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-group deterministic pseudo-uniform sample: rank rows inside
     each group by (md5(key), key) and keep the k smallest. md5 of the
@@ -216,14 +217,30 @@ def deterministic_group_sample(
     ``df.sample``/rand(), whose output depends on partition layout and
     so can never be oracle-checked or reproduced across runs.
 
-    One window shuffle on the group key. At 100 TB prefer this over a
-    global orderBy-limit per group: the rank is computed inside each
-    hash partition and rows beyond k are dropped before any further
-    stage. For heavily skewed groups the same trick as top_k_per_group
-    applies (pre-filter with a per-partition partial rank).
+    Two-phase for low-cardinality groups: a single window partitioned
+    by the group key caps parallelism at #groups and funnels every
+    group's full row set through one reducer — fatal when a group has
+    billions of rows. Phase 1 ranks within (group, salt) — salt =
+    hash(key) mod salt_buckets, so #groups x salt_buckets parallel
+    partitions, each emitting at most k survivors. Phase 2 re-ranks
+    the <= k * salt_buckets survivors per group; the k smallest of the
+    per-salt k-smallest are exactly the global k smallest, so the
+    result is IDENTICAL to the one-window form (and to the SQL
+    oracle), while the final window's input is bounded regardless of
+    group size.
     """
     order_key = F.md5(F.col(key_col).cast("string"))
-    w = Window.partitionBy(*group_cols).orderBy(order_key, F.col(key_col))
-    return df.withColumn(rank_col, F.row_number().over(w)).where(
-        F.col(rank_col) <= k
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(order_key, F.col(key_col))
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(order_key, F.col(key_col))
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+        .drop("_salt")
     )
