@@ -57,6 +57,13 @@ HEADLINE = [
     "triangle_count",
     "decontaminate",
     "semdedup",
+    "chunking",
+    "bpe_train",
+    "unigram_logprob",
+    "group_sample",
+    "time_travel",
+    "sequence_pack",
+    "anomaly_zscore",
 ]
 
 
