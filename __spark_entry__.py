@@ -2273,6 +2273,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.get("m_orders")
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution
+    (text.token_entropy) — the diversity gate next to
+    unigram_logprob's fluency score. Round-9 + decimal-accumulated
+    terms make the bit count engine-exact."""
+    return text.token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (text.sequence_pack): documents concatenate in
     md5-pseudo-random order inside 8 parallel streams and split into
@@ -2589,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "sequence_pack": q_sequence_pack,
         "anomaly_zscore": q_anomaly_zscore,
+        "token_entropy": q_token_entropy,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q20": q_tpch_q20,
@@ -3753,6 +3762,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
             UNION ALL SELECT * FROM upd
         """,
+        "token_entropy": """
+            WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents),
+            per_tok AS (SELECT doc_id, tok, count(*) AS c
+                        FROM tok GROUP BY doc_id, tok),
+            totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                              count(*) AS n_distinct
+                       FROM per_tok GROUP BY doc_id)
+            SELECT t.doc_id, t.n AS n_tokens, t.n_distinct,
+                   CAST(sum(CAST(round(
+                     -(CAST(p.c AS DOUBLE) / t.n)
+                       * log2(CAST(p.c AS DOUBLE) / t.n), 9)
+                     AS DECIMAL(16,9))) AS DOUBLE) AS entropy
+            FROM per_tok p JOIN totals t USING (doc_id)
+            GROUP BY t.doc_id, t.n, t.n_distinct
+        """.replace("{TOKENS}", TOKENS_SQL),
         "sequence_pack": """
             WITH t AS (SELECT doc_id,
                               CAST(len({TOKENS}) AS BIGINT) AS n_tokens,

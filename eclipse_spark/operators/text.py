@@ -439,3 +439,32 @@ def sequence_pack(
         (F.col("_start") % budget).alias("bin_offset"),
         "n_tokens",
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the document's own token
+    distribution — the diversity signal next to unigram_logprob's
+    fluency: repeated-token spam scores near 0, varied text scores
+    near log2(n_distinct). Explode + (id, token) count + per-id agg —
+    two key-shuffles, map-side combined, no UDF. Each term
+    -(c/n)*log2(c/n) rounds to 9 digits then accumulates in decimal,
+    so the sum is partition-order- and engine-exact with no surface
+    rounding needed.
+
+    Returns (id_col, n_tokens, n_distinct, entropy).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    per_tok = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    totals = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("_c") / F.col("_n")
+    term = F.round(-p * F.log2(p), 9).cast("decimal(16,9)")
+    return (
+        per_tok.join(totals, id_col)
+        .groupBy(id_col, F.col("_n").alias("n_tokens"), "n_distinct")
+        .agg(F.sum(term).cast("double").alias("entropy"))
+        .select(id_col, "n_tokens", "n_distinct", "entropy")
+    )

@@ -96,3 +96,18 @@ def test_sequence_pack_invariants(spark, sf_smoke):
     rows2 = sequence_pack(docs.repartition(13), budget=256, buckets=4).collect()
     assert {(r["doc_id"], r["bucket"], r["bin_id"], r["bin_offset"]) for r in rows} == \
            {(r["doc_id"], r["bucket"], r["bin_id"], r["bin_offset"]) for r in rows2}
+
+
+def test_token_entropy_bounds(spark):
+    import math
+
+    from eclipse_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert got[1]["entropy"] == 0.0                      # no diversity
+    assert abs(got[2]["entropy"] - 2.0) < 1e-6           # log2(4) uniform
+    assert got[2]["n_distinct"] == 4
