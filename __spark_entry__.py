@@ -2273,6 +2273,20 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.get("m_orders")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (search.bm25_topk) for a three-term query over the
+    corpus — Lucene-semantics ranked retrieval as a declarative plan.
+    Corpus-sized work is tokenize + doc-length count; term stats are
+    query-sized and broadcast; top-k lowers to TakeOrdered, never a
+    global single-partition sort. Per-term contributions round-9 +
+    decimal-sum, ties break on doc_id, so rank order is engine-exact."""
+    from eclipse_spark.operators import search
+
+    return search.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["data", "spark", "shuffle"], k=10
+    )
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution
     (text.token_entropy) — the diversity gate next to
@@ -2598,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "anomaly_zscore": q_anomaly_zscore,
         "token_entropy": q_token_entropy,
+        "bm25": q_bm25,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q20": q_tpch_q20,
@@ -3762,6 +3777,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
             UNION ALL SELECT * FROM upd
         """,
+        "bm25": """
+            WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS t FROM documents),
+            doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nd AS (SELECT count(*) AS n,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                   FROM doclen),
+            tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                   WHERE t IN ('data', 'spark', 'shuffle')
+                   GROUP BY doc_id, t),
+            idf AS (SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+                    FROM (SELECT t, count(*) AS df FROM tf GROUP BY t), nd),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(sum(CAST(round(
+                       idf.idf * (tf.tf / (tf.tf + 1.2 *
+                         (0.25 + 0.75 * dl / idf.avgdl))), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS score
+              FROM tf JOIN idf USING (t) JOIN doclen USING (doc_id)
+              GROUP BY tf.doc_id)
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """.replace("{TOKENS}", TOKENS_SQL),
         "token_entropy": """
             WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents),
             per_tok AS (SELECT doc_id, tok, count(*) AS c

@@ -1,0 +1,93 @@
+"""Full-text ranked retrieval over a document table — BM25, the
+standard lexical ranking function (Lucene/Elasticsearch semantics),
+as a declarative plan over the same corpus the dedup/quality
+operators run on.
+
+Scale shape: the only corpus-sized work is tokenization + the
+per-document length count (word-count shuffle shape); every
+query-dependent structure (term frequencies, document frequencies,
+IDF) is filtered to the query's terms BEFORE any aggregation, so the
+scoring join moves rows proportional to |matching docs|, not corpus
+size. The per-term statistics table is query-terms-sized and
+broadcasts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms (Lucene's
+    non-negative IDF variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Engine-exact determinism: each per-term score contribution rounds
+    to 9 digits and accumulates in decimal, ranking ties break on the
+    doc id — so the exact same k documents in the same order come
+    back on any engine or partitioning (see the repo's oracle-parity
+    rules). Returns (id_col, score, rank).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    # avgdl from exact integer sum / count — the engines' avg() uses
+    # streaming accumulation whose order differs across partitions.
+    n_docs = doclen.agg(
+        F.count("*").alias("_n"),
+        (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    qterms = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("_t").isin(qterms))
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "_t",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        ).alias("_idf"),
+        "_avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "_t")
+        .join(doclen, id_col)
+        .withColumn(
+            "_term_score",
+            F.round(
+                F.col("_idf")
+                * (
+                    F.col("_tf")
+                    / (
+                        F.col("_tf")
+                        + F.lit(k1)
+                        * (F.lit(1 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+                    )
+                ),
+                9,
+            ).cast("decimal(16,9)"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_term_score").cast("double").alias("score"))
+    )
+    # orderBy+limit lowers to TakeOrderedAndProject — a distributed
+    # partial top-k (each partition keeps k, the driver merges k) —
+    # instead of a single-partition global window sort; the ranking
+    # window then runs over k rows only.
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -111,3 +111,25 @@ def test_token_entropy_bounds(spark):
     assert got[1]["entropy"] == 0.0                      # no diversity
     assert abs(got[2]["entropy"] - 2.0) < 1e-6           # log2(4) uniform
     assert got[2]["n_distinct"] == 4
+
+
+def test_bm25_ranks_relevance(spark):
+    from eclipse_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark data"),         # heavy on both terms
+            (2, "spark unrelated filler words"),   # one term once
+            (3, "nothing relevant here at all"),   # no terms -> absent
+            (4, "data data spark"),                # both terms, short doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, ["spark", "data"], k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert 3 not in ranked               # zero-match docs don't appear
+    assert set(ranked) == {1, 2, 4}
+    assert ranked[-1] == 2               # single weak match ranks last
+    # top-k must lower to TakeOrdered, not a global window sort
+    plan = bm25_topk(docs, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
