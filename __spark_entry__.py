@@ -36,13 +36,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ts_normalize(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TimestampType whatever the
+    testdata layout: a native timestamp/timestamp_ntz column passes
+    through a cast (identity under a UTC session), while a long column
+    means the legacy nanos-as-long layout (TIMESTAMP(NANOS) read via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and is integer-truncated
+    to micros — exactly what DuckDB's TIMESTAMP does with
+    TIMESTAMP_NS, so oracles agree either way. Integer ``div`` (not
+    float division) keeps the ~1e18 nano values exact."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
-    read nanos as long and truncate to micros (exactly what DuckDB's
-    TIMESTAMP does with TIMESTAMP_NS, so oracles agree)."""
+    """Read the events table with ``ts`` normalized to TimestampType
+    under a UTC session (both layouts the driver has shipped)."""
+    _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _ts_normalize(df)
 
 
 def _utc(spark: SparkSession) -> None:
@@ -1437,7 +1453,7 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_windows.stream_from_parquet(
         spark, os.path.join(sf_dir, "events.*"), raw_schema
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _ts_normalize(stream)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1872,9 +1888,11 @@ def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    stream = stream_windows.stream_from_parquet(
-        spark, os.path.join(sf_dir, "events.*"), raw_schema
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _ts_normalize(
+        stream_windows.stream_from_parquet(
+            spark, os.path.join(sf_dir, "events.*"), raw_schema
+        )
+    )
     agg = stream_windows.session_windows_stream(
         stream, gap="30 minutes", watermark="1 hour"
     )
@@ -2154,9 +2172,11 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return stream_windows.stream_from_parquet(
-        spark, os.path.join(sf_dir, "events.*"), raw_schema
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _ts_normalize(
+        stream_windows.stream_from_parquet(
+            spark, os.path.join(sf_dir, "events.*"), raw_schema
+        )
+    )
 
 
 def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
