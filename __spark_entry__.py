@@ -76,6 +76,101 @@ TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x 
 
 
 # ---------------------------------------------------------------------------
+# portable-hash oracle plumbing
+#
+# The driver-verified dedup/fingerprint queries use the md5-derived
+# 60-bit hash family (eclipse_spark/functions/scalar.py) so DuckDB can
+# recompute entire signature pipelines bit-for-bit. These helpers emit
+# the DuckDB-side expressions; cross-engine equality is pinned by
+# tests/test_portable_hash.py.
+# ---------------------------------------------------------------------------
+
+
+def _sql_hex15(md5_expr: str, part: int = 0) -> str:
+    """DuckDB: parse 15 hex chars of an md5 hex string (chars 1-15 or
+    16-30) into a positive BIGINT — the mirror of
+    ``scalar.portable_hash60``."""
+    off = 15 * part
+    return (
+        "list_sum(list_transform(range(1,16), i -> "
+        f"(strpos('0123456789abcdef', substr({md5_expr}, i+{off}, 1)) - 1)::BIGINT"
+        " << (4*(15-i))))"
+    )
+
+
+def _sql_rot60(expr: str, i: int) -> str:
+    """DuckDB: rotate a 60-bit positive BIGINT left by i (mirror of
+    ``scalar.rot60`` — mask before shift, no 63-bit overflow)."""
+    i = i % 60
+    if i == 0:
+        return expr
+    mask = (1 << (60 - i)) - 1
+    return f"((({expr}) & {mask}) << {i}) | (({expr}) >> {60 - i})"
+
+
+# Pure-Python replica of Spark's xxhash64 over INT arguments (XXH64,
+# public algorithm; Spark chains hashInt per argument with seed 42).
+# Used ONLY to inline the deterministic hyperplane weights of
+# similarity.sign_sketch_df as literals in DuckDB oracles — the weights
+# are data-independent, so the oracle needs no hash function at all.
+_XXH_MASK = (1 << 64) - 1
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def _xxh64_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_MASK
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_MASK
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 4) & _XXH_MASK
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _XXH_MASK
+    h = ((((h << 23) | (h >> 41)) & _XXH_MASK) * _XXH_P2 + _XXH_P3) & _XXH_MASK
+    return _xxh64_fmix(h)
+
+
+def _spark_xxhash64_ints(vals: list[int], seed: int = 42) -> int:
+    h = seed
+    for v in vals:
+        h = _xxh64_int(v, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _plane_weight(p: int, d: int, seed: int) -> float:
+    """Exact replica of sign_sketch_df's weight(p, d):
+    pmod(xxhash64(p, d, seed), 1000)/500 - 1."""
+    return (_spark_xxhash64_ints([p, d, seed]) % 1000) / 500.0 - 1.0
+
+
+def _sql_sign_bucket(vec_expr: str, planes: int, seed: int, dim: int) -> str:
+    """DuckDB: the sign-sketch bucket of a vector column, with the
+    hyperplane weights inlined as literals (mirror of
+    similarity.sign_sketch_df; per-plane double dot product in index
+    order, >= 0 -> bit set)."""
+    parts = []
+    for p in range(planes):
+        w = "[" + ", ".join(repr(_plane_weight(p, d, seed)) for d in range(dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {vec_expr}[i]::DOUBLE * ({w})[i]))"
+        )
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN 1::BIGINT << {p} ELSE 0 END)")
+    return "(" + " | ".join(parts) + ")"
+
+
+_EMB_DIM = 64  # driver testdata embedding dimension (embeddings.parquet)
+
+
+# ---------------------------------------------------------------------------
 # §2.5 canonical apps
 # ---------------------------------------------------------------------------
 
@@ -1510,22 +1605,34 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates with the PORTABLE hash family
+    (md5-derived 60-bit, functions/scalar.py): the full signature ->
+    band -> bucket-join pipeline is recomputed bit-for-bit by the
+    DuckDB oracle, upgrading this from rows-only to hash-checked.
+    The xxhash64 default stays the production fast path."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8, portable=True)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup (portable-hash LSH candidates -> exact Jaccard
+    verify at 0.8 -> greedy min-id keep) — oracle replays the whole
+    pipeline including the candidate generation."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(docs, threshold=0.8).select("doc_id")
+    return dedup.minhash_dedup(docs, threshold=0.8, portable=True).select("doc_id")
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table SimHash (4 disjoint 16-bit bands, hamming<=3 verify)
-    over the corpus plus planted whitespace-perturbed near-copies: a
-    planted copy normalizes to the same shingle set, so its signature is
-    identical (hamming 0) and the pair is guaranteed back — making the
-    rows-only driver check non-degenerate."""
-    return dedup.simhash_candidates(_docs_with_dups(spark, sf_dir))
+    """Multi-table SimHash (4 disjoint 15-bit bands of the PORTABLE
+    60-bit signature, hamming<=3 verify — same pigeonhole recall
+    guarantee) over the corpus plus planted whitespace-perturbed
+    near-copies: a planted copy normalizes to the same shingle set,
+    so its signature is identical (hamming 0) and the pair is
+    guaranteed back. The DuckDB oracle recomputes signatures, bands,
+    and the hamming verify exactly."""
+    return dedup.simhash_candidates(
+        _docs_with_dups(spark, sf_dir), tables=4, band_bits=15, portable=True
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,8 +1714,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint with the portable 60-bit hash — the
+    oracle recomputes every fingerprint exactly (hash-checked, not
+    rows-only)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.doc_fingerprint(docs, k=9).select("doc_id", "fp")
+    return text.doc_fingerprint(docs, k=9, portable=True).select("doc_id", "fp")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2719,6 +2829,175 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _oracle_minhash_candidates(nh: int = 32, bands: int = 8, k: int = 5) -> str:
+    """DuckDB replay of the portable MinHash-LSH candidate pipeline:
+    word k-shingles -> one md5 per shingle -> 60-bit (v, u) halves ->
+    h_i = v XOR rot60(u, i) family -> per-doc minima -> md5 band hash
+    -> (band, bh) self-join. Mirrors dedup.minhash_lsh_candidates
+    (portable=True) expression-for-expression."""
+    rpb = nh // bands
+    hmins = ",\n              ".join(
+        f"min(xor(v, {_sql_rot60('u', i)})) AS h{i}" for i in range(nh)
+    )
+    band_rows = "\n              UNION ALL ".join(
+        "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=_sql_hex15(
+                "md5(concat_ws('|', "
+                + ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
+                + "))"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+            WITH tok AS (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM documents),
+            sh AS (SELECT id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks)-{k - 1},1)+1),
+                     i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS s FROM tok),
+            hv AS (SELECT id, {_sql_hex15('md5(s)', 0)} AS v,
+                          {_sql_hex15('md5(s)', 1)} AS u FROM sh),
+            sig AS (SELECT id, {hmins} FROM hv GROUP BY id),
+            band AS ({band_rows})
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM band a JOIN band b USING (band, bh) WHERE a.id < b.id
+        """
+
+
+def _oracle_minhash_dedup(threshold: float = 0.8, k: int = 5) -> str:
+    """Candidates (above) -> exact word-5-shingle Jaccard verify ->
+    anti-join the losers (mirror of dedup.minhash_dedup)."""
+    cands = _oracle_minhash_candidates(k=k)
+    return f"""
+            WITH cand AS ({cands}),
+            vsh AS (SELECT doc_id AS id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(toks)-{k - 1},1)+1),
+                        i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS sh
+                    FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents) t),
+            losers AS (
+              SELECT DISTINCT c.id_b
+              FROM cand c
+              JOIN vsh a ON a.id = c.id_a
+              JOIN vsh b ON b.id = c.id_b
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold})
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """
+
+
+def _oracle_simhash_candidates(
+    bits: int = 60, tables: int = 4, band_bits: int = 15, max_hamming: int = 3, k: int = 5
+) -> str:
+    """DuckDB replay of the portable multi-table SimHash pipeline over
+    the planted-dup corpus: char k-shingles of ws-normalized text ->
+    one md5 -> 60-bit hash -> per-bit majority votes -> 60-bit sig ->
+    4x15-bit band buckets -> hamming<=3 verify. Mirrors
+    dedup.simhash_candidates(portable=True)."""
+    mask = (1 << band_bits) - 1
+    vcols = ",\n              ".join(
+        f"sum((h >> {i}) & 1) AS v{i}" for i in range(bits)
+    )
+    sig_expr = " | ".join(
+        f"(CASE WHEN 2*v{i} > n THEN 1::BIGINT << {i} ELSE 0 END)" for i in range(bits)
+    )
+    tbl_rows = "\n              UNION ALL ".join(
+        f"SELECT id, sig, {t} AS tbl, (sig >> {t * band_bits}) & {mask} AS bkey FROM sig"
+        for t in range(tables)
+    )
+    return f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0),
+            n0 AS (SELECT doc_id AS id,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS nm FROM d),
+            sh AS (SELECT id, unnest(list_distinct(list_transform(
+                     range(1, greatest(length(nm)-{k - 1},1)+1),
+                     i -> substr(nm, i, {k})))) AS s FROM n0),
+            hv AS (SELECT id, {_sql_hex15('md5(s)', 0)} AS h FROM sh),
+            votes AS (SELECT id, count(*) AS n, {vcols} FROM hv GROUP BY id),
+            sig AS (SELECT id, ({sig_expr}) AS sig FROM votes),
+            band AS ({tbl_rows})
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM band a JOIN band b USING (tbl, bkey)
+            WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        """
+
+
+def _oracle_doc_fingerprint(k: int = 9) -> str:
+    """Winnowing fingerprint replay: min portable-60-bit hash over char
+    k-shingles of ws-normalized text (mirror of text.doc_fingerprint
+    portable=True). The HUGEINT list_sum casts back to BIGINT so the
+    driver's schema compare sees the engine's long."""
+    return f"""
+            WITH n0 AS (SELECT doc_id,
+                   regexp_replace(lower(text), '\\s+', ' ', 'g') AS nm FROM documents),
+            sh AS (SELECT doc_id, unnest(list_transform(
+                     range(1, greatest(length(nm)-{k - 1},1)+1),
+                     i -> substr(nm, i, {k}))) AS s FROM n0)
+            SELECT doc_id, CAST(min({_sql_hex15('md5(s)', 0)}) AS BIGINT) AS fp
+            FROM sh GROUP BY doc_id
+        """
+
+
+def _oracle_embedding_near_dup(
+    threshold: float = 0.9, planes: int = 12, seed: int = 7
+) -> str:
+    """Replay of dedup.embedding_near_dup over the planted-dup
+    embedding set: sign-sketch buckets from the INLINED hyperplane
+    weights (data-independent, so the oracle needs no hash function),
+    then the double-precision cosine verify — identical IEEE sequential
+    arithmetic to the engine's zip_with/aggregate formulation."""
+    bucket = _sql_sign_bucket("emb", planes, seed, _EMB_DIM)
+    dot = (
+        f"list_sum(list_transform(range(1,{_EMB_DIM + 1}), "
+        "i -> a.emb[i]::DOUBLE * b.emb[i]::DOUBLE))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1,%d), i -> %s[i]::DOUBLE * %s[i]::DOUBLE)))"
+    )
+    na = nrm % (_EMB_DIM + 1, "a.emb", "a.emb")
+    nb = nrm % (_EMB_DIM + 1, "b.emb", "b.emb")
+    return f"""
+            WITH e AS (
+              SELECT vec_id, embedding AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+            sk AS (SELECT vec_id AS id, emb, {bucket} AS bucket FROM e)
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sk a JOIN sk b USING (bucket)
+            WHERE a.id < b.id
+              AND {dot} / ({na} * {nb}) >= {threshold}
+        """
+
+
+def _oracle_ann_lsh(k: int = 10, planes: int = 6, seed: int = 7) -> str:
+    """Replay of similarity.lsh_topk: bucket join (inlined weights) +
+    cosine ranking. Only (query_id, match_id, rank) surface, so the
+    check rides the cosine ORDER (same robustness as ann_topk's
+    driver-green oracle), while the bucketing is bit-exact."""
+    bucket = _sql_sign_bucket("embedding", planes, seed, _EMB_DIM)
+    return f"""
+            WITH sk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                  FROM sk WHERE vec_id < 5),
+            c AS (SELECT vec_id AS match_id, embedding AS cv, bucket FROM sk),
+            s AS (SELECT query_id, match_id,
+                         list_cosine_similarity(qv, cv) AS cos
+                  FROM q JOIN c USING (bucket) WHERE query_id <> match_id)
+            SELECT query_id, match_id, rank FROM (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, match_id) AS rank
+              FROM s) t
+            WHERE rank <= {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ", ".join(f"'{w}'" for w in text._STOPWORDS["en"])
     lang_scores = {
@@ -3552,6 +3831,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             HAVING count(*) > 1
         """,
+        "minhash_candidates": _oracle_minhash_candidates(),
+        "minhash_dedup": _oracle_minhash_dedup(),
+        "simhash_candidates": _oracle_simhash_candidates(),
+        "doc_fingerprint": _oracle_doc_fingerprint(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "ann_lsh": _oracle_ann_lsh(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
                  c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),

@@ -104,13 +104,20 @@ def minhash_signatures_df(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, h0..h{n-1}) MinHash signature table via the codegen path:
-    explode shingles -> project num_hashes seeded xxhash64 columns ->
+    explode shingles -> project num_hashes seeded hash columns ->
     groupBy(id).min(...). Spark's higher-order functions run
     interpreted, so a HOF running-min is ~10x slower than this
     explode+partial-agg formulation; the map-side combine collapses
-    the exploded rows back to one row per doc before the shuffle."""
+    the exploded rows back to one row per doc before the shuffle.
+
+    ``portable=True`` swaps the xxhash64 family for the md5-derived
+    60-bit family (functions.scalar.portable_seeded_hashes): ONE md5
+    per shingle + pure bit algebra, so an external SQL oracle can
+    recompute the signature table exactly. Default stays xxhash64
+    (fastest JVM path)."""
     from eclipse_spark.util import ensure_parallelism
 
     from eclipse_spark.operators.text import tokens, word_shingles_raw
@@ -122,9 +129,20 @@ def minhash_signatures_df(
         "id",
         F.explode(F.array_distinct(word_shingles_raw(F.col("_toks"), shingle_k))).alias("s"),
     )
-    hashed = exploded.select(
-        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60, portable_seeded_hashes
+
+        md5d = exploded.select("id", F.md5("s").alias("_mh")).select(
+            "id",
+            portable_hash60(F.col("_mh"), 0).alias("_v"),
+            portable_hash60(F.col("_mh"), 1).alias("_u"),
+        )
+        fam = portable_seeded_hashes(F.col("_v"), F.col("_u"), num_hashes)
+        hashed = md5d.select("id", *[h.alias(f"h{i}") for i, h in enumerate(fam)])
+    else:
+        hashed = exploded.select(
+            "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+        )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -137,25 +155,32 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: signature split into
     ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
     band hash become a candidate pair (id_a < id_b). The self-join is
     on the (band, band_hash) key — sub-quadratic, shuffle keyed by
-    bucket, never all-pairs."""
+    bucket, never all-pairs. ``portable=True`` uses the md5-derived
+    hash family end-to-end (band hash included) so an external SQL
+    oracle reproduces the exact candidate set."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k, portable)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            from eclipse_spark.functions.scalar import portable_hash60
+
+            return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -213,10 +238,13 @@ def minhash_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates -> Jaccard verify -> drop the
     larger id of each verified pair (greedy union toward min id)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, portable
+    )
     verified = ngram_jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
@@ -343,18 +371,24 @@ def simhash_signatures_df(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig) SimHash table via the codegen path: explode distinct
-    shingles -> one xxhash64 per shingle -> groupBy(id) with ``bits``
+    shingles -> one hash per shingle -> groupBy(id) with ``bits``
     bit-count sums (one flat HashAggregate, map-side combined) ->
     majority-vote assembly. The HOF formulation above runs interpreted
     per shingle per bit (~bits x #shingles lambda evals — measured
     >50x slower at sf0.1); this one hashes each shingle once and lets
-    whole-stage codegen do the bit arithmetic."""
+    whole-stage codegen do the bit arithmetic.
+
+    ``portable=True`` votes on the md5-derived 60-bit hash instead of
+    xxhash64 (use ``bits<=60``) so an external SQL oracle reproduces
+    the signature bit-for-bit; still one digest per shingle."""
     from eclipse_spark.util import ensure_parallelism
 
     from eclipse_spark.operators.text import norm_ws, shingles_raw
 
+    assert not portable or bits <= 60, "portable hash carries 60 bits"
     normed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), norm_ws(F.col(text_col)).alias("_norm")
     )
@@ -362,7 +396,12 @@ def simhash_signatures_df(
         "id",
         F.explode(F.array_distinct(shingles_raw(F.col("_norm"), shingle_k))).alias("_s"),
     )
-    hashed = exploded.select("id", F.xxhash64("_s").alias("_h"))
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        hashed = exploded.select("id", portable_hash60(F.md5("_s"), 0).alias("_h"))
+    else:
+        hashed = exploded.select("id", F.xxhash64("_s").alias("_h"))
     votes = hashed.groupBy("id").agg(
         F.count("*").alias("_n"),
         *[
@@ -389,6 +428,7 @@ def simhash_candidates(
     band_bits: int = 16,
     max_hamming: int = 3,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via multi-table SimHash (Manku et al.'s table
     decomposition): the 64-bit signature splits into ``tables`` disjoint
@@ -406,9 +446,15 @@ def simhash_candidates(
     join key carries 16 signature bits (65k+ buckets/table), popular
     prefixes no longer concentrate into one bucket, near-dups differing
     in a high bit are caught by the other tables, and the verify bounds
-    the emitted pair set. Output: (id_a, id_b, hamming)."""
-    assert tables * band_bits <= 64, "bands must fit the 64-bit signature"
-    sig = simhash_signatures_df(df, text_col, id_col, 64, shingle_k)
+    the emitted pair set. Output: (id_a, id_b, hamming).
+
+    ``portable=True`` switches to the md5-derived 60-bit signature
+    (external-oracle-reproducible); pass ``tables*band_bits <= 60``
+    there (e.g. 4 tables x 15 bits — same pigeonhole guarantee for
+    ``max_hamming <= 3``)."""
+    bits = 60 if portable else 64
+    assert tables * band_bits <= bits, "bands must fit the signature"
+    sig = simhash_signatures_df(df, text_col, id_col, bits, shingle_k, portable)
     mask = (1 << band_bits) - 1
     banded = sig.select(
         "id",
@@ -459,10 +505,19 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     sign-bit sketch buckets candidates, exact cosine verifies. The
     hyperplanes are deterministic pseudo-random (hash of (plane, dim)),
-    so the operator needs no model artifact and is reproducible."""
+    so the operator needs no model artifact and is reproducible.
+
+    Vectors cast to double BEFORE any arithmetic (same discipline as
+    semantic_dedup): float32 multiplies round differently per engine,
+    while double math over exactly-promoted float32 inputs is IEEE-
+    identical everywhere — so the threshold verify is engine-exact and
+    the whole operator carries an external SQL oracle."""
     from eclipse_spark.operators.similarity import cosine_sim, sign_sketch_df
 
-    sk = sign_sketch_df(emb, id_col, vec_col, planes, seed, "id", "v")
+    pts = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    sk = sign_sketch_df(pts, id_col, vec_col, planes, seed, "id", "v")
     a, b = sk.alias("a"), sk.alias("b")
     return (
         a.join(b, on="bucket")

@@ -132,18 +132,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return word_shingles_raw(tokens(text), n)
 
 
-def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 9, id_col: str = "doc_id", out_col: str = "fp") -> DataFrame:
-    """Winnowing-style document fingerprint: min xxhash64 over the
-    k-gram shingle set — a 64-bit content id stable under whitespace
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 9,
+    id_col: str = "doc_id",
+    out_col: str = "fp",
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over the
+    k-gram shingle set — a content id stable under whitespace
     normalization (the rolling-hash fingerprint of SURVEY's north-star
     text ops). Explode + partial-agg min (codegen'd, map-side
     combined); the array_min-over-transform HOF form runs interpreted
-    and was measured ~30x slower at sf0.1."""
+    and was measured ~30x slower at sf0.1. ``portable=True`` uses the
+    md5-derived 60-bit hash (functions.scalar.portable_hash60) so an
+    external SQL oracle recomputes the fingerprint bit-for-bit;
+    default stays xxhash64."""
     normed = df.select(F.col(id_col), norm_ws(F.col(text_col)).alias("_norm"))
     exploded = normed.select(
         F.col(id_col), F.explode(shingles_raw(F.col("_norm"), k)).alias("_s")
     )
-    return exploded.groupBy(id_col).agg(F.min(F.xxhash64("_s")).alias(out_col))
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        h = portable_hash60(F.md5("_s"), 0)
+    else:
+        h = F.xxhash64("_s")
+    return exploded.groupBy(id_col).agg(F.min(h).alias(out_col))
 
 
 # -- PII scrubbing and repetition filters (pre-training curation) -------
