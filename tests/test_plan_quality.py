@@ -262,16 +262,32 @@ def test_chunking_is_zero_shuffle(spark, sf_smoke):
     assert not s.has_python_udf
 
 
-def test_triangle_count_broadcasts_adjacency(spark, sf_smoke):
-    """The |V|-row adjacency table must broadcast by default — the
-    sort-merge alternative sorts array-payload rows (measured 22s vs
-    2.9s at sf0.1)."""
+def test_triangle_count_size_aware_join_choice(spark, sf_smoke):
+    """The adjacency-join strategy must be size-aware: a small graph's
+    |V|-row adjacency broadcasts (measured 2.9s vs 22s sort-merge at
+    sf0.1), but when the estimate exceeds the broadcast budget the
+    SAME call must fall back to a partitioned join — |V| rows of
+    O(sqrt(m)) arrays cannot sit in every executor at 100 TB."""
     from eclipse_spark.operators.graph import cooccurrence_edges, triangle_count
 
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
-    out = triangle_count(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    def adjacency_broadcasts(df) -> int:
+        # the adjacency joins key on _u/_v; cooccurrence_edges' inner
+        # self-join on the (small) group id may legitimately broadcast
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "BroadcastHashJoin" in line and ("_u#" in line or "_v#" in line)
+        )
+
+    small = triangle_count(edges)  # sf0.001 adjacency fits the budget
+    assert adjacency_broadcasts(small) == 2
+    big = triangle_count(edges, broadcast_limit_bytes=0)  # over-budget
+    assert adjacency_broadcasts(big) == 0
+    # same answer on both paths
+    assert small.collect() == big.collect()
 
 
 def test_decontaminate_corpus_agg_after_filter(spark, sf_smoke):
