@@ -2539,6 +2539,56 @@ def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semcache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of the cache-INVALIDATION path — the complement of
+    ``semcache_demo``'s hit path and the SURVEY §7 risk-register item
+    (a mutated input must never serve a stale hit). Eclipse gets this
+    for free by keying the Icache on immutable DHT files
+    (``src/file_distributor/fileserver.hh:354-359``); our key embeds
+    the Catalog snapshot version (plans/dag.py scan leaf), so a
+    ``put`` bump re-keys the pipeline.
+
+    Sequence: run over a Catalog table (miss -> materialize), re-run
+    (hit), then ``put`` a mutated table ('O'-status rows doubled) and
+    re-run: MUST miss and compute fresh. Rows carry the three observed
+    flags and the post-mutation counts — a served stale entry flips
+    both the flag column and the 'O' count, hash-mismatching the
+    oracle."""
+    import tempfile
+
+    from eclipse_spark.semcache import SemanticCache
+    from eclipse_spark.storage import Catalog
+
+    work = tempfile.mkdtemp(prefix="eclipse_semcache_inv_")
+    cache = SemanticCache(spark, os.path.join(work, "cache"))
+    cat = Catalog(spark, os.path.join(work, "cat"))
+    orders = _t(spark, sf_dir, "orders")
+    cat.put("orders", orders)
+
+    def build() -> Pipeline:
+        return (
+            Pipeline.from_table(cat, "orders", app="semcache_inv")
+            .emit_kv(key=F.col("o_orderstatus"))
+            .count_by_key()
+            .cached(cache)
+        )
+
+    _, hit_first = build().run()
+    _, hit_second = build().run()
+    cat.put(
+        "orders",
+        orders.unionByName(orders.filter(F.col("o_orderstatus") == "O")),
+    )
+    result, hit_third = build().run()
+    return result.select(
+        "key",
+        F.col("value").alias("n_orders"),
+        F.lit(int(hit_first)).cast("int").alias("hit_first"),
+        F.lit(int(hit_second)).cast("int").alias("hit_second"),
+        F.lit(int(hit_third)).cast("int").alias("hit_third"),
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the part co-order graph (parts are
     linked when some order contains both). Degree-oriented wedge join
@@ -2672,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families with an in-window or r1-green representative sit at
         # position 51+ (still locally oracle-checked at every position).
         "semcache_demo": q_semcache_demo,
+        "semcache_invalidate": q_semcache_invalidate,
         "tpch_q2": q_tpch_q2,
         # -- MapReduce API surface (D1-D7) -----------------------------
         "mr_word_count": q_mr_word_count,
@@ -3920,6 +3971,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS key, count(*) AS n_orders,
                    CAST(0 AS INTEGER) AS hit_first,
                    CAST(1 AS INTEGER) AS hit_second
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "semcache_invalidate": """
+            SELECT o_orderstatus AS key,
+                   count(*) * (CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END) AS n_orders,
+                   CAST(0 AS INTEGER) AS hit_first,
+                   CAST(1 AS INTEGER) AS hit_second,
+                   CAST(0 AS INTEGER) AS hit_third
             FROM orders GROUP BY o_orderstatus
         """,
         "events_stream_upsert": """
