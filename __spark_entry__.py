@@ -2708,85 +2708,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    checks the FIRST 50 keys, so positions 1-50 hold one green row for
-    every operator family that round 1 left driver-unverified — the
-    whole MR API, all streaming, every LLM-pipeline operator, the
-    semantic cache, and this round's new TPC-H variants. Queries the
-    round-1 driver already verified green (CORRECTNESS_r01.json) rotate
-    to the back; all of them remain locally oracle-checked by
-    tests/test_oracle_parity.py at every position."""
+    checks the FIRST 50 keys, so each round the window rotates to the
+    queries that still lack driver evidence. Round-4 window: the 12
+    events-suite queries un-blocked by the _ts_normalize fix, the six
+    signature pipelines upgraded from rows-only to hash-checked via
+    the portable-hash oracles, the new semcache invalidation proof,
+    and 31 queries that have never held a window slot (locally green
+    since round 2). Everything rotated out retains its prior round's
+    driver-green row (CORRECTNESS_r01/r03.json) and every query at
+    every position stays locally oracle-checked by
+    tests/test_oracle_parity.py."""
     return {
         # ================= the 50-slot driver window ==================
-        # One representative per operator family that is NOT already
-        # driver-green in CORRECTNESS_r01.json. Redundant variants of
-        # families with an in-window or r1-green representative sit at
-        # position 51+ (still locally oracle-checked at every position).
-        "semcache_demo": q_semcache_demo,
+        # -- new this round: cache invalidation proof ------------------
         "semcache_invalidate": q_semcache_invalidate,
-        "tpch_q2": q_tpch_q2,
-        # -- MapReduce API surface (D1-D7) -----------------------------
-        "mr_word_count": q_mr_word_count,
-        "mr_group_reduce": q_mr_group_reduce,
+        # -- the 12 events queries fixed this round (r02/r03 err) ------
         "mr_cogroup": q_mr_cogroup,
-        # -- Python UDF/UDAF/UDTF surface ------------------------------
-        "pandas_udf_tokens": q_pandas_udf_tokens,
-        "pandas_udaf_gmean": q_pandas_udaf_gmean,
-        "udtf_ngrams": q_udtf_ngrams,
-        # -- Structured Streaming --------------------------------------
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_session": q_events_stream_session,
-        "events_stream_stateful": q_events_stream_stateful,
         "events_stream_join": q_events_stream_join,
         "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_upsert": q_events_stream_upsert,
-        # -- event-time batch windows ----------------------------------
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "skew_salted_agg": q_skew_salted_agg,
-        # -- LLM-pipeline: dedup ---------------------------------------
-        "dedup_exact": q_dedup_exact,
+        "scd2": q_scd2,
+        "hypertable_rollup": q_hypertable_rollup,
+        "funnel": q_funnel,
+        # -- rows-only -> hash-checked via portable-hash oracles -------
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "dedup_cc": q_dedup_cc,
-        "decontaminate": q_decontaminate,
-        "semdedup": q_semdedup,
-        # -- LLM-pipeline: similarity search + clustering --------------
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_centroids": q_embedding_centroids,
-        "kmeans_iter2": q_kmeans_iter2,
-        # -- LLM-pipeline: text analysis -------------------------------
-        "text_quality": q_text_quality,
-        "heavy_hitters": q_heavy_hitters,
         "doc_fingerprint": q_doc_fingerprint,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "unigram_logprob": q_unigram_logprob,
-        "chunking": q_chunking,
-        "bpe_train": q_bpe_train,
-        # -- LLM-pipeline: multimodal + curation -----------------------
-        "media_meta": q_media_meta,
-        "pretrain_filter": q_pretrain_filter,
-        # -- graph -----------------------------------------------------
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        # -- storage mutation (time_travel runs a MERGE internally, so
-        # it also covers merge_upsert's family) ------------------------
-        "time_travel": q_time_travel,
-        "scd2": q_scd2,
-        "hypertable_rollup": q_hypertable_rollup,
-        # -- sampling + sketches ---------------------------------------
-        "group_sample": q_group_sample,
-        "approx_quantiles": q_approx_quantiles,
-        # -- product analytics -----------------------------------------
-        "funnel": q_funnel,
-        # ============= position 51+: locally verified =================
-        # Family siblings of in-window or r1-green queries.
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh": q_ann_lsh,
+        # -- first-ever window slot (locally green since round 2) ------
         "retention_cohorts": q_retention_cohorts,
         "stratified_sample": q_stratified_sample,
         "merge_upsert": q_merge_upsert,
@@ -2796,11 +2752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        "tpch_q20": q_tpch_q20,
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "mr_reduce_by_key": q_mr_reduce_by_key,
         "events_sliding": q_events_sliding,
@@ -2818,6 +2774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": q_json_funcs,
         "array_hof": q_array_hof,
         "agg_misc": q_agg_misc,
+        # ============= position 51+: locally verified =================
+        # never-windowed remainder — rotate into the r05 window
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -2826,7 +2784,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "math_funcs": q_math_funcs,
         "map_funcs": q_map_funcs,
-        # ---- driver-green in CORRECTNESS_r01.json --------------------
+        # driver-green in CORRECTNESS_r03.json
+        "semcache_demo": q_semcache_demo,
+        "tpch_q2": q_tpch_q2,
+        "mr_word_count": q_mr_word_count,
+        "mr_group_reduce": q_mr_group_reduce,
+        "pandas_udf_tokens": q_pandas_udf_tokens,
+        "pandas_udaf_gmean": q_pandas_udaf_gmean,
+        "udtf_ngrams": q_udtf_ngrams,
+        "events_stream_stateful": q_events_stream_stateful,
+        "events_stream_upsert": q_events_stream_upsert,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_cc": q_dedup_cc,
+        "decontaminate": q_decontaminate,
+        "semdedup": q_semdedup,
+        "ann_topk": q_ann_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "kmeans_iter2": q_kmeans_iter2,
+        "text_quality": q_text_quality,
+        "heavy_hitters": q_heavy_hitters,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
+        "chunking": q_chunking,
+        "bpe_train": q_bpe_train,
+        "media_meta": q_media_meta,
+        "pretrain_filter": q_pretrain_filter,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "time_travel": q_time_travel,
+        "group_sample": q_group_sample,
+        # rows-only by construction (approximate), r03 rows evidence
+        "ann_ivf": q_ann_ivf,
+        "approx_quantiles": q_approx_quantiles,
+        # driver-green in CORRECTNESS_r01.json
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
         "aggregation": q_aggregation,
