@@ -1721,6 +1721,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(docs, k=9, portable=True).select("doc_id", "fp")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal (text.span_dedup, the
+    C4/CCNet boilerplate rule over non-overlapping 10-token spans,
+    portable hash): the synthetic corpus' tiny vocabulary repeats
+    spans naturally, so removal is non-degenerate; the oracle replays
+    tokenize -> span -> hash-count -> rebuild exactly, including the
+    reassembled text."""
+    return text.span_dedup(
+        _t(spark, sf_dir, "documents"), span_tokens=10, min_occurrences=2, portable=True
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining source-mixture reweighting (text.mixture_sample):
+    scale four sources to a 0.4/0.3/0.2/0.1 token mixture at the
+    largest no-upsampling budget, keep documents by a deterministic
+    portable hash threshold, return the per-source audit summary.
+    The whole derivation (totals -> K -> thresholds -> hash keep)
+    lives in the plan and the oracle replays it bit-for-bit."""
+    return text.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (word 3-shingle sets,
     all-pairs on a bounded subset). This is the exact baseline the
@@ -2768,14 +2793,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "media_frame_sample": q_media_frame_sample,
         "source_csv": q_source_csv,
-        "source_json": q_source_json,
-        "source_orc": q_source_orc,
+        # -- new operators this round (span dedup + data mixing) -------
+        "span_dedup": q_span_dedup,
+        "mixture_sample": q_mixture_sample,
         "regex_funcs": q_regex_funcs,
         "json_funcs": q_json_funcs,
         "array_hof": q_array_hof,
         "agg_misc": q_agg_misc,
         # ============= position 51+: locally verified =================
         # never-windowed remainder — rotate into the r05 window
+        "source_json": q_source_json,
+        "source_orc": q_source_orc,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -3015,6 +3043,69 @@ def _oracle_embedding_near_dup(
             FROM sk a JOIN sk b USING (bucket)
             WHERE a.id < b.id
               AND {dot} / ({na} * {nb}) >= {threshold}
+        """
+
+
+def _oracle_span_dedup(span: int = 10, min_occ: int = 2) -> str:
+    """DuckDB replay of text.span_dedup(portable=True): tokenize ->
+    non-overlapping spans with position -> portable-60-bit hash count
+    -> drop dup spans -> ordered rebuild; empty docs kept as ''."""
+    return f"""
+            WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            sp AS (SELECT doc_id, unnest(range(1, CAST(ceil(len(toks)/{span}.0) AS INT)+1)) AS pos,
+                          toks
+                   FROM tok WHERE len(toks) > 0),
+            spans AS (SELECT doc_id, pos,
+                             array_to_string(toks[(pos-1)*{span}+1:(pos-1)*{span}+{span}], ' ') AS span
+                      FROM sp),
+            hv AS (SELECT doc_id, pos, span, {_sql_hex15('md5(span)', 0)} AS h FROM spans),
+            cnt AS (SELECT h, count(*) AS c FROM hv GROUP BY h),
+            flagged AS (SELECT doc_id, pos, span,
+                               (c >= {min_occ}) AS dup
+                        FROM hv JOIN cnt USING (h)),
+            rebuilt AS (SELECT doc_id,
+                               coalesce(string_agg(span, ' ' ORDER BY pos, span)
+                                        FILTER (WHERE NOT dup), '') AS text,
+                               count(*) AS n_spans,
+                               sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_spans_removed
+                        FROM flagged GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.text, '') AS text,
+                   CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(r.n_spans_removed, 0) AS BIGINT) AS n_spans_removed
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """
+
+
+def _oracle_mixture_sample(
+    weights: dict[str, float] | None = None, resolution: int = 1 << 20
+) -> str:
+    """DuckDB replay of text.mixture_sample: per-source token totals ->
+    K = min(tot/w) -> integer thresholds -> portable-hash keep ->
+    audit summary. Weight literals cast to DOUBLE so both engines
+    compare the same IEEE values."""
+    weights = weights or {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    srcs = ", ".join(f"'{s}'" for s in weights)
+    wcase = " ".join(f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in weights.items())
+    return f"""
+            WITH base AS (SELECT doc_id AS id, source AS src,
+                                 len({TOKENS_SQL}) AS ntok
+                          FROM documents WHERE source IN ({srcs})),
+            tot AS (SELECT src, sum(ntok) AS tot FROM base GROUP BY src),
+            w AS (SELECT src, CASE src {wcase} END AS wt, tot FROM tot),
+            k AS (SELECT min(CAST(tot AS DOUBLE) / wt) AS k FROM w),
+            thr AS (SELECT src,
+                           CAST(floor(least(CAST(1.0 AS DOUBLE),
+                                            wt * k.k / CAST(tot AS DOUBLE)) * {resolution})
+                                AS BIGINT) AS thr
+                    FROM w, k),
+            kept AS (SELECT b.src, b.ntok, t.thr
+                     FROM base b JOIN thr t USING (src)
+                     WHERE ({_sql_hex15('md5(b.id::VARCHAR)', 0)}) % {resolution} < t.thr)
+            SELECT src AS source, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   min(thr) AS threshold
+            FROM kept GROUP BY src
         """
 
 
@@ -3874,6 +3965,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             HAVING count(*) > 1
         """,
+        "span_dedup": _oracle_span_dedup(),
+        "mixture_sample": _oracle_mixture_sample(),
         "minhash_candidates": _oracle_minhash_candidates(),
         "minhash_dedup": _oracle_minhash_dedup(),
         "simhash_candidates": _oracle_simhash_candidates(),

@@ -484,3 +484,156 @@ def token_entropy(
         .agg(F.sum(term).cast("double").alias("entropy"))
         .select(id_col, "n_tokens", "n_distinct", "entropy")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    min_occurrences: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal — the C4 "repeated span" /
+    CCNet paragraph-dedup rule adapted to unstructured text: cut each
+    document into NON-OVERLAPPING ``span_tokens``-token spans, count
+    identical spans across the WHOLE corpus, drop every occurrence of
+    any span appearing >= ``min_occurrences`` times (boilerplate,
+    navigation chrome, license headers), and rebuild each document
+    from its surviving spans in order.
+
+    Scale shape: one explode (doc -> spans with position), one
+    (span-hash) count aggregate (map-side combined), one shuffle join
+    of spans against counts keyed on the hash (both sides partition by
+    the same key; no broadcast of the |distinct spans| table, which is
+    corpus-sized at 100 TB), and one (id) aggregate to reassemble
+    order via sorted (pos, span) structs. The span text itself crosses
+    a shuffle only in the rebuild — bounded by the output size.
+
+    ``portable=True`` hashes spans with the md5-derived 60-bit hash so
+    an external SQL oracle replays the pipeline exactly.
+
+    Returns (id_col, text, n_spans, n_spans_removed) — empty-text rows
+    kept (a fully-boilerplate document becomes an empty string, the
+    caller's filter decides)."""
+    toks_col = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks_col.alias("_toks"))
+    n_sp = F.ceil(F.size("_toks") / F.lit(span_tokens)).cast("int")
+    spans = base.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_sp),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_toks", (i - F.lit(1)) * span_tokens + 1, span_tokens)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_span"),
+    )
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        h = portable_hash60(F.md5("_span"), 0)
+    else:
+        h = F.xxhash64("_span")
+    hashed = spans.select("_id", "_pos", "_span", h.alias("_h"))
+    counts = hashed.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    kept = (
+        hashed.join(counts, "_h")
+        .withColumn("_dup", (F.col("_cnt") >= min_occurrences).cast("int"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup") == 0, F.struct("_pos", "_span"))
+                    )
+                ),
+                lambda s: s["_span"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_spans"),
+        F.sum("_dup").alias("n_spans_removed"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_spans_removed"), F.lit(0)).cast("long").alias(
+                "n_spans_removed"
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """Source-mixture reweighting — the pretraining data-mixing step:
+    given target mixture ``weights`` (source -> share of the final
+    token budget), scale the corpus to the LARGEST budget achievable
+    without upsampling any source (K = min_s tokens_s / w_s), derive a
+    per-source keep fraction, and keep documents by a deterministic
+    portable hash of their id (engine-reproducible, no rand()).
+
+    Everything stays in the plan: per-source token totals (one agg of
+    the weighted sources only), the scalar K via a broadcast of the
+    tiny totals table, and a map-side hash filter — the corpus-sized
+    scan is filtered in place, no per-row shuffle beyond the summary
+    aggregate. Keep decisions use floor(frac * resolution) integer
+    thresholds against hash60(id) % resolution, so the sampled set is
+    exact and portable across engines.
+
+    Returns the per-source audit summary
+    (source, n_docs, n_tokens, threshold) of the SAMPLED corpus."""
+    from eclipse_spark.functions.scalar import portable_hash60
+
+    src = F.col(source_col)
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    base = df.filter(src.isin(*weights.keys())).select(
+        F.col(id_col).alias("_id"),
+        src.alias("_src"),
+        F.size(tokens(F.col(text_col))).alias("_ntok"),
+    )
+    totals = base.groupBy("_src").agg(F.sum("_ntok").alias("_tot"))
+    w_of = wmap[F.col("_src")]
+    k_scalar = totals.select(
+        F.min(F.col("_tot").cast("double") / w_of).alias("_k")
+    )
+    thresholds = (
+        totals.crossJoin(F.broadcast(k_scalar))
+        .select(
+            "_src",
+            F.floor(
+                F.least(
+                    F.lit(1.0), w_of * F.col("_k") / F.col("_tot").cast("double")
+                )
+                * resolution
+            ).alias("_thr"),
+        )
+    )
+    kept = (
+        base.join(F.broadcast(thresholds), "_src")
+        .filter(
+            F.pmod(portable_hash60(F.md5(F.col("_id").cast("string")), 0), F.lit(resolution))
+            < F.col("_thr")
+        )
+    )
+    return kept.groupBy(F.col("_src").alias(source_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.first("_thr").alias("threshold"),
+    )

@@ -133,3 +133,62 @@ def test_bm25_ranks_relevance(spark):
     # top-k must lower to TakeOrdered, not a global window sort
     plan = bm25_topk(docs, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_dedup_removes_planted_boilerplate(spark):
+    """A span planted in 3 docs must vanish from ALL of them; unique
+    spans survive; a doc that is pure boilerplate becomes ''."""
+    from eclipse_spark.operators.text import span_dedup
+
+    boiler = "x " * 9 + "x"  # exactly one 10-token span
+    rows = [
+        (1, boiler + " alpha beta gamma delta one two three four five six"),
+        (2, boiler + " uniq2 only here words that differ from others aa bb"),
+        (3, boiler),  # pure boilerplate
+        (4, "totally different content with its own ten tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, span_tokens=10).collect()}
+    assert out[3]["text"] == "" and out[3]["n_spans_removed"] == 1
+    assert "x x" not in out[1]["text"] and out[1]["text"].startswith("alpha")
+    assert out[2]["n_spans"] == 2 and out[2]["n_spans_removed"] == 1
+    assert out[4]["n_spans_removed"] == 0 and out[4]["n_spans"] == 1
+
+
+def test_span_dedup_portable_matches_default(spark, sf_smoke):
+    """Hash choice must not change semantics, only oracle-ability."""
+    from eclipse_spark.operators.text import span_dedup
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = span_dedup(docs, portable=False).orderBy("doc_id").collect()
+    b = span_dedup(docs, portable=True).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_mixture_sample_respects_weights_and_budget(spark, sf_smoke):
+    """No source may exceed its keep threshold's implied share; the
+    binding source (min tokens/weight) keeps everything (frac=1)."""
+    from eclipse_spark.operators.text import mixture_sample, tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = {r["source"]: r for r in mixture_sample(docs, weights).collect()}
+    assert set(out) == set(weights)
+    res = 1 << 20
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.filter(F.col("source").isin(*weights))
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()
+    }
+    k = min(totals[s] / w for s, w in weights.items())
+    binding = min(weights, key=lambda s: totals[s] / weights[s])
+    assert out[binding]["threshold"] == res  # frac = 1.0 -> keeps all
+    for s, w in weights.items():
+        import math
+
+        expect_thr = math.floor(min(1.0, w * k / totals[s]) * res)
+        assert out[s]["threshold"] == expect_thr
+        assert out[s]["n_docs"] <= 25  # never upsampled
