@@ -64,6 +64,9 @@ HEADLINE = [
     "time_travel",
     "sequence_pack",
     "anomaly_zscore",
+    # round 4 additions
+    "span_dedup",
+    "mixture_sample",
 ]
 
 
