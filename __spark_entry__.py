@@ -1795,6 +1795,22 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(_media(spark, sf_dir), every_n=30)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize stage (deterministic stub kernel: payload =
+    sha256 digest tiled to 64x64x3 bytes; real kernel = PIL resize when
+    installed). The oracle recomputes the output length and the
+    digest-prefix head bytes from the text content, proving the
+    pipeline produced exactly the deterministic payload."""
+    out = multimodal.resize_media(_media(spark, sf_dir), width=64, height=64, fake=True)
+    return out.select(
+        "id",
+        F.length("bytes").alias("n_bytes"),
+        F.lower(F.hex(F.substring("bytes", 1, 8))).alias("head_hex"),
+        "width",
+        "height",
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (deterministic fake
     kernel — real decoder needs PIL/ffmpeg; the Spark-side schema,
@@ -2804,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-windowed remainder — rotate into the r05 window
         "source_json": q_source_json,
         "source_orc": q_source_orc,
+        "media_resize": q_media_resize,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -3896,6 +3913,14 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_hash
             FROM documents
         """,
+        "media_resize": """
+            SELECT doc_id AS id,
+                   CAST(64*64*3 AS INT) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS head_hex,
+                   CAST(64 AS INT) AS width,
+                   CAST(64 AS INT) AS height
+            FROM documents
+        """,
         "media_frame_sample": """
             SELECT doc_id AS id,
                    CAST(unnest(range(0, octet_length(encode(text)) % 300 + 1, 30)) AS INT)
@@ -4610,8 +4635,9 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
         """,
-        # no oracle (non-SQL-expressible, hash-seeded or approximate):
-        # approx_distinct, minhash_candidates, minhash_dedup,
-        # simhash_candidates, embedding_near_dup, ann_lsh, ann_ivf,
-        # doc_fingerprint
+        # no oracle (genuinely approximate or watermark-withheld):
+        # approx_distinct (HLL), approx_quantiles (mergeable sketch),
+        # ann_ivf (approximate by construction; recall pinned in
+        # tests), events_stream_session (append-mode watermark
+        # withholds tail sessions)
     }

@@ -119,6 +119,63 @@ def decode_features(
     return df.select(id_col, bytes_col).mapInPandas(_run, schema="id long, features array<double>")
 
 
+def resize_media(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "id",
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage (bytes -> bytes), completing the decode /
+    feature-extract / RESIZE / frame-sample set: an Arrow-batched
+    mapInPandas kernel emitting (id, bytes, width, height) with the
+    payload re-encoded at the target size. ``fake=True`` runs the
+    deterministic stub — the output payload is the content's sha256
+    digest tiled to exactly width*height*3 bytes, so downstream code
+    sees correctly-sized buffers and an external oracle can recompute
+    the payload from the digest. ``fake=False`` probe-imports PIL and
+    re-encodes a real ``resize((width, height))`` as PNG; without PIL
+    it raises at plan-build time. Binary payloads stay inside the
+    map stage — nothing here shuffles bytes."""
+    if not fake and _pil_image_module() is None:
+        raise NotImplementedError(
+            "real media resize requires PIL (not in this container); "
+            "use fake=True to exercise the pipeline with the deterministic stub"
+        )
+    n_out = width * height * 3
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake else _pil_image_module()
+
+        def one(b) -> bytes:
+            payload = bytes(b) if b is not None else b""
+            if image_mod is None:
+                digest = hashlib.sha256(payload).digest()
+                reps = -(-n_out // len(digest))
+                return (digest * reps)[:n_out]
+            import io
+
+            img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+            out = io.BytesIO()
+            img.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "bytes": pdf[bytes_col].map(one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _run, schema="id long, bytes binary, width int, height int"
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str = "id", bytes_col: str = "bytes", every_n: int = 30
 ) -> DataFrame:

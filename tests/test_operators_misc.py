@@ -99,6 +99,41 @@ def test_decode_features_fake_is_deterministic(media_df):
     assert all(len(v) == 8 for v in out1.values())
 
 
+def test_resize_media_stub_payload_exact(media_df):
+    """Stub resize: payload must be the content digest tiled to exactly
+    width*height*3 bytes — sized buffers, deterministic, replayable."""
+    import hashlib
+
+    out = {r["id"]: r for r in multimodal.resize_media(media_df, width=4, height=2, fake=True).collect()}
+    assert set(out) == {1, 2, 3}
+    src = {1: b"\x89PNGfakebytes-1", 2: b"\x89PNGfakebytes-22", 3: b"RIFFfakewav"}
+    for i, payload in src.items():
+        digest = hashlib.sha256(payload).digest()
+        expect = (digest * 1)[: 4 * 2 * 3]
+        assert bytes(out[i]["bytes"]) == expect
+        assert (out[i]["width"], out[i]["height"]) == (4, 2)
+
+
+def test_resize_media_real_kernel_or_raise(media_df, spark):
+    if multimodal._pil_image_module() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_media(media_df, fake=False)
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 12), (0, 255, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (16, 12, "image/png"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.resize_media(df, width=8, height=8, fake=False).collect()[0]
+    img = Image.open(io.BytesIO(bytes(row["bytes"])))
+    assert img.size == (8, 8)
+
+
 def test_frame_sample_plan(media_df):
     out = multimodal.frame_sample_plan(media_df, every_n=5)
     assert out.columns == ["id", "frame_idx"]
