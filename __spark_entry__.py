@@ -1746,6 +1746,26 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear scoring (text.
+    hashed_ngram_score) with a deterministic synthetic weight table
+    (weight_b = (b % 1000)/1000 - 0.5, the stand-in for a trained
+    model): weights broadcast, corpus explodes bigrams, scores
+    accumulate in decimal. The oracle replays the bucket hash and the
+    exact weight arithmetic."""
+    buckets = 1 << 12
+    weights = (
+        spark.range(buckets)
+        .select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") % 1000) / 1000.0 - 0.5).alias("weight"),
+        )
+    )
+    return text.hashed_ngram_score(
+        _t(spark, sf_dir, "documents"), weights, n=2, buckets=buckets, portable=True
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (word 3-shingle sets,
     all-pairs on a bounded subset). This is the exact baseline the
@@ -2821,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_json": q_source_json,
         "source_orc": q_source_orc,
         "media_resize": q_media_resize,
+        "quality_classifier": q_quality_classifier,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -3912,6 +3933,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    sha256(text) AS content_hash
             FROM documents
+        """,
+        "quality_classifier": f"""
+            WITH tok AS (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM documents),
+            g AS (SELECT id, unnest(list_transform(
+                    range(1, greatest(len(toks)-1,1)+1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM tok),
+            b AS (SELECT id, ({_sql_hex15('md5(gram)', 0)}) % 4096 AS bucket FROM g),
+            w AS (SELECT range AS bucket,
+                         (range % 1000) / CAST(1000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight
+                  FROM range(4096))
+            SELECT b.id AS doc_id, count(*) AS n_grams,
+                   CAST(sum(CAST(round(w.weight, 9) AS DECIMAL(16,9))) AS DOUBLE) AS score
+            FROM b JOIN w USING (bucket)
+            GROUP BY b.id
         """,
         "media_resize": """
             SELECT doc_id AS id,

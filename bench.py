@@ -117,6 +117,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Iterative operators persist() intermediates (pagerank edges,
+        # IVF centroids, CC labels) whose lifecycle belongs to the
+        # caller; without a release, 36 queries x 3 runs accumulate
+        # dozens of cached RDDs and later queries pay their GC/evict
+        # pressure (measured: pagerank 11.4 s late in the suite vs
+        # 5.1 s isolated). Clear between queries so each number is the
+        # query's own cost.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

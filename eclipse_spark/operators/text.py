@@ -637,3 +637,57 @@ def mixture_sample(
         F.sum("_ntok").alias("n_tokens"),
         F.first("_thr").alias("threshold"),
     )
+
+
+def hashed_ngram_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 1 << 12,
+    portable: bool = False,
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed n-gram features —
+    the fastText-style filter of pretraining pipelines (score a doc by
+    summing learned weights of its hashed word n-grams; threshold
+    downstream). ``weights`` is a (bucket, weight) table: the model is
+    DATA, not code, so any trained linear model drops in.
+
+    Scale shape: the weight table is ``buckets`` rows (KBs-MBs) and
+    BROADCASTS; the corpus side explodes n-grams, buckets them with
+    one hash, and map-side-combines into per-doc sums — the only
+    corpus-sized shuffle carries (id, partial sum). Per-term products
+    round to 9 digits and accumulate in decimal, so scores are
+    partition-order- and engine-exact (the sigmoid/threshold is the
+    caller's — exp() rounding is libm-dependent, a raw linear score
+    is not).
+
+    Returns (id_col, n_grams, score). ``portable=True`` buckets with
+    the md5-derived hash so an external SQL oracle replays scoring
+    bit-for-bit."""
+    grams = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id",
+        F.explode(word_shingles_raw(F.col("_toks"), n)).alias("_g"),
+    )
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        b = F.pmod(portable_hash60(F.md5("_g"), 0), F.lit(buckets))
+    else:
+        b = F.pmod(F.xxhash64("_g"), F.lit(buckets))
+    bucketed = grams.select("_id", b.alias("bucket"))
+    w = weights.select("bucket", F.col("weight").cast("double").alias("_w"))
+    term = F.round(F.col("_w"), 9).cast("decimal(16,9)")
+    return (
+        bucketed.join(F.broadcast(w), "bucket", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(term, F.lit(0).cast("decimal(16,9)")))
+            .cast("double")
+            .alias("score"),
+        )
+    )

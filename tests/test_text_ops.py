@@ -192,3 +192,38 @@ def test_mixture_sample_respects_weights_and_budget(spark, sf_smoke):
         expect_thr = math.floor(min(1.0, w * k / totals[s]) * res)
         assert out[s]["threshold"] == expect_thr
         assert out[s]["n_docs"] <= 25  # never upsampled
+
+
+def test_hashed_ngram_score_known_weights(spark):
+    """Score must equal the sum of the weights of the doc's bigram
+    buckets — verified by computing buckets independently."""
+    from eclipse_spark.functions.scalar import portable_hash60
+    from eclipse_spark.operators.text import hashed_ngram_score
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    buckets = 64
+    weights = spark.range(buckets).select(
+        F.col("id").alias("bucket"), (F.col("id") * 0.25).alias("weight")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_ngram_score(
+            docs, weights, n=2, buckets=buckets, portable=True
+        ).collect()
+    }
+    grams = {1: ["alpha beta", "beta gamma"], 2: ["alpha alpha"], 3: ["solo"]}
+    bk = {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame(
+            [(g,) for gs in grams.values() for g in gs], ["g"]
+        )
+        .select("g", F.pmod(portable_hash60(F.md5("g"), 0), F.lit(buckets)).alias("b"))
+        .collect()
+    }
+    for d, gs in grams.items():
+        assert out[d]["n_grams"] == len(gs)
+        assert abs(out[d]["score"] - sum(bk[g] * 0.25 for g in gs)) < 1e-9
