@@ -167,7 +167,27 @@ def _sql_sign_bucket(vec_expr: str, planes: int, seed: int, dim: int) -> str:
     return "(" + " | ".join(parts) + ")"
 
 
-_EMB_DIM = 64  # driver testdata embedding dimension (embeddings.parquet)
+def _emb_dim(default: int = 64) -> int:
+    """Embedding dimension read from the driver's own testdata (one
+    arrow column of the first row group) — the sign-sketch oracles
+    inline one weight literal per dimension, so a testdata dim change
+    must re-derive them rather than silently mismatch (the events-ts
+    lesson, applied to embeddings)."""
+    global _EMB_DIM_CACHE
+    if _EMB_DIM_CACHE is None:
+        try:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
+            col = pf.read_row_group(0, columns=["embedding"]).column(0)
+            _EMB_DIM_CACHE = len(col[0])
+        except Exception:
+            _EMB_DIM_CACHE = default
+    return _EMB_DIM_CACHE
+
+
+_EMB_DIM_CACHE: int | None = None
+_EMB_DIM = 64  # fallback only; oracle builders call _emb_dim()
 
 
 # ---------------------------------------------------------------------------
@@ -3061,16 +3081,17 @@ def _oracle_embedding_near_dup(
     weights (data-independent, so the oracle needs no hash function),
     then the double-precision cosine verify — identical IEEE sequential
     arithmetic to the engine's zip_with/aggregate formulation."""
-    bucket = _sql_sign_bucket("emb", planes, seed, _EMB_DIM)
+    dim = _emb_dim()
+    bucket = _sql_sign_bucket("emb", planes, seed, dim)
     dot = (
-        f"list_sum(list_transform(range(1,{_EMB_DIM + 1}), "
+        f"list_sum(list_transform(range(1,{dim + 1}), "
         "i -> a.emb[i]::DOUBLE * b.emb[i]::DOUBLE))"
     )
     nrm = (
         "sqrt(list_sum(list_transform(range(1,%d), i -> %s[i]::DOUBLE * %s[i]::DOUBLE)))"
     )
-    na = nrm % (_EMB_DIM + 1, "a.emb", "a.emb")
-    nb = nrm % (_EMB_DIM + 1, "b.emb", "b.emb")
+    na = nrm % (dim + 1, "a.emb", "a.emb")
+    nb = nrm % (dim + 1, "b.emb", "b.emb")
     return f"""
             WITH e AS (
               SELECT vec_id, embedding AS emb FROM embeddings
@@ -3152,7 +3173,7 @@ def _oracle_ann_lsh(k: int = 10, planes: int = 6, seed: int = 7) -> str:
     cosine ranking. Only (query_id, match_id, rank) surface, so the
     check rides the cosine ORDER (same robustness as ann_topk's
     driver-green oracle), while the bucketing is bit-exact."""
-    bucket = _sql_sign_bucket("embedding", planes, seed, _EMB_DIM)
+    bucket = _sql_sign_bucket("embedding", planes, seed, _emb_dim())
     return f"""
             WITH sk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
             q AS (SELECT vec_id AS query_id, embedding AS qv, bucket

@@ -94,7 +94,7 @@ def test_xxh64_replica_matches_spark(spark):
 
 def test_plane_weights_match_sign_sketch(spark, sf_smoke):
     """The inlined oracle weights reproduce sign_sketch_df's buckets."""
-    from __spark_entry__ import _plane_weight, _sql_sign_bucket
+    from __spark_entry__ import _emb_dim, _plane_weight, _sql_sign_bucket
 
     from eclipse_spark.operators.similarity import sign_sketch_df
 
@@ -104,7 +104,7 @@ def test_plane_weights_match_sign_sketch(spark, sf_smoke):
         for r in sign_sketch_df(emb, "vec_id", "embedding", 6, 7, "id", "v").collect()
     }
     con = duckdb.connect()
-    bucket = _sql_sign_bucket("embedding", 6, 7, 64)
+    bucket = _sql_sign_bucket("embedding", 6, 7, _emb_dim())
     dd = con.sql(
         f"SELECT vec_id, {bucket} AS b FROM "
         f"(SELECT * FROM '{os.path.join(sf_smoke, 'embeddings.parquet')}' LIMIT 50)"
