@@ -302,3 +302,36 @@ def test_decontaminate_corpus_agg_after_filter(spark, sf_smoke):
     # sized, tiny) and the per-doc aggregation of MATCHED grams — the
     # corpus-side explode itself must never shuffle
     assert s.n_shuffles <= 2
+
+
+def test_quality_classifier_single_shuffle_broadcast_model(spark, sf_smoke):
+    """The model table must broadcast and the only shuffle is the
+    per-doc score aggregate — the op runs at scan speed at 100 TB."""
+    from eclipse_spark.admin import explain_summary
+
+    s = explain_summary(QUERIES["quality_classifier"](spark, sf_smoke))
+    assert s.n_shuffles == 1
+    assert s.n_broadcasts >= 1
+    assert not s.has_python_udf
+
+
+def test_span_dedup_bounded_shuffles_no_udf(spark, sf_smoke):
+    """Corpus-level span dedup: count + rebuild are the only shuffles
+    (the count join may broadcast locally under AQE — it is not
+    engine-pinned, so at scale it degrades to a partitioned join)."""
+    from eclipse_spark.admin import explain_summary
+
+    s = explain_summary(QUERIES["span_dedup"](spark, sf_smoke))
+    assert s.n_shuffles <= 3
+    assert not s.has_python_udf
+
+
+def test_mixture_sample_broadcast_thresholds(spark, sf_smoke):
+    """All shuffles are tiny aggregates (totals/K/summary); the
+    corpus-side keep filter joins only against broadcast thresholds."""
+    from eclipse_spark.admin import explain_summary
+
+    s = explain_summary(QUERIES["mixture_sample"](spark, sf_smoke))
+    assert s.n_shuffles <= 4
+    assert s.n_broadcasts >= 1
+    assert not s.has_python_udf
