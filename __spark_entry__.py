@@ -1766,6 +1766,40 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh-run near-dedup (dedup.minhash_dedup_against): a NEW
+    batch (docs 250+, plus planted whitespace-perturbed copies of
+    every 10th REF doc) is deduped against the EXISTING corpus (docs
+    <250) — banded join is new x ref only, never ref x ref. Planted
+    copies share the ref doc's exact shingle set, so their signatures
+    collide in every band and Jaccard=1: they MUST drop. Portable
+    hash end-to-end; the oracle replays both corpora's signatures,
+    the cross join, and the verify."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250).unionByName(
+        ref.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    out = dedup.minhash_dedup_against(new, ref, threshold=0.8, portable=True)
+    return out.select("doc_id")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (relational.
+    dataset_split): hash-range buckets over a portable hash of the id
+    — map-side only, reproducible across engines and immune to
+    corpus-membership changes (unlike percent_rank splits). The
+    oracle recomputes every row's split from the same literals."""
+    out = relational.dataset_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "split")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear scoring (text.
     hashed_ngram_score) with a deterministic synthetic weight table
@@ -2862,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc": q_source_orc,
         "media_resize": q_media_resize,
         "quality_classifier": q_quality_classifier,
+        "incremental_dedup": q_incremental_dedup,
+        "dataset_split": q_dataset_split,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -3013,6 +3049,101 @@ def _oracle_minhash_dedup(threshold: float = 0.8, k: int = 5) -> str:
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold})
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """
+
+
+def _sql_minhash_sig(src_cte: str, nh: int = 32, k: int = 5) -> str:
+    """Shared SQL: portable MinHash signature table for a (doc_id,
+    text) CTE — word k-shingles, one md5 per shingle, rotate-XOR
+    family minima (mirror of minhash_signatures_df portable=True)."""
+    hmins = ",\n              ".join(
+        f"min(xor(v, {_sql_rot60('u', i)})) AS h{i}" for i in range(nh)
+    )
+    return f"""
+            (SELECT id, {hmins} FROM (
+               SELECT id, {_sql_hex15('md5(s)', 0)} AS v,
+                      {_sql_hex15('md5(s)', 1)} AS u
+               FROM (SELECT id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks)-{k - 1},1)+1),
+                       i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS s
+                     FROM (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM {src_cte}) t0) t1
+             ) t2 GROUP BY id)
+        """
+
+
+def _oracle_incremental_dedup(
+    nh: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.8
+) -> str:
+    """DuckDB replay of minhash_dedup_against over the planted-refresh
+    corpora: per-side signatures, new x ref banded join, Jaccard
+    verify, anti-join (mirror of q_incremental_dedup)."""
+    rpb = nh // bands
+
+    def band_rows(sig_cte: str) -> str:
+        return "\n              UNION ALL ".join(
+            "SELECT id, {b} AS band, {bh} AS bh FROM {cte}".format(
+                b=b,
+                cte=sig_cte,
+                bh=_sql_hex15(
+                    "md5(concat_ws('|', "
+                    + ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
+                    + "))"
+                ),
+            )
+            for b in range(bands)
+        )
+
+    shingle = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-"
+        f"{k - 1},1)+1), i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
+    )
+    return f"""
+            WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+            new_b AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0),
+            sig_new AS {_sql_minhash_sig('new_b', nh, k)},
+            sig_ref AS {_sql_minhash_sig('ref', nh, k)},
+            band_new AS ({band_rows('sig_new')}),
+            band_ref AS ({band_rows('sig_ref')}),
+            cand AS (SELECT DISTINCT n.id AS id_a, r.id AS id_b
+                     FROM band_new n JOIN band_ref r USING (band, bh)),
+            sh_new AS (SELECT doc_id AS id_a, {shingle} AS sh
+                       FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM new_b) t),
+            sh_ref AS (SELECT doc_id AS id_b, {shingle} AS sh
+                       FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM ref) t),
+            losers AS (
+              SELECT DISTINCT c.id_a
+              FROM cand c JOIN sh_new a USING (id_a) JOIN sh_ref b USING (id_b)
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold})
+            SELECT doc_id FROM new_b
+            WHERE doc_id NOT IN (SELECT id_a FROM losers)
+        """
+
+
+def _oracle_dataset_split(
+    fractions: dict[str, float] | None = None, resolution: int = 1 << 20
+) -> str:
+    """DuckDB replay of relational.dataset_split — the cumulative
+    bounds are computed by the SAME Python arithmetic the engine uses,
+    then embedded as literals, so no cross-engine float drift can
+    exist by construction."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bounds = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bounds.append((name, int(acc * resolution)))
+    bounds[-1] = (bounds[-1][0], resolution)
+    case = " ".join(f"WHEN h < {ub} THEN '{name}'" for name, ub in bounds)
+    return f"""
+            WITH h AS (SELECT doc_id,
+                   ({_sql_hex15('md5(doc_id::VARCHAR)', 0)}) % {resolution} AS h
+                   FROM documents)
+            SELECT doc_id, CASE {case} END AS split FROM h
         """
 
 
@@ -4046,6 +4177,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             HAVING count(*) > 1
         """,
+        "incremental_dedup": _oracle_incremental_dedup(),
+        "dataset_split": _oracle_dataset_split(),
         "span_dedup": _oracle_span_dedup(),
         "mixture_sample": _oracle_mixture_sample(),
         "minhash_candidates": _oracle_minhash_candidates(),

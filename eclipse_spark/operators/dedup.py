@@ -676,3 +676,84 @@ def semantic_dedup(
             F.when(F.col("_did").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+# -- incremental (cross-corpus) dedup ---------------------------------
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup: drop documents from a NEW batch that
+    near-duplicate the EXISTING corpus — the refresh-run shape of
+    every production pipeline (yesterday's 100 TB is already deduped;
+    today's crawl must only be checked AGAINST it, plus against
+    itself via the ordinary :func:`minhash_dedup`).
+
+    Scale shape: signatures are computed per side and the banded join
+    is new x ref ONLY (keyed on (band, band-hash)) — never ref x ref,
+    so the heavy side is touched once for signatures and once in the
+    bucket join; the verify joins shingle sets for candidate pairs
+    only. Returns the surviving rows of ``new_df``."""
+    sig_new = minhash_signatures_df(new_df, text_col, id_col, num_hashes, shingle_k, portable)
+    sig_ref = minhash_signatures_df(ref_df, text_col, id_col, num_hashes, shingle_k, portable)
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            from eclipse_spark.functions.scalar import portable_hash60
+
+            return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
+        return F.xxhash64(*cols)
+
+    def banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    cand = (
+        banded(sig_new).alias("n")
+        .join(banded(sig_ref).alias("r"), on=["band", "bh"])
+        .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    # verify with shingle sets drawn from the matching side each
+    from eclipse_spark.operators.text import word_shingles
+
+    sh_new = new_df.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh_a"),
+    )
+    sh_ref = ref_df.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh_b"),
+    )
+    verified = (
+        cand.join(sh_new, "id_a")
+        .join(sh_ref, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_a").alias(id_col)).distinct()
+    return new_df.join(losers, on=id_col, how="left_anti")

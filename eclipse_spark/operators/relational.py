@@ -244,3 +244,36 @@ def deterministic_group_sample(
         .where(F.col(rank_col) <= k)
         .drop("_salt")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split step
+    of every training pipeline, as a pure map-side projection: each row
+    lands in the bucket whose cumulative hash-range contains
+    hash60(id) % resolution. No shuffle, no rand() (reproducible across
+    runs, engines, and partitionings — adding or removing OTHER rows
+    never moves an existing row's split, unlike percent_rank schemes).
+    ``fractions`` must sum to ~1; ranges are cumulative floors so every
+    residue maps to exactly one split."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.functions.scalar import portable_hash60
+
+    bounds = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bounds.append((name, int(acc * resolution)))
+    bounds[-1] = (bounds[-1][0], resolution)  # close the last range exactly
+    h = F.pmod(portable_hash60(F.md5(F.col(id_col).cast("string")), 0), F.lit(resolution))
+    expr = None
+    for name, ub in bounds:
+        cond = h < F.lit(ub)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)

@@ -253,3 +253,57 @@ def test_semantic_dedup_drops_within_cell_only(spark):
     got = {r["vec_id"]: (r["cell"], r["kept"]) for r in
            semantic_dedup(emb, cents, threshold=0.95).collect()}
     assert got == {10: (0, 1), 11: (0, 0), 12: (1, 1), 13: (1, 0)}
+
+
+def test_minhash_dedup_against_drops_only_cross_dups(spark):
+    """Planted near-copies of ref docs drop from the new batch; docs
+    that only duplicate OTHER NEW docs survive (this operator checks
+    against the reference corpus only — in-batch dedup is
+    minhash_dedup's job)."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.dedup import minhash_dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    ref = spark.createDataFrame(
+        [(i, f"{base} ref variant {i} " + "filler words " * 5) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of ref doc 2 (whitespace-perturbed) -> must drop
+            (100, (base + " ref variant 2 " + "filler words " * 5).replace(" ", "  ")),
+            # two identical NEW docs, unrelated to ref -> both survive
+            (101, "completely different content about engines and parquet files"),
+            (102, "completely different content about engines and parquet files"),
+            # unique doc -> survives
+            (103, "another unique document with its own words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup_against(new, ref, threshold=0.8).collect()
+    }
+    assert kept == {101, 102, 103}
+
+
+def test_dataset_split_deterministic_and_membership_stable(spark, sf_smoke):
+    """Every row gets exactly one split; assignments never move when
+    other rows are added/removed (hash-range, not rank-based)."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.relational import dataset_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr).collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    n = len(full)
+    assert sum(1 for v in full.values() if v == "train") > 0.6 * n
+    # membership stability: same ids keep their split on a subset
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs.filter(F.col("doc_id") % 2 == 0), fr).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
