@@ -2108,7 +2108,9 @@ def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (native session_window + watermark,
     append mode): only watermark-closed sessions emit, so the tail
     sessions of the finite source are withheld — correct streaming
-    semantics, deterministic for a fixed input, checked rows-only."""
+    semantics, and DETERMINISTIC for a fixed input: the oracle
+    recomputes the emitted set exactly (batch sessionization filtered
+    to sessions the final watermark closed)."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
@@ -4262,6 +4264,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events, 0) AS n_events
             FROM o FULL OUTER JOIN e USING (k)
         """,
+        # Append-mode session windows ARE deterministic for a finite
+        # source: Spark emits exactly the sessions the final watermark
+        # (ms-floored max event time - 1h) has closed. Session merge is
+        # strict (a new event at exactly start+gap opens a NEW session,
+        # since windows are [start, end)); end = last event + gap.
+        "events_stream_session": """
+            WITH o AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            sess AS (SELECT user_id, min(ts) AS session_start,
+                            max(ts) + INTERVAL 30 MINUTE AS session_end,
+                            count(*) AS n_events
+                     FROM s GROUP BY user_id, sid),
+            wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w FROM events)
+            SELECT session_start, session_end, user_id, n_events
+            FROM sess, wm WHERE session_end < wm.w
+        """,
         "events_stream_stateful": """
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id
@@ -4824,9 +4848,7 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
         """,
-        # no oracle (genuinely approximate or watermark-withheld):
-        # approx_distinct (HLL), approx_quantiles (mergeable sketch),
-        # ann_ivf (approximate by construction; recall pinned in
-        # tests), events_stream_session (append-mode watermark
-        # withholds tail sessions)
+        # no oracle (genuinely approximate): approx_distinct (HLL),
+        # approx_quantiles (mergeable sketch), ann_ivf (approximate by
+        # construction; recall pinned in tests)
     }
