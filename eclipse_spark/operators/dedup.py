@@ -210,9 +210,23 @@ def ngram_jaccard_verify(
     set), computed via array_intersect/array_union on distinct
     shingles. Word shingles by default — char k-grams over a small
     vocabulary make unrelated documents look near-identical (measured
-    >50% false-positive dedup on the synthetic corpus)."""
+    >50% false-positive dedup on the synthetic corpus).
+
+    The corpus is semi-joined to the candidate id set BEFORE the
+    shingle projection: candidate pairs are a tiny fraction of a
+    100 TB corpus, and without the pre-filter the shingle arrays are
+    materialized for every document only to be dropped at the join
+    probe (the projection fuses into the scan stage ahead of the
+    join in codegen)."""
     mk = word_shingles if unit == "word" else shingles
-    sh = df.select(
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = df.join(
+        cand_ids.withColumnRenamed("id", id_col), on=id_col, how="left_semi"
+    ).select(
         F.col(id_col).alias("id"),
         F.array_distinct(mk(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -734,14 +748,21 @@ def minhash_dedup_against(
         .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    # verify with shingle sets drawn from the matching side each
+    # verify with shingle sets drawn from the matching side each;
+    # each side semi-joins to its candidate ids BEFORE shingling, so
+    # the verify pass only tokenizes candidate documents (see
+    # ngram_jaccard_verify for the scale rationale)
     from eclipse_spark.operators.text import word_shingles
 
-    sh_new = new_df.select(
+    sh_new = new_df.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(
         F.col(id_col).alias("id_a"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh_a"),
     )
-    sh_ref = ref_df.select(
+    sh_ref = ref_df.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(
         F.col(id_col).alias("id_b"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh_b"),
     )
