@@ -1615,6 +1615,27 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salted join (skew.skew_join_salted — the D9 fallback for
+    a skewed big side against a small-but-not-broadcastable dim): big
+    events rows are salted, the per-user dim replicates across salt
+    buckets, and the join key widens to (user_id, salt). Salting is
+    semantics-neutral, so the oracle is the PLAIN join — any salt
+    leakage or row duplication hash-mismatches."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = skew.skew_join_salted(ev, dim, "user_id", buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("n_orders").alias("sum_n_orders"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
@@ -2900,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "incremental_dedup": q_incremental_dedup,
         "dataset_split": q_dataset_split,
+        "skew_salted_join": q_skew_salted_join,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -4181,6 +4203,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": _oracle_incremental_dedup(),
         "dataset_split": _oracle_dataset_split(),
+        "skew_salted_join": """
+            WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey)
+            SELECT e.event_type, count(*) AS n_events,
+                   CAST(sum(d.n_orders) AS BIGINT) AS sum_n_orders
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY e.event_type
+        """,
         "span_dedup": _oracle_span_dedup(),
         "mixture_sample": _oracle_mixture_sample(),
         "minhash_candidates": _oracle_minhash_candidates(),
