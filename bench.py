@@ -67,6 +67,10 @@ HEADLINE = [
     # round 4 additions
     "span_dedup",
     "mixture_sample",
+    "incremental_dedup",
+    "dataset_split",
+    "quality_classifier",
+    "media_resize",
 ]
 
 

@@ -289,3 +289,43 @@ def test_rollup_reaggregation_equals_direct(spark, sf_correct):
 
     with pytest.raises(ValueError):
         R.build_rollup(ev, "ts", 60, [], {"a": ("avg", "value")})
+
+
+@SETTINGS
+@given(docs=texts)
+def test_span_dedup_reconstruction_invariants(spark, docs):
+    """For any corpus: (1) with an unreachable min_occurrences nothing
+    is removed and each doc rebuilds to exactly its token join;
+    (2) with min_occurrences=1 every span is removed and every doc
+    rebuilds to ''; (3) span counts match ceil(len/span) always."""
+    import math
+
+    df = _docs(spark, docs)
+    span = 3
+
+    keep_all = {r["doc_id"]: r for r in text.span_dedup(df, span_tokens=span, min_occurrences=10**9).collect()}
+    drop_all = {r["doc_id"]: r for r in text.span_dedup(df, span_tokens=span, min_occurrences=1).collect()}
+    for i, t in enumerate(docs):
+        toks = [w for w in t.lower().strip().split() if w]
+        n_sp = math.ceil(len(toks) / span)
+        assert keep_all[i]["n_spans"] == n_sp
+        assert keep_all[i]["n_spans_removed"] == 0
+        assert keep_all[i]["text"] == " ".join(toks)
+        assert drop_all[i]["text"] == ""
+        assert drop_all[i]["n_spans_removed"] == n_sp
+
+
+@SETTINGS
+@given(docs=texts)
+def test_dataset_split_partitions_every_row(spark, docs):
+    """Splits are a partition: every row gets exactly one label, and
+    re-running yields identical assignments."""
+    from eclipse_spark.operators.relational import dataset_split
+
+    df = _docs(spark, docs)
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    a = {r["doc_id"]: r["split"] for r in dataset_split(df, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(df, fr).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == len(docs)
