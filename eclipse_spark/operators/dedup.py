@@ -217,8 +217,14 @@ def ngram_jaccard_verify(
     100 TB corpus, and without the pre-filter the shingle arrays are
     materialized for every document only to be dropped at the join
     probe (the projection fuses into the scan stage ahead of the
-    join in codegen)."""
+    join in codegen). The candidate set is materialized ONCE
+    (eager localCheckpoint, the connected_components discipline):
+    it is read three times here (pair join + two semi-filters), and
+    without materialization each read would replay the entire
+    upstream LSH pipeline — the plan audit caught exactly that
+    (26-42 shuffle plans from subtree recomputation)."""
     mk = word_shingles if unit == "word" else shingles
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -747,6 +753,10 @@ def minhash_dedup_against(
         .join(banded(sig_ref).alias("r"), on=["band", "bh"])
         .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+        # materialized once — read by the verify join AND both
+        # semi-filters below; without this each read replays both
+        # sides' signature pipelines (see ngram_jaccard_verify)
+        .localCheckpoint(eager=True)
     )
     # verify with shingle sets drawn from the matching side each;
     # each side semi-joins to its candidate ids BEFORE shingling, so
