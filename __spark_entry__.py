@@ -1821,6 +1821,17 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the tokenizer story: train 2 BPE merges on
+    the corpus vocabulary (bpe_train), then re-encode every document
+    through the trained vocab (broadcast join + ordered reassembly —
+    no per-document folds). The oracle replays training AND encoding,
+    including the full encoded string per document."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.bpe_train(docs, n_merges=2)
+    return text.bpe_encode(docs, vocab)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear scoring (text.
     hashed_ngram_score) with a deterministic synthetic weight table
@@ -2922,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dataset_split": q_dataset_split,
         "skew_salted_join": q_skew_salted_join,
+        "bpe_encode": q_bpe_encode,
         "histogram": q_histogram,
         "union_by_name": q_union_by_name,
         "window_dist": q_window_dist,
@@ -3016,6 +3028,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_agg": q_collect_agg,
         "argmax": q_argmax,
     }
+
+
+# Shared BPE-vocabulary CTE chain (words -> char split -> two greedy
+# merge rounds, Sennrich semantics replayed with list_reduce) — used
+# by both the bpe_train and bpe_encode oracles.
+_BPE_VOCAB_CTES = """words AS (
+              SELECT tok AS word, count(*) AS freq
+              FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t
+              GROUP BY tok),
+            s0 AS (SELECT word, freq,
+                          list_transform(range(1, len(word) + 1),
+                                         i -> word[i:i]) AS syms
+                   FROM words),
+            p1 AS (SELECT pair FROM (
+                     SELECT s.pair, sum(freq) AS cnt FROM (
+                       SELECT freq,
+                              unnest(list_transform(range(1, len(syms)),
+                                i -> syms[i] || ' ' || syms[i+1])) AS pair
+                       FROM s0 WHERE len(syms) > 1) s
+                     GROUP BY s.pair)
+                   ORDER BY cnt DESC, pair ASC LIMIT 1),
+            s1 AS (SELECT word, freq,
+                          string_split(regexp_replace(
+                            list_reduce(syms, (acc, x) -> CASE
+                              WHEN acc[-1:] = '#'
+                                THEN acc[1:len(acc)-1] || ' ' || x
+                              WHEN list_extract(string_split(acc, ' '), -1)
+                                     = string_split(p1.pair, ' ')[1]
+                                   AND x = string_split(p1.pair, ' ')[2]
+                                THEN left(acc, len(acc) -
+                                          len(string_split(p1.pair, ' ')[1]))
+                                     || replace(p1.pair, ' ', '') || '#'
+                              ELSE acc || ' ' || x END),
+                            '#$', ''), ' ') AS syms
+                   FROM s0, p1),
+            p2 AS (SELECT pair FROM (
+                     SELECT s.pair, sum(freq) AS cnt FROM (
+                       SELECT freq,
+                              unnest(list_transform(range(1, len(syms)),
+                                i -> syms[i] || ' ' || syms[i+1])) AS pair
+                       FROM s1 WHERE len(syms) > 1) s
+                     GROUP BY s.pair)
+                   ORDER BY cnt DESC, pair ASC LIMIT 1),
+            s2 AS (SELECT word, freq,
+                          regexp_replace(
+                            list_reduce(syms, (acc, x) -> CASE
+                              WHEN acc[-1:] = '#'
+                                THEN acc[1:len(acc)-1] || ' ' || x
+                              WHEN list_extract(string_split(acc, ' '), -1)
+                                     = string_split(p2.pair, ' ')[1]
+                                   AND x = string_split(p2.pair, ' ')[2]
+                                THEN left(acc, len(acc) -
+                                          len(string_split(p2.pair, ' ')[1]))
+                                     || replace(p2.pair, ' ', '') || '#'
+                              ELSE acc || ' ' || x END),
+                            '#$', '') AS syms
+                   FROM s1, p2)""".replace("{TOKENS}", TOKENS_SQL)
 
 
 def _oracle_minhash_candidates(nh: int = 32, bands: int = 8, k: int = 5) -> str:
@@ -4685,61 +4754,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
             FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
         """,
-        "bpe_train": """
-            WITH words AS (
-              SELECT tok AS word, count(*) AS freq
-              FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t
-              GROUP BY tok),
-            s0 AS (SELECT word, freq,
-                          list_transform(range(1, len(word) + 1),
-                                         i -> word[i:i]) AS syms
-                   FROM words),
-            p1 AS (SELECT pair FROM (
-                     SELECT s.pair, sum(freq) AS cnt FROM (
-                       SELECT freq,
-                              unnest(list_transform(range(1, len(syms)),
-                                i -> syms[i] || ' ' || syms[i+1])) AS pair
-                       FROM s0 WHERE len(syms) > 1) s
-                     GROUP BY s.pair)
-                   ORDER BY cnt DESC, pair ASC LIMIT 1),
-            s1 AS (SELECT word, freq,
-                          string_split(regexp_replace(
-                            list_reduce(syms, (acc, x) -> CASE
-                              WHEN acc[-1:] = '#'
-                                THEN acc[1:len(acc)-1] || ' ' || x
-                              WHEN list_extract(string_split(acc, ' '), -1)
-                                     = string_split(p1.pair, ' ')[1]
-                                   AND x = string_split(p1.pair, ' ')[2]
-                                THEN left(acc, len(acc) -
-                                          len(string_split(p1.pair, ' ')[1]))
-                                     || replace(p1.pair, ' ', '') || '#'
-                              ELSE acc || ' ' || x END),
-                            '#$', ''), ' ') AS syms
-                   FROM s0, p1),
-            p2 AS (SELECT pair FROM (
-                     SELECT s.pair, sum(freq) AS cnt FROM (
-                       SELECT freq,
-                              unnest(list_transform(range(1, len(syms)),
-                                i -> syms[i] || ' ' || syms[i+1])) AS pair
-                       FROM s1 WHERE len(syms) > 1) s
-                     GROUP BY s.pair)
-                   ORDER BY cnt DESC, pair ASC LIMIT 1),
-            s2 AS (SELECT word, freq,
-                          regexp_replace(
-                            list_reduce(syms, (acc, x) -> CASE
-                              WHEN acc[-1:] = '#'
-                                THEN acc[1:len(acc)-1] || ' ' || x
-                              WHEN list_extract(string_split(acc, ' '), -1)
-                                     = string_split(p2.pair, ' ')[1]
-                                   AND x = string_split(p2.pair, ' ')[2]
-                                THEN left(acc, len(acc) -
-                                          len(string_split(p2.pair, ' ')[1]))
-                                     || replace(p2.pair, ' ', '') || '#'
-                              ELSE acc || ' ' || x END),
-                            '#$', '') AS syms
-                   FROM s1, p2)
+        "bpe_train": f"""
+            WITH {_BPE_VOCAB_CTES}
             SELECT word, freq, syms FROM s2
-        """.replace("{TOKENS}", TOKENS_SQL),
+        """,
+        "bpe_encode": f"""
+            WITH {_BPE_VOCAB_CTES},
+            dtok AS (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) + 1)) AS pos
+                     FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents) t),
+            enc AS (SELECT d.doc_id, d.pos, v.syms
+                    FROM (SELECT doc_id, pos, toks[pos] AS word FROM dtok) d
+                    JOIN s2 v USING (word)),
+            agg AS (SELECT doc_id,
+                           count(*) AS n_tokens,
+                           sum(len(string_split(syms, ' '))) AS n_syms,
+                           string_agg(syms, ' ' ORDER BY pos) AS encoded
+                    FROM enc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_syms, 0) AS BIGINT) AS n_syms,
+                   coalesce(a.encoded, '') AS encoded
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "chunking": """
             WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
             s AS (SELECT doc_id, toks,

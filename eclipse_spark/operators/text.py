@@ -691,3 +691,67 @@ def hashed_ngram_score(
             .alias("score"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Apply a trained BPE vocabulary to the corpus — the encode half
+    of the tokenizer story (bpe_train learns merges over the
+    vocabulary; this replays them over every document): each token is
+    replaced by its trained symbol sequence via a vocab join, and the
+    document reassembles in token order. Tokens absent from the vocab
+    fall back to character symbols (space-joined), the standard OOV
+    rule.
+
+    Scale shape: the corpus-side work is one explode + one (id)
+    aggregate; the vocab is Heaps-law small relative to the corpus, so
+    it BROADCASTS by default and encoding is map-side (set
+    ``broadcast_vocab=False`` to let the optimizer plan a shuffle join
+    for giant vocabularies). No per-document merge folds — the fold
+    ran once per vocabulary WORD at train time.
+
+    Returns (id_col, n_tokens, n_syms, encoded)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w")
+    )
+    v = vocab.select(F.col("word").alias("_w"), F.col("syms").alias("_syms"))
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    char_fallback = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("_w")),
+            lambda i: F.substring(F.col("_w"), i, F.lit(1)),
+        ),
+    )
+    joined = toks.join(v, "_w", "left").select(
+        "_id",
+        "_pos",
+        F.coalesce(F.col("_syms"), char_fallback).alias("_enc"),
+    )
+    agg = joined.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.size(F.split("_enc", " "))).alias("n_syms"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_enc"))),
+                lambda s: s["_enc"],
+            ),
+        ).alias("encoded"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_syms", F.lit(0)).cast("long").alias("n_syms"),
+            F.coalesce("encoded", F.lit("")).alias("encoded"),
+        )
+    )

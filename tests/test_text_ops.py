@@ -227,3 +227,23 @@ def test_hashed_ngram_score_known_weights(spark):
     for d, gs in grams.items():
         assert out[d]["n_grams"] == len(gs)
         assert abs(out[d]["score"] - sum(bk[g] * 0.25 for g in gs)) < 1e-9
+
+
+def test_bpe_encode_applies_vocab_and_oov_fallback(spark):
+    """Known vocab: tokens present in the vocab take their trained
+    symbol sequence; OOV tokens fall back to character symbols; docs
+    reassemble in token order."""
+    from eclipse_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low lower new"), (2, ""), (3, "low low")],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("low", "lo w"), ("lower", "lo w e r")], ["word", "syms"]
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, vocab).collect()}
+    assert out[1]["encoded"] == "lo w lo w e r n e w"  # 'new' is OOV
+    assert out[1]["n_tokens"] == 3 and out[1]["n_syms"] == 9
+    assert out[2]["encoded"] == "" and out[2]["n_tokens"] == 0
+    assert out[3]["encoded"] == "lo w lo w" and out[3]["n_syms"] == 4
