@@ -71,6 +71,7 @@ HEADLINE = [
     "dataset_split",
     "quality_classifier",
     "media_resize",
+    "bpe_encode",
 ]
 
 
