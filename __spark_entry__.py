@@ -172,16 +172,24 @@ def _emb_dim(default: int = 64) -> int:
     arrow column of the first row group) — the sign-sketch oracles
     inline one weight literal per dimension, so a testdata dim change
     must re-derive them rather than silently mismatch (the events-ts
-    lesson, applied to embeddings)."""
+    lesson, applied to embeddings). The correctness gate compares at
+    sf0.01, so that dir is probed first; the other scales are
+    fallbacks. The literal default only applies when NO testdata
+    exists — in which case no oracle can run against it either, so it
+    cannot produce a silent mismatch."""
     global _EMB_DIM_CACHE
     if _EMB_DIM_CACHE is None:
-        try:
-            import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-            pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
-            col = pf.read_row_group(0, columns=["embedding"]).column(0)
-            _EMB_DIM_CACHE = len(col[0])
-        except Exception:
+        for sf in ("sf0.01", "sf0.001", "sf0.1"):
+            try:
+                pf = pq.ParquetFile(f"/root/testdata/{sf}/embeddings.parquet")
+                col = pf.read_row_group(0, columns=["embedding"]).column(0)
+                _EMB_DIM_CACHE = len(col[0])
+                break
+            except Exception:
+                continue
+        else:
             _EMB_DIM_CACHE = default
     return _EMB_DIM_CACHE
 
@@ -3089,34 +3097,12 @@ _BPE_VOCAB_CTES = """words AS (
 
 def _oracle_minhash_candidates(nh: int = 32, bands: int = 8, k: int = 5) -> str:
     """DuckDB replay of the portable MinHash-LSH candidate pipeline:
-    word k-shingles -> one md5 per shingle -> 60-bit (v, u) halves ->
-    h_i = v XOR rot60(u, i) family -> per-doc minima -> md5 band hash
-    -> (band, bh) self-join. Mirrors dedup.minhash_lsh_candidates
-    (portable=True) expression-for-expression."""
-    rpb = nh // bands
-    hmins = ",\n              ".join(
-        f"min(xor(v, {_sql_rot60('u', i)})) AS h{i}" for i in range(nh)
-    )
-    band_rows = "\n              UNION ALL ".join(
-        "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
-            b=b,
-            bh=_sql_hex15(
-                "md5(concat_ws('|', "
-                + ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
-                + "))"
-            ),
-        )
-        for b in range(bands)
-    )
+    signature table (shared _sql_minhash_sig) -> band rows (shared
+    _sql_minhash_band_rows) -> (band, bh) self-join. Mirrors
+    dedup.minhash_lsh_candidates(portable=True)."""
     return f"""
-            WITH tok AS (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM documents),
-            sh AS (SELECT id, unnest(list_distinct(list_transform(
-                     range(1, greatest(len(toks)-{k - 1},1)+1),
-                     i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS s FROM tok),
-            hv AS (SELECT id, {_sql_hex15('md5(s)', 0)} AS v,
-                          {_sql_hex15('md5(s)', 1)} AS u FROM sh),
-            sig AS (SELECT id, {hmins} FROM hv GROUP BY id),
-            band AS ({band_rows})
+            WITH sig AS {_sql_minhash_sig('documents', nh, k)},
+            band AS ({_sql_minhash_band_rows('sig', nh, bands)})
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM band a JOIN band b USING (band, bh) WHERE a.id < b.id
         """
@@ -3147,45 +3133,51 @@ def _oracle_minhash_dedup(threshold: float = 0.8, k: int = 5) -> str:
 
 def _sql_minhash_sig(src_cte: str, nh: int = 32, k: int = 5) -> str:
     """Shared SQL: portable MinHash signature table for a (doc_id,
-    text) CTE — word k-shingles, one md5 per shingle, rotate-XOR
-    family minima (mirror of minhash_signatures_df portable=True)."""
+    text) CTE — word k-shingles, ONE md5 per shingle (hoisted into a
+    projected column so the hex-parse lambdas never re-digest),
+    rotate-XOR family minima (mirror of minhash_signatures_df
+    portable=True)."""
     hmins = ",\n              ".join(
         f"min(xor(v, {_sql_rot60('u', i)})) AS h{i}" for i in range(nh)
     )
     return f"""
             (SELECT id, {hmins} FROM (
-               SELECT id, {_sql_hex15('md5(s)', 0)} AS v,
-                      {_sql_hex15('md5(s)', 1)} AS u
-               FROM (SELECT id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(toks)-{k - 1},1)+1),
-                       i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS s
-                     FROM (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM {src_cte}) t0) t1
+               SELECT id, {_sql_hex15('mh', 0)} AS v,
+                      {_sql_hex15('mh', 1)} AS u
+               FROM (SELECT id, md5(s) AS mh
+                     FROM (SELECT id, unnest(list_distinct(list_transform(
+                             range(1, greatest(len(toks)-{k - 1},1)+1),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS s
+                           FROM (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM {src_cte}) t0) tx) t1
              ) t2 GROUP BY id)
         """
+
+
+def _sql_minhash_band_rows(sig_cte: str, nh: int = 32, bands: int = 8) -> str:
+    """Shared SQL: (id, band, bh) band-bucket rows of a signature CTE
+    — the single mirror of dedup._minhash_banded (self-dedup and
+    incremental dedup must bucket identically). One md5 per (id,
+    band), hoisted before the hex parse."""
+    rpb = nh // bands
+    return "\n              UNION ALL ".join(
+        "SELECT id, {b} AS band, {bh} AS bh FROM "
+        "(SELECT id, md5(concat_ws('|', {cols})) AS bmh FROM {cte}) b{b}".format(
+            b=b,
+            cte=sig_cte,
+            cols=", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb)),
+            bh=_sql_hex15("bmh", 0),
+        )
+        for b in range(bands)
+    )
 
 
 def _oracle_incremental_dedup(
     nh: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.8
 ) -> str:
     """DuckDB replay of minhash_dedup_against over the planted-refresh
-    corpora: per-side signatures, new x ref banded join, Jaccard
-    verify, anti-join (mirror of q_incremental_dedup)."""
-    rpb = nh // bands
-
-    def band_rows(sig_cte: str) -> str:
-        return "\n              UNION ALL ".join(
-            "SELECT id, {b} AS band, {bh} AS bh FROM {cte}".format(
-                b=b,
-                cte=sig_cte,
-                bh=_sql_hex15(
-                    "md5(concat_ws('|', "
-                    + ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
-                    + "))"
-                ),
-            )
-            for b in range(bands)
-        )
-
+    corpora: per-side signatures (shared _sql_minhash_sig), new x ref
+    banded join (shared _sql_minhash_band_rows), Jaccard verify,
+    anti-join (mirror of q_incremental_dedup)."""
     shingle = (
         "list_distinct(list_transform(range(1, greatest(len(toks)-"
         f"{k - 1},1)+1), i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
@@ -3199,8 +3191,8 @@ def _oracle_incremental_dedup(
               FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0),
             sig_new AS {_sql_minhash_sig('new_b', nh, k)},
             sig_ref AS {_sql_minhash_sig('ref', nh, k)},
-            band_new AS ({band_rows('sig_new')}),
-            band_ref AS ({band_rows('sig_ref')}),
+            band_new AS ({_sql_minhash_band_rows('sig_new', nh, bands)}),
+            band_ref AS ({_sql_minhash_band_rows('sig_ref', nh, bands)}),
             cand AS (SELECT DISTINCT n.id AS id_a, r.id AS id_b
                      FROM band_new n JOIN band_ref r USING (band, bh)),
             sh_new AS (SELECT doc_id AS id_a, {shingle} AS sh
@@ -3234,8 +3226,8 @@ def _oracle_dataset_split(
     case = " ".join(f"WHEN h < {ub} THEN '{name}'" for name, ub in bounds)
     return f"""
             WITH h AS (SELECT doc_id,
-                   ({_sql_hex15('md5(doc_id::VARCHAR)', 0)}) % {resolution} AS h
-                   FROM documents)
+                   ({_sql_hex15('mh', 0)}) % {resolution} AS h
+                   FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS mh FROM documents) x)
             SELECT doc_id, CASE {case} END AS split FROM h
         """
 
@@ -3270,7 +3262,8 @@ def _oracle_simhash_candidates(
             sh AS (SELECT id, unnest(list_distinct(list_transform(
                      range(1, greatest(length(nm)-{k - 1},1)+1),
                      i -> substr(nm, i, {k})))) AS s FROM n0),
-            hv AS (SELECT id, {_sql_hex15('md5(s)', 0)} AS h FROM sh),
+            hv AS (SELECT id, {_sql_hex15('mh', 0)} AS h
+                   FROM (SELECT id, md5(s) AS mh FROM sh) x),
             votes AS (SELECT id, count(*) AS n, {vcols} FROM hv GROUP BY id),
             sig AS (SELECT id, ({sig_expr}) AS sig FROM votes),
             band AS ({tbl_rows})
@@ -3291,9 +3284,10 @@ def _oracle_doc_fingerprint(k: int = 9) -> str:
                    regexp_replace(lower(text), '\\s+', ' ', 'g') AS nm FROM documents),
             sh AS (SELECT doc_id, unnest(list_transform(
                      range(1, greatest(length(nm)-{k - 1},1)+1),
-                     i -> substr(nm, i, {k}))) AS s FROM n0)
-            SELECT doc_id, CAST(min({_sql_hex15('md5(s)', 0)}) AS BIGINT) AS fp
-            FROM sh GROUP BY doc_id
+                     i -> substr(nm, i, {k}))) AS s FROM n0),
+            hv AS (SELECT doc_id, md5(s) AS mh FROM sh)
+            SELECT doc_id, CAST(min({_sql_hex15('mh', 0)}) AS BIGINT) AS fp
+            FROM hv GROUP BY doc_id
         """
 
 
@@ -3341,7 +3335,8 @@ def _oracle_span_dedup(span: int = 10, min_occ: int = 2) -> str:
             spans AS (SELECT doc_id, pos,
                              array_to_string(toks[(pos-1)*{span}+1:(pos-1)*{span}+{span}], ' ') AS span
                       FROM sp),
-            hv AS (SELECT doc_id, pos, span, {_sql_hex15('md5(span)', 0)} AS h FROM spans),
+            hv AS (SELECT doc_id, pos, span, {_sql_hex15('mh', 0)} AS h
+                   FROM (SELECT doc_id, pos, span, md5(span) AS mh FROM spans) x),
             cnt AS (SELECT h, count(*) AS c FROM hv GROUP BY h),
             flagged AS (SELECT doc_id, pos, span,
                                (c >= {min_occ}) AS dup
@@ -3383,8 +3378,9 @@ def _oracle_mixture_sample(
                                 AS BIGINT) AS thr
                     FROM w, k),
             kept AS (SELECT b.src, b.ntok, t.thr
-                     FROM base b JOIN thr t USING (src)
-                     WHERE ({_sql_hex15('md5(b.id::VARCHAR)', 0)}) % {resolution} < t.thr)
+                     FROM (SELECT src, ntok, md5(id::VARCHAR) AS mh FROM base) b
+                     JOIN thr t USING (src)
+                     WHERE ({_sql_hex15('b.mh', 0)}) % {resolution} < t.thr)
             SELECT src AS source, count(*) AS n_docs,
                    CAST(sum(ntok) AS BIGINT) AS n_tokens,
                    min(thr) AS threshold
@@ -4184,7 +4180,8 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT id, unnest(list_transform(
                     range(1, greatest(len(toks)-1,1)+1),
                     i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM tok),
-            b AS (SELECT id, ({_sql_hex15('md5(gram)', 0)}) % 4096 AS bucket FROM g),
+            b AS (SELECT id, ({_sql_hex15('mh', 0)}) % 4096 AS bucket
+                  FROM (SELECT id, md5(gram) AS mh FROM g) x),
             w AS (SELECT range AS bucket,
                          (range % 1000) / CAST(1000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight
                   FROM range(4096))
@@ -4369,13 +4366,14 @@ def oracle_sql() -> dict[str, str]:
         # strict (a new event at exactly start+gap opens a NEW session,
         # since windows are [start, end)); end = last event + gap.
         "events_stream_session": """
-            WITH o AS (SELECT user_id, ts,
+            WITH o AS (SELECT user_id, ts, event_id,
                     CASE WHEN lag(ts) OVER w IS NULL
                               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS brk
                     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (SELECT user_id, ts,
-                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
                   FROM o),
             sess AS (SELECT user_id, min(ts) AS session_start,
                             max(ts) + INTERVAL 30 MINUTE AS session_end,
@@ -4763,9 +4761,13 @@ def oracle_sql() -> dict[str, str]:
             dtok AS (SELECT doc_id, toks,
                             unnest(range(1, len(toks) + 1)) AS pos
                      FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents) t),
-            enc AS (SELECT d.doc_id, d.pos, v.syms
+            enc AS (SELECT d.doc_id, d.pos,
+                           coalesce(v.syms,
+                                    array_to_string(list_transform(
+                                      range(1, len(d.word) + 1),
+                                      i -> d.word[i:i]), ' ')) AS syms
                     FROM (SELECT doc_id, pos, toks[pos] AS word FROM dtok) d
-                    JOIN s2 v USING (word)),
+                    LEFT JOIN s2 v USING (word)),
             agg AS (SELECT doc_id,
                            count(*) AS n_tokens,
                            sum(len(string_split(syms, ' '))) AS n_syms,

@@ -148,6 +148,36 @@ def minhash_signatures_df(
     )
 
 
+def _minhash_banded(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """(id, band, bh) band-bucket rows of a signature table — the ONE
+    place band hashing is defined (self-dedup and cross-corpus dedup
+    must bucket identically or their candidate sets silently
+    diverge)."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            from eclipse_spark.functions.scalar import portable_hash60
+
+            return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -164,28 +194,8 @@ def minhash_lsh_candidates(
     bucket, never all-pairs. ``portable=True`` uses the md5-derived
     hash family end-to-end (band hash included) so an external SQL
     oracle reproduces the exact candidate set."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k, portable)
-
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if portable:
-            from eclipse_spark.functions.scalar import portable_hash60
-
-            return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
-        return F.xxhash64(*cols)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _minhash_banded(sig, num_hashes, bands, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -725,32 +735,9 @@ def minhash_dedup_against(
     only. Returns the surviving rows of ``new_df``."""
     sig_new = minhash_signatures_df(new_df, text_col, id_col, num_hashes, shingle_k, portable)
     sig_ref = minhash_signatures_df(ref_df, text_col, id_col, num_hashes, shingle_k, portable)
-    rows_per_band = num_hashes // bands
-
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if portable:
-            from eclipse_spark.functions.scalar import portable_hash60
-
-            return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
-        return F.xxhash64(*cols)
-
-    def banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
     cand = (
-        banded(sig_new).alias("n")
-        .join(banded(sig_ref).alias("r"), on=["band", "bh"])
+        _minhash_banded(sig_new, num_hashes, bands, portable).alias("n")
+        .join(_minhash_banded(sig_ref, num_hashes, bands, portable).alias("r"), on=["band", "bh"])
         .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
         # materialized once — read by the verify join AND both

@@ -76,8 +76,10 @@ def triangle_count(
     arrays cannot sit in every executor at 100 TB — there the
     partitioned join keyed on the node id is the only correct shape,
     so the estimate-driven default fails SAFE at scale. Pass
-    ``True``/``False`` to pin a strategy. The estimate costs one
-    scalar aggregate over the (persisted) degree table.
+    ``True``/``False`` to pin a strategy. NOTE: the auto default runs
+    the estimate as an EAGER scalar-aggregate job at plan-build time
+    (deg re-derives from the persisted edge set — one cheap pass);
+    pinning a strategy keeps plan construction fully lazy.
 
     Returns a single row (n_nodes, n_edges, n_triangles).
     """

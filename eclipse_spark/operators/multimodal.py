@@ -107,6 +107,13 @@ def decode_features(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # probed on the executor too — fns must not capture module objects
         image_mod = None if fake else _pil_image_module()
+        if not fake and image_mod is None:
+            # a driver with PIL but executors without must FAIL, not
+            # silently emit stub features for some partitions
+            raise RuntimeError(
+                "decode_features(fake=False): PIL missing on this executor"
+            )
+
         def one(b) -> list[float]:
             payload = bytes(b) if b is not None else b""
             if image_mod is None:
@@ -147,6 +154,12 @@ def resize_media(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = None if fake else _pil_image_module()
+        if not fake and image_mod is None:
+            # mixed driver/executor environments must fail loudly, not
+            # degrade to the deterministic stub per-partition
+            raise RuntimeError(
+                "resize_media(fake=False): PIL missing on this executor"
+            )
 
         def one(b) -> bytes:
             payload = bytes(b) if b is not None else b""
