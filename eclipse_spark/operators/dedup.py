@@ -227,14 +227,18 @@ def ngram_jaccard_verify(
     100 TB corpus, and without the pre-filter the shingle arrays are
     materialized for every document only to be dropped at the join
     probe (the projection fuses into the scan stage ahead of the
-    join in codegen). The candidate set is materialized ONCE
-    (eager localCheckpoint, the connected_components discipline):
-    it is read three times here (pair join + two semi-filters), and
-    without materialization each read would replay the entire
+    join in codegen). The candidate set is persisted LAZILY: it is
+    read three times here (pair join + two semi-filters), and
+    without plan-level reuse each read would replay the entire
     upstream LSH pipeline — the plan audit caught exactly that
-    (26-42 shuffle plans from subtree recomputation)."""
+    (26-42 shuffle plans from subtree recomputation). ``persist()``
+    (InMemoryRelation) rather than ``localCheckpoint``: construction
+    stays lazy (no job runs until the caller acts) and the cached
+    blocks keep their lineage, so an executor loss at 100 TB scale
+    recomputes the lost partitions instead of failing the query —
+    the tradeoff a checkpoint would invert."""
     mk = word_shingles if unit == "word" else shingles
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = candidates.persist()
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -740,10 +744,12 @@ def minhash_dedup_against(
         .join(_minhash_banded(sig_ref, num_hashes, bands, portable).alias("r"), on=["band", "bh"])
         .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
-        # materialized once — read by the verify join AND both
-        # semi-filters below; without this each read replays both
-        # sides' signature pipelines (see ngram_jaccard_verify)
-        .localCheckpoint(eager=True)
+        # persisted once (lazily) — read by the verify join AND both
+        # semi-filters below; without plan-level reuse each read
+        # replays both sides' signature pipelines; persist() keeps
+        # lineage for fault recovery where a checkpoint would not
+        # (see ngram_jaccard_verify)
+        .persist()
     )
     # verify with shingle sets drawn from the matching side each;
     # each side semi-joins to its candidate ids BEFORE shingling, so
@@ -762,6 +768,93 @@ def minhash_dedup_against(
     ).select(
         F.col(id_col).alias("id_b"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh_b"),
+    )
+    verified = (
+        cand.join(sh_new, "id_a")
+        .join(sh_ref, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_a").alias(id_col)).distinct()
+    return new_df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_index_ref(
+    catalog,
+    ref_df: DataFrame,
+    table: str = "minhash_ref_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    portable: bool = False,
+    buckets: int = 8,
+) -> str:
+    """Materialize the REFERENCE corpus's banded MinHash table as a
+    bucketed catalog artifact — the precompute half of the production
+    refresh run. At 100 TB the existing corpus is signed ONCE here
+    (shingle -> minhash -> band rows) and every subsequent daily batch
+    joins against the stored (band, bh, id) table without touching the
+    reference text again; bucketing on (band, bh) means the refresh
+    join shuffles only the (small) new side. Ref analogue: Eclipse
+    persists intermediate data at its DHT home node so reruns skip the
+    map phase (``src/file_distributor/fileserver.hh:354-359``)."""
+    banded = _minhash_banded(
+        minhash_signatures_df(ref_df, text_col, id_col, num_hashes, shingle_k, portable),
+        num_hashes,
+        bands,
+        portable,
+    )
+    return catalog.put_bucketed(table, banded, keys=["band", "bh"], buckets=buckets)
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    ref_banded: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """:func:`minhash_dedup_against` with the reference side's banded
+    signature table PRECOMPUTED (see :func:`minhash_index_ref`): the
+    refresh run signs only the new batch; the reference corpus is
+    never re-shingled for candidate generation — its text is read
+    once more only to verify the (tiny) candidate set, semi-joined to
+    candidate ids first. ``ref_df`` must be the same corpus the index
+    was built from."""
+    sig_new = minhash_signatures_df(
+        new_df, text_col, id_col, num_hashes, shingle_k, portable
+    )
+    cand = (
+        _minhash_banded(sig_new, num_hashes, bands, portable).alias("n")
+        .join(ref_banded.alias("r"), on=["band", "bh"])
+        .select(F.col("n.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    from eclipse_spark.operators.text import word_shingles as _ws
+
+    sh_new = new_df.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(_ws(F.col(text_col), shingle_k)).alias("sh_a"),
+    )
+    sh_ref = ref_df.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(_ws(F.col(text_col), shingle_k)).alias("sh_b"),
     )
     verified = (
         cand.join(sh_new, "id_a")

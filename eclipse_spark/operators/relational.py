@@ -259,12 +259,22 @@ def dataset_split(
     hash60(id) % resolution. No shuffle, no rand() (reproducible across
     runs, engines, and partitionings — adding or removing OTHER rows
     never moves an existing row's split, unlike percent_rank schemes).
-    ``fractions`` must sum to ~1; ranges are cumulative floors so every
-    residue maps to exactly one split."""
+    ``fractions`` must be non-empty and sum to 1 (within 1e-6 — the
+    last range is then closed exactly at ``resolution`` so every
+    residue maps to exactly one split); anything else raises rather
+    than silently inflating the final split."""
     from pyspark.sql import functions as F
 
     from eclipse_spark.functions.scalar import portable_hash60
 
+    if not fractions:
+        raise ValueError("dataset_split: fractions must be a non-empty mapping")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"dataset_split: fractions must sum to 1 (got {total!r}); "
+            "rescale them explicitly rather than relying on silent inflation"
+        )
     bounds = []
     acc = 0.0
     for name, frac in fractions.items():

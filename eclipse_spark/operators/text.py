@@ -598,7 +598,48 @@ def mixture_sample(
     exact and portable across engines.
 
     Returns the per-source audit summary
-    (source, n_docs, n_tokens, threshold) of the SAMPLED corpus."""
+    (source, n_docs, n_tokens, threshold) of the SAMPLED corpus; the
+    sampled rows themselves come from the companion
+    :func:`mixture_sample_rows`, which shares this exact threshold
+    derivation (same hash, same integer bounds) so summary and sample
+    can never disagree."""
+    kept = _mixture_kept(df, weights, text_col, source_col, id_col, resolution)
+    return kept.groupBy(F.col("_src").alias(source_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.first("_thr").alias("threshold"),
+    )
+
+
+def mixture_sample_rows(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """The SAMPLED CORPUS itself — full original rows of the documents
+    :func:`mixture_sample` keeps (that function returns only the audit
+    summary). One extra semi-join of the corpus to the kept id set; the
+    keep decision is the identical deterministic hash threshold, so
+    downstream training reads exactly the mixture the summary reports."""
+    kept_ids = _mixture_kept(
+        df, weights, text_col, source_col, id_col, resolution
+    ).select(F.col("_id").alias(id_col))
+    return df.join(kept_ids, on=id_col, how="left_semi")
+
+
+def _mixture_kept(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str,
+    source_col: str,
+    id_col: str,
+    resolution: int,
+) -> DataFrame:
+    """Shared keep-derivation for mixture_sample / mixture_sample_rows:
+    (_id, _src, _ntok, _thr) rows of the kept documents."""
     from eclipse_spark.functions.scalar import portable_hash60
 
     src = F.col(source_col)
@@ -625,17 +666,12 @@ def mixture_sample(
             ).alias("_thr"),
         )
     )
-    kept = (
+    return (
         base.join(F.broadcast(thresholds), "_src")
         .filter(
             F.pmod(portable_hash60(F.md5(F.col("_id").cast("string")), 0), F.lit(resolution))
             < F.col("_thr")
         )
-    )
-    return kept.groupBy(F.col("_src").alias(source_col)).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("_ntok").alias("n_tokens"),
-        F.first("_thr").alias("threshold"),
     )
 
 
@@ -657,11 +693,16 @@ def hashed_ngram_score(
     Scale shape: the weight table is ``buckets`` rows (KBs-MBs) and
     BROADCASTS; the corpus side explodes n-grams, buckets them with
     one hash, and map-side-combines into per-doc sums — the only
-    corpus-sized shuffle carries (id, partial sum). Per-term products
-    round to 9 digits and accumulate in decimal, so scores are
-    partition-order- and engine-exact (the sigmoid/threshold is the
+    corpus-sized shuffle carries (id, partial sum). Weights are
+    quantized to decimal(16,9) ONCE here at model load (never
+    per-term), and scores accumulate in decimal, so results are
+    partition-order-exact. For bit-exact CROSS-ENGINE oracles the
+    weights table should already carry decimal values (model-as-data
+    stored in decimal): quantizing a double weight independently in
+    two engines can disagree at representation boundaries, quantizing
+    the stored decimal cannot. (The sigmoid/threshold is the
     caller's — exp() rounding is libm-dependent, a raw linear score
-    is not).
+    is not.)
 
     Returns (id_col, n_grams, score). ``portable=True`` buckets with
     the md5-derived hash so an external SQL oracle replays scoring
@@ -679,14 +720,16 @@ def hashed_ngram_score(
     else:
         b = F.pmod(F.xxhash64("_g"), F.lit(buckets))
     bucketed = grams.select("_id", b.alias("bucket"))
-    w = weights.select("bucket", F.col("weight").cast("double").alias("_w"))
-    term = F.round(F.col("_w"), 9).cast("decimal(16,9)")
+    # model-load-time quantization: decimal weights pass through
+    # exactly; double weights take ONE HALF_UP cast here, not a
+    # per-term round in every engine that replays the scoring
+    w = weights.select("bucket", F.col("weight").cast("decimal(16,9)").alias("_w"))
     return (
         bucketed.join(F.broadcast(w), "bucket", "left")
         .groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(term, F.lit(0).cast("decimal(16,9)")))
+            F.sum(F.coalesce(F.col("_w"), F.lit(0).cast("decimal(16,9)")))
             .cast("double")
             .alias("score"),
         )

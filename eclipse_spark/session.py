@@ -70,3 +70,35 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def run_concurrent(spark: SparkSession, thunks, pool_prefix: str = "job"):
+    """Run independent Spark actions concurrently, one scheduler pool
+    per submitting thread — the engine's analogue of Eclipse's
+    multi-client job submission (the master admits up to ``max_job``
+    concurrent jobs; ``src/master/dht/master.cc`` scheduling loop).
+
+    Each thunk runs on its own daemon thread under a distinct FAIR
+    pool name (pools materialize on demand with weight 1), so the
+    scheduler shares task slots fairly ACROSS jobs instead of
+    serializing whole jobs FIFO — on a shared production cluster this
+    is what keeps a 100-job tenant from head-of-line-blocking a
+    1-job tenant. Requires ``spark.scheduler.mode=FAIR`` at session
+    creation for cross-pool fairness (with FIFO the same code still
+    runs, jobs just queue by arrival).
+
+    Returns the thunk results in submission order; the first raised
+    exception propagates after all threads join."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run(item):
+        i, fn = item
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"{pool_prefix}{i}")
+        try:
+            return fn()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=max(1, len(thunks))) as ex:
+        return list(ex.map(_run, enumerate(thunks)))

@@ -307,3 +307,44 @@ def test_dataset_split_deterministic_and_membership_stable(spark, sf_smoke):
         for r in dataset_split(docs.filter(F.col("doc_id") % 2 == 0), fr).collect()
     }
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_minhash_index_matches_direct_refresh(spark, tmp_path):
+    """The index-backed refresh (precomputed bucketed ref signatures,
+    dedup.minhash_index_ref + minhash_dedup_against_index) must keep
+    exactly the rows the direct minhash_dedup_against keeps — the
+    stored artifact changes the execution path, never the answer."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_dedup_against_index,
+        minhash_index_ref,
+    )
+    from eclipse_spark.storage import Catalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100).unionByName(
+        ref.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    direct = {r["doc_id"] for r in minhash_dedup_against(new, ref).collect()}
+    cat = Catalog(spark, str(tmp_path))
+    try:
+        minhash_index_ref(cat, ref, table="mh_ref_idx_test")
+        indexed = {
+            r["doc_id"]
+            for r in minhash_dedup_against_index(
+                new, cat.get_table("mh_ref_idx_test"), ref
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_ref_idx_test")
+    assert indexed == direct
+    # planted near-copies must actually have dropped (non-degenerate)
+    assert direct < {r["doc_id"] for r in new.select("doc_id").collect()}

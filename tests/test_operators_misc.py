@@ -308,3 +308,32 @@ def test_unigram_logprob_orders_quality(spark):
     got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
     assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
     assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
+
+
+def test_dataset_split_rejects_bad_fractions(spark, sf_smoke):
+    """Fractions that are empty or don't sum to 1 raise instead of
+    silently inflating the last split."""
+    import pytest
+
+    from eclipse_spark.operators.relational import dataset_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    with pytest.raises(ValueError, match="non-empty"):
+        dataset_split(docs, {})
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(docs, {"train": 0.5, "val": 0.1})
+    # a valid mapping still works
+    assert dataset_split(docs, {"a": 0.5, "b": 0.5}).count() == docs.count()
+
+
+def test_run_concurrent_returns_in_order(spark, sf_smoke):
+    """N concurrent actions under per-thread FAIR pools complete and
+    return results in submission order."""
+    from eclipse_spark.session import run_concurrent
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    n = docs.count()
+    thunks = [lambda i=i: (i, docs.count()) for i in range(4)]
+    got = run_concurrent(spark, thunks)
+    assert got == [(i, n) for i in range(4)]
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None

@@ -335,3 +335,44 @@ def test_mixture_sample_broadcast_thresholds(spark, sf_smoke):
     assert s.n_shuffles <= 4
     assert s.n_broadcasts >= 1
     assert not s.has_python_udf
+
+
+def test_minhash_index_refresh_skips_ref_signatures(spark, sf_smoke, tmp_path):
+    """The index-backed refresh dedup (minhash_dedup_against_index)
+    must read the REF side's candidates from the stored bucketed
+    artifact: the physical plan scans the index table and computes
+    shingle/minhash signatures for ONE side only (the new batch) —
+    at 100 TB the whole point is never re-shingling the reference
+    corpus on a refresh run. The direct (uncached) operator computes
+    signatures for both sides; the delta proves the index is used."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_dedup_against_index,
+        minhash_index_ref,
+    )
+    from eclipse_spark.storage import Catalog
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100)
+    cat = Catalog(spark, str(tmp_path))
+    try:
+        minhash_index_ref(cat, ref, table="mh_ref_idx_plan")
+        cached_plan = _plan(
+            minhash_dedup_against_index(new, cat.get_table("mh_ref_idx_plan"), ref)
+        )
+        direct_plan = _plan(minhash_dedup_against(new, ref))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_ref_idx_plan")
+    # the index table is scanned...
+    assert "mh_ref_idx_plan" in cached_plan
+    # ...and strictly fewer corpus-parquet scans remain than in the
+    # direct two-sided computation (measured 4 vs 7 at sf0.001: the
+    # ref-side signature pipeline's scans are replaced by the index)
+    assert cached_plan.count("documents.parquet") < direct_plan.count(
+        "documents.parquet"
+    ), "index-backed plan should not recompute ref-side signatures"

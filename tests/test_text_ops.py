@@ -247,3 +247,23 @@ def test_bpe_encode_applies_vocab_and_oov_fallback(spark):
     assert out[1]["n_tokens"] == 3 and out[1]["n_syms"] == 9
     assert out[2]["encoded"] == "" and out[2]["n_tokens"] == 0
     assert out[3]["encoded"] == "lo w lo w" and out[3]["n_syms"] == 4
+
+
+def test_mixture_sample_rows_matches_summary(spark, sf_smoke):
+    """The rows surface and the audit summary share one threshold
+    derivation: per-source row counts must agree exactly, and only
+    weighted sources may appear."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.text import mixture_sample, mixture_sample_rows
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    summary = {r["source"]: r["n_docs"] for r in mixture_sample(docs, weights).collect()}
+    rows = mixture_sample_rows(docs, weights)
+    assert rows.columns == docs.columns  # full original rows, not a projection
+    got = {
+        r["source"]: r["n"]
+        for r in rows.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == summary
