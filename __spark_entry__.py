@@ -2735,6 +2735,55 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.get("m_orders")
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (search.tfidf_top_terms) — the
+    classic keyword-extraction step next to BM25's query-side ranking.
+    One tokenize pass, (doc, term) partial-agg for tf, term-keyed agg
+    for df, corpus count as a 1-row cross join (never collected);
+    scores round to 6 digits and ties break on the term string, so
+    the oracle reproduces the exact top-3 per document."""
+    from eclipse_spark.operators import search
+
+    return search.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_dedup_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware canonical selection (dedup.select_canonical): the
+    near-dup clusters from connected components (same planted corpus
+    and edge rule as dedup_cc), but the KEEP decision is
+    quality-driven — the highest-token-count document per cluster
+    survives (ties to min id), not the arbitrary min id. This is the
+    decision rule production dedup actually wants: keep the best
+    version, drop the rest. Unclustered docs are singleton clusters,
+    always kept. The oracle replays clustering (recursive CTE) and
+    the per-cluster argmax."""
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") <= 300) | F.col("doc_id").between(100000, 100300)
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(text.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(jac, 6) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    cc = dedup.connected_components(edges)
+    scored = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return dedup.select_canonical(scored, cc, score_col="n_tokens").select(
+        "doc_id", "component", "n_tokens", "kept"
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 (search.bm25_topk) for a three-term query over the
     corpus — Lucene-semantics ranked retrieval as a declarative plan.
@@ -3112,9 +3161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_rank": q_ntile_rank,
         "set_ops": q_set_ops,
         "distinct_pairs": q_distinct_pairs,
+        # two more new operators this round (first driver evidence
+        # outranks re-seating already-green r01 rows)
+        "tfidf_topterms": q_tfidf_topterms,
+        "dedup_select_best": q_dedup_select_best,
+        # ===== positions 51+: driver-green in r01/r03/r04 =====
         "rollup": q_rollup,
         "cube": q_cube,
-        # ===== positions 51+: driver-green in r01/r03/r04 =====
         "semcache_invalidate": q_semcache_invalidate,
         "mr_cogroup": q_mr_cogroup,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -4362,6 +4415,57 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node)
             SELECT node, min(r) AS component FROM reach GROUP BY node
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "dedup_select_best": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id <= 300
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0 AND doc_id <= 300),
+            sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, {TOKENS} AS toks FROM d) t),
+            e AS (
+              SELECT a.id AS src, b.id AS dst
+              FROM sh a JOIN sh b ON a.id <> b.id
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+            reach(node, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+            cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            scored AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM (SELECT doc_id, {TOKENS} AS toks FROM d) t),
+            lab AS (
+              SELECT s.doc_id, coalesce(cc.component, s.doc_id) AS component,
+                     s.n_tokens
+              FROM scored s LEFT JOIN cc ON s.doc_id = cc.node)
+            SELECT doc_id, component, n_tokens,
+                   CAST(row_number() OVER (PARTITION BY component
+                                           ORDER BY n_tokens DESC, doc_id) = 1
+                        AS INT) AS kept
+            FROM lab
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "tfidf_topterms": """
+            WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                         round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dft AS DOUBLE)), 6)
+                           AS score
+                  FROM tf JOIN dfreq USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, term) AS rank
+                  FROM s)
+            SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
         """.replace("{TOKENS}", TOKENS_SQL),
         "media_meta": """
             SELECT doc_id AS id,

@@ -73,6 +73,8 @@ HEADLINE = [
     "quality_classifier",
     "media_resize",
     "bpe_encode",
+    # round 5 additions
+    "tfidf_topterms",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -19,7 +19,7 @@ in any per-row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eclipse_spark.operators.text import shingles, word_shingles
@@ -868,3 +868,41 @@ def minhash_dedup_against_index(
     )
     losers = verified.select(F.col("id_a").alias(id_col)).distinct()
     return new_df.join(losers, on=id_col, how="left_anti")
+
+
+def select_canonical(
+    scored: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Cluster-aware canonical selection — the KEEP decision a
+    production near-dedup makes after clustering: within every
+    near-dup cluster keep the best-scoring document (quality score,
+    length, recency — caller's choice), not the arbitrary min-id the
+    plain dedup variants use. Documents outside any cluster form
+    singleton clusters of themselves and are always kept.
+
+    ``scored`` is (id_col, score_col, ...); ``components`` is the
+    (node, component) output of :func:`connected_components`. One
+    left join to attach cluster labels (edge-node table is ≤ corpus-
+    sized) and one component-keyed window — a single shuffle each;
+    nothing touches the driver.
+
+    Returns scored's columns plus (component_col, kept) with kept=1
+    for the per-cluster winner (highest score, ties to smallest id)."""
+    lab = scored.join(
+        components.select(
+            F.col(node_col).alias(id_col), F.col(component_col).alias("_comp")
+        ),
+        on=id_col,
+        how="left",
+    ).withColumn(component_col, F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    w = Window.partitionBy(component_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return lab.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )

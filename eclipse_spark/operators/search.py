@@ -91,3 +91,44 @@ def bm25_topk(
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the
+    classic keyword-extraction / feature-selection step of a text
+    pipeline, and the document-side counterpart of :func:`bm25_topk`'s
+    query-side scoring.
+
+    Scale shape: one tokenize+explode pass, one (doc, term) partial-
+    agg shuffle for tf, one term-keyed agg for df; the corpus count N
+    is a 1-row aggregate cross-joined in (never collected). The tf-df
+    join shuffles on the term key — vocabulary-sized, not corpus-
+    sized, and never broadcast (a 100 TB corpus's vocabulary can be
+    GBs). Scores round to ``round_digits`` and ties break on the term
+    string, so the same k terms come back on any engine/partitioning.
+
+    Returns (id_col, term, tf, score, rank)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")), round_digits),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

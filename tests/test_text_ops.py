@@ -267,3 +267,36 @@ def test_mixture_sample_rows_matches_summary(spark, sf_smoke):
         for r in rows.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert got == summary
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    """Corpus-wide terms get zero idf; document-specific terms rank
+    first. Every document still yields k rows when it has terms."""
+    from eclipse_spark.operators.search import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common unique"), (3, "common common")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    assert got[(1, 1)][0] == "rare" and got[(2, 1)][0] == "unique"
+    assert got[(3, 1)] == ("common", 0.0)  # only zero-idf terms available
+
+
+def test_select_canonical_keeps_best_per_cluster(spark):
+    """Highest score wins a cluster, ties break to the smallest id,
+    unclustered docs are singleton keeps."""
+    from eclipse_spark.operators.dedup import select_canonical
+
+    comps = spark.createDataFrame([(1, 1), (2, 1), (5, 5), (6, 5)], ["node", "component"])
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (5, 7), (6, 7), (9, 1)], ["doc_id", "score"]
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["kept"])
+        for r in select_canonical(scored, comps, "score").collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 5: (5, 1), 6: (5, 0), 9: (9, 1)}
