@@ -3086,6 +3086,119 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of ``orders``
+    (profile.profile): completeness, exact distinct count, and typed
+    min/max per column, all from ONE aggregate pass (the distinct
+    counts ride Catalyst's Expand rewrite; at 100 TB widths the
+    operator's ``exact_distinct=False`` swaps in HLL). The long-format
+    reshape explodes a single driver-sized row, so the oracle must
+    reproduce every statistic of every column exactly."""
+    from eclipse_spark.operators import profile as prof
+
+    return prof.profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def q_data_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint verdicts over ``orders``
+    (profile.check_constraints): uniqueness, completeness, a range
+    rule, a domain rule, and one deliberately-failing bound (so a
+    pass/fail inversion cannot hide). All checks evaluate in one
+    aggregate pass — the merge-gate shape for a 100 TB ingest: scan
+    once, emit a verdict vector, block the merge if any row is
+    false."""
+    from eclipse_spark.operators import profile as prof
+
+    orders = _t(spark, sf_dir, "orders")
+    checks = {
+        "o_orderkey_unique": F.count_distinct("o_orderkey") == F.count("o_orderkey"),
+        "o_orderkey_complete": F.count("o_orderkey") == F.count(F.lit(1)),
+        "o_totalprice_nonneg": F.min("o_totalprice") >= F.lit(0.0),
+        "o_orderstatus_domain": F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1)
+        )
+        == F.lit(0),
+        "o_totalprice_max_le_1000": F.max("o_totalprice") <= F.lit(1000.0),
+    }
+    return prof.check_constraints(orders, checks)
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two Catalog snapshots
+    (storage.table_diff, Delta ``table_changes`` parity over the
+    rename-snapshot log): v1 drops orderkeys %7==0, v2 drops %5==0 and
+    bumps o_totalprice by 1.0 where %3==0 — so the diff contains
+    inserts (%7==0, %5!=0), deletes (%5==0, %7!=0), and pre/post pairs
+    for the updated keys. One key-shuffled full-outer join + row-local
+    classification; null-safe struct compare. The change set is
+    materialized before the scratch catalog is removed. The oracle
+    recomputes all four change classes from the base table."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    work = tempfile.mkdtemp(prefix="eclipse_tdiff_")
+    try:
+        cat = Catalog(spark, work, retain_versions=2)
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        cat.put("t", base.filter(F.col("o_orderkey") % 7 != 0))
+        v2 = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        cat.put("t", v2)
+        out = cat.diff("t", from_version=1, on=["o_orderkey"])
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _profile_oracle_sql() -> str:
+    """Generate the DuckDB mirror of q_data_profile: one aggregate CTE
+    with the same statistics, unioned into long format per column."""
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    aggs = ["count(*) AS n_rows"]
+    sels = []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(f"count({c}) AS nn{i}")
+        aggs.append(f"count(DISTINCT {c}) AS nd{i}")
+        if c in numeric:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn{i}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx{i}")
+            mn, mx = f"mn{i}", f"mx{i}"
+            smin = smax = "CAST(NULL AS VARCHAR)"
+        else:
+            aggs.append(f"CAST(min({c}) AS VARCHAR) AS smn{i}")
+            aggs.append(f"CAST(max({c}) AS VARCHAR) AS smx{i}")
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smin, smax = f"smn{i}", f"smx{i}"
+        sels.append(
+            f"SELECT '{c}' AS col_name, n_rows, n_rows - nn{i} AS n_nulls, "
+            f"CAST(nn{i} AS DOUBLE) / n_rows AS completeness, "
+            f"nd{i} AS n_distinct, {mn} AS min_num, {mx} AS max_num, "
+            f"{smin} AS min_str, {smax} AS max_str FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(sels)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3165,6 +3278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outranks re-seating already-green r01 rows)
         "tfidf_topterms": q_tfidf_topterms,
         "dedup_select_best": q_dedup_select_best,
+        # round-5 additions (window placement decided at end of round)
+        "data_profile": q_data_profile,
+        "data_constraints": q_data_constraints,
+        "table_diff": q_table_diff,
         # ===== positions 51+: driver-green in r01/r03/r04 =====
         "rollup": q_rollup,
         "cube": q_cube,
@@ -4452,6 +4569,44 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS kept
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
+        "data_profile": _profile_oracle_sql(),
+        "table_diff": """
+            WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                                 o_totalprice FROM orders),
+            v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+            v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          CASE WHEN o_orderkey % 3 = 0
+                               THEN o_totalprice + 1.0
+                               ELSE o_totalprice END AS o_totalprice
+                   FROM base WHERE o_orderkey % 5 <> 0)
+            SELECT 'delete' AS change_type, * FROM v1
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+            UNION ALL
+            SELECT 'insert' AS change_type, * FROM v2
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+            UNION ALL
+            SELECT 'update_preimage' AS change_type, a.*
+              FROM v1 a JOIN v2 b USING (o_orderkey)
+              WHERE a.o_totalprice IS DISTINCT FROM b.o_totalprice
+            UNION ALL
+            SELECT 'update_postimage' AS change_type, b.*
+              FROM v1 a JOIN v2 b USING (o_orderkey)
+              WHERE a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        """,
+        "data_constraints": """
+            WITH a AS (SELECT
+                count(DISTINCT o_orderkey) = count(o_orderkey) AS c0,
+                count(o_orderkey) = count(*) AS c1,
+                min(o_totalprice) >= 0.0 AS c2,
+                sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0 AS c3,
+                max(o_totalprice) <= 1000.0 AS c4
+              FROM orders)
+            SELECT 'o_orderkey_unique' AS check_name, c0 AS passed FROM a
+            UNION ALL SELECT 'o_orderkey_complete', c1 FROM a
+            UNION ALL SELECT 'o_totalprice_nonneg', c2 FROM a
+            UNION ALL SELECT 'o_orderstatus_domain', c3 FROM a
+            UNION ALL SELECT 'o_totalprice_max_le_1000', c4 FROM a
+        """,
         "tfidf_topterms": """
             WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
             tf AS (SELECT doc_id, term, count(*) AS tf

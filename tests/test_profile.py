@@ -1,0 +1,62 @@
+"""Unit tests for the data-quality profiling operator (the
+oracle-parity replica covers the driver queries; these cover the
+module surface: null handling, approx mode, constraint edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators import profile as prof
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (3, "b", 0.5)],
+        "k bigint, s string, x double",
+    )
+
+
+def test_profile_counts_nulls_and_distinct(toy):
+    rows = {r.col_name: r for r in prof.profile(toy).collect()}
+    assert rows["k"].n_rows == 4
+    assert rows["k"].n_nulls == 0
+    assert rows["k"].n_distinct == 3
+    assert rows["s"].n_nulls == 1
+    assert rows["s"].completeness == 0.75
+    assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
+    assert rows["s"].min_num is None
+    assert rows["x"].min_num == 0.5 and rows["x"].max_num == 2.5
+    assert rows["x"].max_str is None
+
+
+def test_profile_single_pass_one_shuffle_family(toy):
+    # the whole profile is one aggregate: no join or window exchange
+    # beyond the Expand-backed distinct rewrite's agg exchanges
+    plan = prof.profile(toy)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_profile_approx_mode(toy):
+    rows = {r.col_name: r for r in prof.profile(toy, exact_distinct=False).collect()}
+    # HLL at 4 rows is exact in practice, but only assert the bound
+    assert 1 <= rows["k"].n_distinct <= 4
+
+
+def test_constraints_verdicts(toy):
+    out = prof.check_constraints(
+        toy,
+        {
+            "k_unique": F.count_distinct("k") == F.count("k"),
+            "x_nonneg": F.min("x") >= F.lit(0.0),
+            "s_complete": F.count("s") == F.count(F.lit(1)),
+        },
+    )
+    got = {r.check_name: r.passed for r in out.collect()}
+    assert got == {"k_unique": False, "x_nonneg": True, "s_complete": False}
+
+
+def test_constraints_empty_raises(toy):
+    with pytest.raises(ValueError):
+        prof.check_constraints(toy, {})

@@ -199,3 +199,46 @@ def test_time_travel_merge_retires_snapshot(spark, tmp_path):
     assert cur == {(0, "old"), (2, "old"), (3, "old"), (1, "new"), (9, "new")}
     snap = {(r["k"], r["v"]) for r in cat.get("t", version=1).collect()}
     assert snap == {(0, "old"), (1, "old"), (2, "old"), (3, "old")}
+
+
+def test_table_diff_classifies_null_transitions(spark, tmp_path):
+    from eclipse_spark.storage import Catalog, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, "e")], "k bigint, v string"
+    )
+    got = {
+        (r.change_type, r.k): r.v for r in table_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged (no row); 2: NULL->value update; 3: value->NULL update;
+    # 4 deleted; 5 inserted
+    assert got == {
+        ("update_preimage", 2): None,
+        ("update_postimage", 2): "b",
+        ("update_preimage", 3): "c",
+        ("update_postimage", 3): None,
+        ("delete", 4): "d",
+        ("insert", 5): "e",
+    }
+
+    cat = Catalog(spark, str(tmp_path / "cdc"), retain_versions=2)
+    cat.put("t", old)
+    cat.put("t", new)
+    assert cat.diff("t", from_version=1, on=["k"]).count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.diff("t", from_version=1, on=[])
+
+
+def test_table_diff_schema_mismatch_raises(spark):
+    from eclipse_spark.storage import table_diff
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, 2.0)], "k bigint, w double")
+    with _pytest.raises(ValueError):
+        table_diff(a, b, ["k"])
