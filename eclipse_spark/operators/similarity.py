@@ -195,6 +195,183 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` subspaces of ``dim/m`` contiguous positions; each subspace
+    gets ``ksub`` centroids. Seeds are the first ``ksub`` ids'
+    subvectors (deterministic, no sampling — same discipline as
+    :func:`kmeans_iterate`); ``n_iter`` Lloyd rounds refine them
+    (assignment by squared-L2 with round-9 decimal sums, means in
+    decimal), all m subspaces training in ONE DataFrame per round —
+    the subspace id is just another grouping key, so adding subspaces
+    adds no stages. Returns ``(subspace, code, pos, c_val)``.
+    """
+    ex = _subvectors(corpus, m, id_col, vec_col)
+    cb = ex.filter(F.col("_vid") < ksub).select(
+        F.col("subspace"),
+        F.col("_vid").alias("code"),
+        F.col("pos"),
+        F.col("x").alias("c_val"),
+    )
+    for _ in range(n_iter):
+        assigned = _pq_assign(ex, cb).select("_vid", "subspace", "code")
+        cb = (
+            ex.join(assigned, on=["_vid", "subspace"])
+            .groupBy("subspace", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                ).alias("c_val")
+            )
+        )
+    return cb
+
+
+def _subvectors(
+    corpus: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(_vid, subspace, pos, x): positional explode of each vector into
+    ``m`` contiguous subspace blocks — pure codegen, one pass. The
+    subspace width derives from each row's own vector length, so no
+    dimension needs declaring (mixed lengths would simply land in
+    different (subspace, pos) keys and never cross-compare)."""
+    ex = corpus.select(
+        F.col(id_col).alias("_vid"),
+        (F.size(F.col(vec_col)) / m).cast("int").alias("_sub"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "x"),
+    )
+    return ex.select(
+        "_vid",
+        (F.col("_d") / F.col("_sub")).cast("int").alias("subspace"),
+        F.pmod(F.col("_d"), F.col("_sub")).cast("int").alias("pos"),
+        "x",
+    )
+
+
+def _pq_assign(ex: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): join the
+    exploded subvectors to the broadcast codebook on (subspace, pos),
+    partial-agg the round-9 decimal term sums to (vector, subspace,
+    code) distances, argmin with ties to the smaller code id. The
+    codebook is m*ksub*subdim rows — always broadcastable."""
+    terms = ex.join(F.broadcast(cb), on=["subspace", "pos"]).select(
+        "_vid",
+        "subspace",
+        "code",
+        F.round((F.col("x") - F.col("c_val")) * (F.col("x") - F.col("c_val")), 9)
+        .cast("decimal(18,9)")
+        .alias("_t"),
+    )
+    dists = terms.groupBy("_vid", "subspace", "code").agg(
+        F.sum("_t").alias("_dist")
+    )
+    w = Window.partitionBy("_vid", "subspace").orderBy(
+        F.asc("_dist"), F.asc("code")
+    )
+    return (
+        dists.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_vid", "subspace", "code", F.col("_dist").cast("double").alias("dist")
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector compresses to ``m`` code ids (one per
+    subspace, nearest codebook centroid by squared L2, ties to the
+    smaller code). Returns long-format ``(vec_id, subspace, code,
+    dist)`` — the layout the ADC scan joins on, and 4 bytes/subspace
+    instead of ``subdim`` floats (a 64-dim float vector becomes 8
+    codes: 32x smaller, which is the point at 100 TB — the compressed
+    corpus fits where the raw one cannot).
+
+    Scale shape: one positional explode, one BROADCAST join against
+    the m*ksub*subdim codebook, and one map-side-combined partial agg
+    to (vector, subspace, code) — rows entering the shuffle are
+    m*ksub per vector regardless of dimension. All distance terms are
+    round-9 decimal, so codes are engine-exact and the whole encode
+    (not just its row count) is oracle-checkable.
+    """
+    if codebook is None:
+        codebook = pq_codebook(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    ex = _subvectors(corpus, m, id_col, vec_col)
+    return _pq_assign(ex, codebook).select(
+        F.col("_vid").alias(id_col), "subspace", "code", "dist"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    each query precomputes its distance to every codebook centroid
+    (an m*ksub lookup table per query — tiny, broadcast), then a
+    candidate's approximate distance is the SUM of m table lookups on
+    its codes. The corpus is touched only through its codes — the
+    scan reads m smallints per vector, never the raw floats, which is
+    how a 100 TB embedding corpus ANN-scans from a ~3 TB compressed
+    artifact.
+
+    Every step is deterministic (decimal partial distances, ties to
+    smaller code/id), so unlike IVF the *approximate* result is still
+    exactly reproducible by an external oracle. Returns (query_id,
+    match_id, adc_dist, rank)."""
+    cb = pq_codebook(corpus, m=m, ksub=ksub, id_col=c_id, vec_col=c_vec)
+    enc = pq_encode(corpus, cb, m=m, id_col=c_id, vec_col=c_vec).select(
+        F.col(c_id).alias("match_id"), "subspace", "code"
+    )
+    qex = _subvectors(
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec)), m, "query_id", q_vec
+    )
+    dtab = (
+        qex.join(F.broadcast(cb), on=["subspace", "pos"])
+        .select(
+            F.col("_vid").alias("query_id"),
+            "subspace",
+            "code",
+            F.round(
+                (F.col("x") - F.col("c_val")) * (F.col("x") - F.col("c_val")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("_t"),
+        )
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum("_t").alias("_pd"))
+    )
+    adc = (
+        enc.join(F.broadcast(dtab), on=["subspace", "code"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("_pd").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def kmeans_iterate(
     emb: DataFrame,
     n_cells: int = 8,

@@ -348,3 +348,49 @@ def test_minhash_index_matches_direct_refresh(spark, tmp_path):
     assert indexed == direct
     # planted near-copies must actually have dropped (non-degenerate)
     assert direct < {r["doc_id"] for r in new.select("doc_id").collect()}
+
+
+def test_pq_encode_shape_and_self_codes(spark, sf_smoke):
+    from pyspark.sql import functions as F
+    from eclipse_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    n = emb.count()
+    enc = sim.pq_encode(emb, m=8, ksub=16)
+    rows = enc.collect()
+    assert len(rows) == n * 8  # one code per (vector, subspace)
+    assert all(0 <= r.code < 16 for r in rows)
+    # seed vectors ARE the codebook: they encode to themselves at dist 0
+    seeds = [r for r in rows if r.vec_id < 16]
+    assert seeds and all(r.code == r.vec_id and r.dist == 0.0 for r in seeds)
+
+
+def test_pq_refinement_reduces_distortion(spark, sf_smoke):
+    from pyspark.sql import functions as F
+    from eclipse_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d0 = (
+        sim.pq_encode(emb, sim.pq_codebook(emb, n_iter=0))
+        .agg(F.avg("dist"))
+        .first()[0]
+    )
+    d1 = (
+        sim.pq_encode(emb, sim.pq_codebook(emb, n_iter=1))
+        .agg(F.avg("dist"))
+        .first()[0]
+    )
+    assert d1 < d0  # one Lloyd round must not increase distortion
+
+
+def test_pq_topk_plan_broadcasts_lookup_tables(spark, sf_smoke):
+    from pyspark.sql import functions as F
+    from eclipse_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    top = sim.pq_topk(emb.filter(F.col("vec_id") < 2), emb, k=5)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # codebook + distance table sides
+    got = top.collect()
+    assert {r.query_id for r in got} == {0, 1}
+    assert all(1 <= r.rank <= 5 for r in got)
