@@ -3219,6 +3219,98 @@ enc AS (SELECT vec_id, subspace, code, dist FROM
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection of the 64-dim embeddings to 16
+    dims (similarity.random_projection): hash-derived weights (no
+    stored matrix), codegen explode + flat weighted terms + one
+    map-side-combined aggregate. Terms are round-9 decimal, so all
+    500*16 projected values are engine-exact; the oracle inlines the
+    same xxhash64-derived weights as literals."""
+    return similarity.random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=16, seed=11
+    )
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI with a min-count-5 support floor
+    (text.pmi_bigrams): row-local bigram assembly (shifted-slice zip,
+    no self-join), bigram- and unigram-keyed counts, vocabulary-sized
+    frequency joins. Probabilities divide before multiplying so no
+    integer product leaves the double-exact range; round-6 + (w1, w2)
+    tie-breaks make the global top-20 engine-exact."""
+    return text.pmi_bigrams(
+        _t(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style skip-gram training pairs, window ±2, support ≥3
+    (text.skipgram_pairs): forward pairs from shifted-slice zips, the
+    mirror direction from a row-local transform, one (center, context)
+    count — no positional self-join anywhere."""
+    return text.skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=3
+    )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup (dedup.containment_pairs) on a
+    corpus with planted excerpts: every 7th doc ≤300 gets a 30-token
+    prefix 'quote' (id+200000). Quotes sit near containment 1.0 in
+    their source while Jaccard stays tiny — the subset relation the
+    symmetric measures miss. Bounded all-pairs here (the oracle
+    shape); production feeds LSH candidates through the same
+    algebra."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    quotes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 30)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return dedup.containment_pairs(corpus, n=3, threshold=0.5)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match via positional postings intersection
+    (search.phrase_search): postings are term-filtered at scan time,
+    then each phrase term joins on (doc, aligned position). The
+    bag-of-words-can't-do-this IR primitive next to bm25."""
+    from eclipse_spark.operators import search
+
+    return search.phrase_search(
+        _t(spark, sf_dir, "documents"), ["table", "hash"]
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic canonicalization pass (text.normalize_text):
+    lowercase, charset strip, whitespace collapse — row-local codegen
+    regex, zero shuffles, with per-doc raw/normalized char counts so
+    normalization loss is auditable."""
+    return text.normalize_text(_t(spark, sf_dir, "documents"))
+
+
+def _rp_oracle_sql(out_dim: int = 16, seed: int = 11, dim: int = 64) -> str:
+    """DuckDB mirror of q_random_projection with the xxhash64-derived
+    weights inlined as literals (same trick as _sql_sign_bucket)."""
+    structs = []
+    for j in range(out_dim):
+        w = "[" + ", ".join(
+            repr(_plane_weight(j, d, seed)) for d in range(dim)
+        ) + "]"
+        expr = (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+            f"d -> CAST(round(ve[d] * ({w})[d], 9) AS DECIMAL(18,9)))) AS DOUBLE)"
+        )
+        structs.append(f"{{'proj_pos': {j}, 'value': {expr}}}")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings)
+        SELECT vec_id, CAST(s.proj_pos AS INT) AS proj_pos, s.value AS value
+        FROM (SELECT vec_id, unnest([{", ".join(structs)}]) AS s FROM e)
+    """
+
+
 def _profile_oracle_sql() -> str:
     """Generate the DuckDB mirror of q_data_profile: one aggregate CTE
     with the same statistics, unioned into long format per column."""
@@ -3335,6 +3427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "pq_encode": q_pq_encode,
         "ann_pq": q_ann_pq,
+        "random_projection": q_random_projection,
+        "pmi_bigrams": q_pmi_bigrams,
+        "skipgram_pairs": q_skipgram_pairs,
+        "ngram_containment": q_ngram_containment,
+        "phrase_search": q_phrase_search,
+        "text_normalize": q_text_normalize,
         # ===== positions 51+: driver-green in r01/r03/r04 =====
         "rollup": q_rollup,
         "cube": q_cube,
@@ -4623,6 +4721,85 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "random_projection": _rp_oracle_sql(),
+        "pmi_bigrams": f"""
+            WITH tok AS (SELECT {TOKENS_SQL} AS toks FROM documents),
+            pairs AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                    i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS p
+                      FROM tok),
+            big AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+                    FROM pairs GROUP BY 1, 2),
+            unic AS (SELECT w, count(*) AS c FROM
+                       (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+            tu AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM unic),
+            tb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t_big FROM big),
+            scored AS (SELECT w1, w2, n_pair,
+                              round(ln((CAST(n_pair AS DOUBLE) / t_big)
+                                       / ((CAST(c1.c AS DOUBLE) / t_uni)
+                                          * (CAST(c2.c AS DOUBLE) / t_uni))), 6)
+                                AS pmi
+                       FROM big JOIN unic c1 ON big.w1 = c1.w
+                                JOIN unic c2 ON big.w2 = c2.w, tu, tb
+                       WHERE n_pair >= 5)
+            SELECT w1, w2, n_pair, pmi, rank FROM
+              (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+               FROM scored) WHERE rank <= 20
+        """,
+        "skipgram_pairs": f"""
+            WITH tok AS (SELECT {TOKENS_SQL} AS toks FROM documents),
+            f AS (SELECT unnest(list_concat(
+                     list_transform(range(1, len(toks)),
+                                    i -> {{'c': toks[i], 'x': toks[i+1]}}),
+                     list_transform(range(1, len(toks) - 1),
+                                    i -> {{'c': toks[i], 'x': toks[i+2]}}))) AS p
+                  FROM tok),
+            pairs AS (SELECT p.c AS center, p.x AS context FROM f
+                      UNION ALL
+                      SELECT p.x AS center, p.c AS context FROM f)
+            SELECT center, context, count(*) AS n_pairs
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        "ngram_containment": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id <= 300
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     array_to_string(({TOKENS_SQL})[1:30], ' ') AS text
+              FROM documents WHERE doc_id <= 300 AND doc_id % 7 = 0),
+            sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                   FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus) t)
+            SELECT * FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(a.sh), 6) AS containment
+              FROM sh a JOIN sh b ON a.id <> b.id)
+            WHERE containment >= 0.5
+        """,
+        "phrase_search": f"""
+            WITH post AS (SELECT doc_id, unnest(toks) AS t,
+                                 generate_subscripts(toks, 1) - 1 AS pos
+                          FROM (SELECT doc_id, {TOKENS_SQL} AS toks
+                                FROM documents) x)
+            SELECT p0.doc_id, CAST(p0.pos AS INT) AS start_pos
+            FROM post p0 JOIN post p1
+              ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+            WHERE p0.t = 'table' AND p1.t = 'hash'
+        """,
+        "text_normalize": r"""
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(regexp_replace(lower(text),
+                                   '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g')) AS norm_text,
+                              length(text) AS n_chars_raw
+                       FROM documents)
+            SELECT doc_id AS id, norm_text,
+                   CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
         "pq_encode": f"""
             WITH {_PQ_EX_SQL}
             SELECT vec_id, subspace, code, CAST(dist AS DOUBLE) AS dist

@@ -906,3 +906,45 @@ def select_canonical(
     return lab.withColumn(
         "kept", (F.row_number().over(w) == 1).cast("int")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment ``|A ∩ B| / |A|``
+    over word n-gram shingle sets — the quote/subset relation Jaccard
+    misses (a 30-token excerpt of a 500-token doc has tiny Jaccard
+    but containment ~1.0 in the source; dedup pipelines drop the
+    excerpt, keep the source).
+
+    This is the bounded all-pairs baseline (both directions of every
+    id pair; the oracle shape). The 100 TB path is identical algebra
+    over an LSH candidate set: feed ``minhash_candidates`` pairs in
+    and verify containment instead of Jaccard — candidate generation
+    is unchanged because banded MinHash recalls high-containment
+    pairs whenever the smaller side dominates the signature.
+    Returns (id_a, id_b, containment) where id_a's shingles are the
+    denominator, filtered at ``threshold``."""
+    from eclipse_spark.operators.text import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cont = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a"),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -132,3 +132,42 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match via a positional inverted index — the IR
+    primitive BM25's bag-of-words scoring can't express: build
+    (term, doc, position) postings, keep only the phrase's terms, and
+    intersect postings with a fixed position offset per term (term i
+    must sit at start + i).
+
+    Scale shape: the postings table is filtered to the phrase's terms
+    BEFORE any shuffle (an isin filter at scan time), so the joins
+    move |postings of phrase terms| rows, not the corpus; each of the
+    ``len(phrase) - 1`` intersections is an equi-join on
+    (doc, aligned position) — co-partitioned after the first shuffle.
+    Returns (doc_id, start_pos), one row per occurrence."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    post = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+        )
+        .filter(F.col("_t").isin(terms))
+    )
+    out = (
+        post.filter(F.col("_t") == terms[0])
+        .select(F.col(id_col), F.col("_pos").alias("start_pos"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("_t") == t).select(
+            F.col(id_col), (F.col("_pos") - i).alias("start_pos")
+        )
+        out = out.join(nxt, on=[id_col, "start_pos"], how="left_semi")
+    return out.select(F.col(id_col), F.col("start_pos").cast("int").alias("start_pos"))

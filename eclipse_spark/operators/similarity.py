@@ -486,3 +486,63 @@ def ivf_topk(
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions — the cheap-dimensionality-reduction step ahead of
+    clustering / ANN when raw embeddings are too wide. The projection
+    matrix is never stored: weight(j, d) is a deterministic
+    pseudo-random value in [-1, 1) derived from
+    ``xxhash64(j, d, seed)`` (the same model-free discipline as
+    :func:`sign_sketch_df`, whose codegen explode shape this reuses —
+    the HOF formulation was measured ~10x slower there).
+
+    Scale shape: one positional explode, ``out_dim`` weighted terms
+    in a flat codegen projection, one map-side-combined aggregate of
+    per-id sums — shuffle rows are (id, out_dim doubles). Terms are
+    round-9 decimal so every projected value is partition-order- and
+    engine-exact. Returns long-format (id, proj_pos, value)."""
+    ex = df.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"),
+    )
+    terms = ex.select(
+        "_vid",
+        *[
+            F.round(
+                F.col("_x")
+                * (
+                    F.pmod(
+                        F.xxhash64(F.lit(j), F.col("_d"), F.lit(seed)), F.lit(1000)
+                    ).cast("double")
+                    / 500.0
+                    - 1.0
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias(f"_t{j}")
+            for j in range(out_dim)
+        ],
+    )
+    sums = terms.groupBy("_vid").agg(
+        *[F.sum(f"_t{j}").cast("double").alias(f"_s{j}") for j in range(out_dim)]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("proj_pos"), F.col(f"_s{j}").alias("value")
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return sums.select(
+        F.col("_vid").alias(id_col), F.explode(entries).alias("_e")
+    ).select(id_col, "_e.proj_pos", "_e.value")

@@ -8,7 +8,7 @@ n_chars) but column-parameterized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -797,4 +797,139 @@ def bpe_encode(
             F.coalesce("n_syms", F.lit(0)).cast("long").alias("n_syms"),
             F.coalesce("encoded", F.lit("")).alias("encoded"),
         )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level collocation extraction: the top-``k`` adjacent
+    bigrams by pointwise mutual information, ``pmi = ln(p(ab) /
+    (p(a) p(b)))``, restricted to bigrams seen at least ``min_count``
+    times (raw PMI without a support floor surfaces hapax noise).
+
+    Scale shape: bigrams assemble ROW-LOCALLY (two shifted slices
+    zipped — no self-join, no window); then one bigram-keyed count,
+    one unigram-keyed count, and two vocabulary-sized joins to attach
+    the component frequencies. Probabilities divide BEFORE
+    multiplying (each factor stays O(1)-magnitude, so no >2^53
+    integer products whose double rounding could differ across
+    engines); pmi rounds to 6 digits and the global top-k lowers to
+    TakeOrdered with (pmi desc, w1, w2) tie-breaks.
+
+    Returns (w1, w2, n_pair, pmi, rank)."""
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_cw"))
+    )
+    tot = uni.agg(
+        F.sum("_cw").alias("_t_uni")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot_b = big.agg(F.sum("n_pair").alias("_t_big"))
+    scored = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("_cw", "_c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("_cw", "_c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_b))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("_t_big"))
+                    / (
+                        (F.col("_c1").cast("double") / F.col("_t_uni"))
+                        * (F.col("_c2").cast("double") / F.col("_t_uni"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "n_pair", "pmi", "rank"
+    )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the training-pair
+    generation step of word2vec-style embedding pipelines: every
+    ordered pair of tokens within ``window`` positions of each other,
+    counted corpus-wide, support-filtered at ``min_count``.
+
+    Scale shape: pairs assemble ROW-LOCALLY from shifted-slice zips
+    (one forward array per distance d=1..window, then the mirror),
+    one explode, one (center, context)-keyed count — no self-join on
+    position, no window function, no carrying the token array through
+    the explode. Returns (center, context, n_pairs)."""
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    dists = []
+    for d in range(1, window + 1):
+        n = F.greatest(F.size("_t") - d, F.lit(0))
+        dists.append(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, n),
+                F.slice(F.col("_t"), 1 + d, n),
+                lambda a, b: F.struct(a.alias("c"), b.alias("x")),
+            )
+        )
+    fwd = F.concat(*dists) if len(dists) > 1 else dists[0]
+    both = F.concat(
+        fwd, F.transform(fwd, lambda s: F.struct(s.x.alias("c"), s.c.alias("x")))
+    )
+    return (
+        toks.select(F.explode(both).alias("_p"))
+        .groupBy(
+            F.col("_p.c").alias("center"), F.col("_p.x").alias("context")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic text canonicalization — the first stage of every
+    dedup/tokenize pipeline: lowercase, strip every character outside
+    ``[a-z0-9 \\n]``, collapse whitespace runs to single spaces, trim.
+    Entirely row-local codegen regex — runs at scan speed, no shuffle.
+    Emits (id, norm_text, n_chars_raw, n_chars_norm) so the
+    normalization loss is auditable per document."""
+    raw = F.col(text_col)
+    # the charset strip KEEPS all whitespace (\s), so tabs/newlines
+    # survive as separators until the collapse — words never fuse and
+    # stripped punctuation can't leave double spaces behind
+    stripped = F.regexp_replace(F.lower(raw), r"[^a-z0-9\s]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        collapsed.alias("norm_text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(collapsed).cast("long").alias("n_chars_norm"),
     )

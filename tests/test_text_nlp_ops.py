@@ -1,0 +1,92 @@
+"""Unit tests for the round-5 text/NLP operators (oracle-parity covers
+the driver queries; these pin the semantics on hand-built corpora)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators import text
+from eclipse_spark.operators.dedup import containment_pairs
+from eclipse_spark.operators.search import phrase_search
+from eclipse_spark.operators.similarity import random_projection
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "new york is big and new york is old"),
+        (2, "the city of new york hosts the expo"),
+        (3, "big data and old data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pmi_ranks_true_collocation_first(corpus):
+    out = text.pmi_bigrams(corpus, min_count=3, k=5).collect()
+    assert out[0].w1 == "new" and out[0].w2 == "york" and out[0].rank == 1
+    assert out[0].n_pair == 3
+
+
+def test_skipgram_pairs_symmetric_counts(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in text.skipgram_pairs(df, window=2, min_count=1).collect()
+    }
+    # pairs: (a,b),(b,c) at d=1; (a,c) at d=2; mirrored
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1,
+        ("a", "c"): 1, ("c", "a"): 1,
+    }
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!!  it's\t42  ")], "doc_id bigint, text string"
+    )
+    r = text.normalize_text(df).collect()[0]
+    assert r.norm_text == "hello world its 42"
+    assert r.n_chars_norm == len("hello world its 42")
+    assert r.n_chars_raw > r.n_chars_norm
+
+
+def test_phrase_search_positions_and_arity(spark):
+    df = spark.createDataFrame(
+        [(1, "x table hash y table hash table"), (2, "table only hash apart")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(df, ["table", "hash"]).collect()
+    )
+    assert got == [(1, 1), (1, 4)]
+    three = phrase_search(df, ["y", "table", "hash"]).collect()
+    assert [(r.doc_id, r.start_pos) for r in three] == [(1, 3)]
+    with pytest.raises(ValueError):
+        phrase_search(df, [])
+
+
+def test_containment_is_asymmetric(spark):
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, "one two three four five")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+    # all of doc2's shingles appear in doc1 -> containment(2 in 1) = 1.0
+    assert got[(2, 1)] == 1.0
+    assert got[(1, 2)] < 0.5  # but doc1 is NOT contained in doc2
+
+
+def test_random_projection_shape_and_determinism(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(20)
+    a = random_projection(emb, out_dim=4, seed=11).collect()
+    b = random_projection(emb, out_dim=4, seed=11).collect()
+    assert len(a) == 20 * 4
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = random_projection(emb, out_dim=4, seed=12).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
