@@ -3290,6 +3290,85 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.normalize_text(_t(spark, sf_dir, "documents"))
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-history EWMA per user (timeseries.ewma, alpha=0.5 over
+    the last 8 events): the recursive EWMA is an inherently sequential
+    fold, so the operator bounds the history (>99.6% of the mass) and
+    becomes 8 lag columns over one partitioned sort — parallel at any
+    scale. Weights are exact binary fractions; round-9 decimal term
+    sums make every smoothed value engine-exact."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return timeseries.ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.5, window=8
+    ).select("event_id", "user_id", "ewma")
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths (timeseries.session_paths): 30-min
+    gap sessionization, each session's first 5 event types rendered
+    as 'a>b>c', counted and ranked — the product-analytics user-flows
+    query. Ordered path assembly is a row-local sorted-collect bounded
+    by session length (never a second window); ties break (ts,
+    event_id) so paths are engine-exact."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return timeseries.session_paths(ev, gap_seconds=1800, max_len=5, k=20)
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket equi-depth histogram of l_extendedprice
+    (timeseries.equidepth_histogram): equal-count bins with min/max
+    bounds — the value-skew profile equi-width histograms lose under
+    heavy tails. Exactness needs one global ntile sort (documented as
+    the non-100 TB path; production feeds approx_quantile boundaries
+    to a map-side bucketizer); ties break on (orderkey, linenumber)."""
+    from eclipse_spark.operators import timeseries
+
+    return timeseries.equidepth_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        buckets=8,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    ).select("bucket", "n_rows", "min_val", "max_val")
+
+
+def _ewma_oracle_sql(alpha: float = 0.5, window: int = 8) -> str:
+    """DuckDB mirror of q_ewma: explicit lag columns, the same
+    round-(window+2) decimal term sums (the width where every weighted
+    term is exactly representable, so no half-way rounding case
+    exists), present-lag weight renormalization."""
+    digits = window + 2
+    dec = f"DECIMAL({digits + 10},{digits})"
+    lags = ", ".join(
+        f"lag(value, {i}) OVER w AS x{i}" for i in range(1, window)
+    )
+    num_terms, den_terms = [], []
+    for i in range(window):
+        wi = repr(alpha * (1 - alpha) ** i)
+        x = "value" if i == 0 else f"x{i}"
+        num_terms.append(
+            f"COALESCE(CAST(round({x} * {wi}, {digits}) AS {dec}), 0)"
+        )
+        den_terms.append(
+            f"(CASE WHEN {x} IS NOT NULL THEN CAST({wi} AS {dec}) "
+            f"ELSE CAST(0 AS {dec}) END)"
+        )
+    return f"""
+        WITH l AS (SELECT event_id, user_id, value, {lags}
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id,
+               CAST({' + '.join(num_terms)} AS DOUBLE)
+                 / CAST({' + '.join(den_terms)} AS DOUBLE) AS ewma
+        FROM l
+    """
+
+
 def _rp_oracle_sql(out_dim: int = 16, seed: int = 11, dim: int = 64) -> str:
     """DuckDB mirror of q_random_projection with the xxhash64-derived
     weights inlined as literals (same trick as _sql_sign_bucket)."""
@@ -3433,6 +3512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "phrase_search": q_phrase_search,
         "text_normalize": q_text_normalize,
+        "ewma": q_ewma,
+        "session_paths": q_session_paths,
+        "equidepth_histogram": q_equidepth_histogram,
         # ===== positions 51+: driver-green in r01/r03/r04 =====
         "rollup": q_rollup,
         "cube": q_cube,
@@ -4721,6 +4803,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "ewma": _ewma_oracle_sql(),
+        "session_paths": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessed AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+              FROM flagged
+            ), paths AS (
+              SELECT user_id, session_id,
+                     array_to_string(list_transform(list_sort(
+                       list({'t': ts, 'i': event_id, 'e': event_type})),
+                       s -> s.e)[1:5], '>') AS path
+              FROM sessed GROUP BY user_id, session_id
+            ), counted AS (
+              SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+            SELECT path, n_sessions, rank FROM
+              (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path)
+                 AS rank FROM counted) WHERE rank <= 20
+        """,
+        "equidepth_histogram": """
+            WITH b AS (SELECT l_extendedprice AS v,
+                              ntile(8) OVER (ORDER BY l_extendedprice,
+                                             l_orderkey, l_linenumber)
+                                AS bucket
+                       FROM lineitem)
+            SELECT bucket, count(*) AS n_rows,
+                   min(v) AS min_val, max(v) AS max_val
+            FROM b GROUP BY 1
+        """,
         "random_projection": _rp_oracle_sql(),
         "pmi_bigrams": f"""
             WITH tok AS (SELECT {TOKENS_SQL} AS toks FROM documents),

@@ -1,0 +1,57 @@
+"""Unit tests for the time-series operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from eclipse_spark.operators import timeseries as ts
+
+
+def test_ewma_head_renormalizes_and_weights_decay(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], "u bigint, t bigint, value double"
+    )
+    got = {
+        r.t: r.ewma
+        for r in ts.ewma(df, ["u"], ["t"], "value", alpha=0.5, window=8).collect()
+    }
+    assert got[1] == 10.0  # head row: renormalized over itself only
+    # t=2: (0.5*20 + 0.25*10) / 0.75 = 12.5/0.75
+    assert got[2] == pytest.approx(12.5 / 0.75, abs=1e-9)
+    # t=3: (0.5*30 + 0.25*20 + 0.125*10) / 0.875
+    assert got[3] == pytest.approx(21.25 / 0.875, abs=1e-9)
+
+
+def test_ewma_partitions_are_independent(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 2, 4.0)], "u bigint, t bigint, value double"
+    )
+    got = {r.u: r.ewma for r in ts.ewma(df, ["u"], ["t"]).collect()}
+    assert got == {1: 100.0, 2: 4.0}  # no leakage across users
+
+
+def test_session_paths_gap_and_truncation(spark):
+    rows = []
+    # user 1: two sessions: [a,b] then (gap) [a,b]; user 2: 7 events ->
+    # path truncates to first 5
+    rows += [(1, 0, "a"), (1, 10, "b"), (1, 10000, "a"), (1, 10010, "b")]
+    rows += [(2, 0, "x")] + [(2, 10 * i, "y") for i in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, sec bigint, event_type string"
+    ).selectExpr(
+        "user_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,sec) AS ts",
+        "event_type",
+        "sec AS event_id",
+    )
+    got = {r.path: (r.n_sessions, r.rank) for r in ts.session_paths(df).collect()}
+    assert got["a>b"] == (2, 1)
+    assert got["x>y>y>y>y"] == (1, 2)  # truncated at 5 events
+
+
+def test_equidepth_histogram_balanced_counts(spark):
+    df = spark.createDataFrame([(float(i), i) for i in range(100)], "v double, k bigint")
+    out = ts.equidepth_histogram(df, "v", buckets=4, tiebreak=["k"]).collect()
+    assert sorted(r.n_rows for r in out) == [25, 25, 25, 25]
+    b = {r.bucket: (r.min_val, r.max_val) for r in out}
+    assert b[1] == (0.0, 24.0) and b[4] == (75.0, 99.0)
