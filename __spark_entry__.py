@@ -3337,6 +3337,59 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "n_rows", "min_val", "max_val")
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof of the co-bucketed no-shuffle join (SURVEY
+    §4, the bucketBy replacement for Eclipse's DHT co-placement of
+    intermediates): orders and customer land via ``put_bucketed`` on
+    the customer key, the merge join's executed plan is inspected for
+    Exchange nodes, and the count is emitted AS A COLUMN the oracle
+    asserts equals zero — so the scale property, not just the join's
+    answer, is hash-checked every round. The aggregate's own exchange
+    is above the join and excluded by inspecting the pre-agg plan.
+    Scratch warehouse tables are dropped and the dir removed after
+    materialization."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    work = tempfile.mkdtemp(prefix="eclipse_bjoin_")
+    try:
+        cat = Catalog(spark, work)
+        orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        customer = _t(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        cat.put_bucketed("eclipse_bj_orders", orders, ["custkey"], buckets=8)
+        cat.put_bucketed("eclipse_bj_customer", customer, ["custkey"], buckets=8)
+        j = (
+            cat.get_table("eclipse_bj_orders")
+            .hint("merge")
+            .join(cat.get_table("eclipse_bj_customer"), on="custkey")
+        )
+        n_exchanges = (
+            j._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        )
+        out = (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                _dsum("o_totalprice", "sum_price"),
+            )
+            .withColumn(
+                "join_exchanges", F.lit(int(n_exchanges)).cast("int")
+            )
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eclipse_bj_orders")
+        spark.sql("DROP TABLE IF EXISTS eclipse_bj_customer")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _ewma_oracle_sql(alpha: float = 0.5, window: int = 8) -> str:
     """DuckDB mirror of q_ewma: explicit lag columns, the same
     round-(window+2) decimal term sums (the width where every weighted
@@ -3433,14 +3486,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates to the
-    queries that still lack driver evidence. Round-4 window: the 12
-    events-suite queries un-blocked by the _ts_normalize fix, the six
-    signature pipelines upgraded from rows-only to hash-checked via
-    the portable-hash oracles, the new semcache invalidation proof,
-    and 31 queries that have never held a window slot (locally green
-    since round 2). Everything rotated out retains its prior round's
-    driver-green row (CORRECTNESS_r01/r03.json) and every query at
-    every position stays locally oracle-checked by
+    queries that still lack driver evidence. Round-5 window: the 16
+    queries that had never held a slot through round 4, the 5
+    bounded-error / refresh-dedup additions, the 17 operators new
+    this round (profiling, CDC diff, PQ ANN, NLP, time-series, the
+    bucketed-join proof), and the 12 oldest r01-only re-seats the
+    remaining slots allow. Everything rotated out retains its prior
+    round's driver-green row (CORRECTNESS_r01/r03/r04.json) and every
+    query at every position stays locally oracle-checked by
     tests/test_oracle_parity.py."""
     return {
         # ===== positions 1-50: the round-5 driver window =====
@@ -3468,7 +3521,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "approx_distinct_err": q_approx_distinct_err,
         "approx_quantiles_err": q_approx_quantiles_err,
-        # re-seats: r01-only evidence, oldest first
+        # round-5 new operators (first driver evidence outranks
+        # re-seating already-green r01 rows): two from early in the
+        # round, then the profiling/CDC/PQ/NLP/time-series additions
+        "tfidf_topterms": q_tfidf_topterms,
+        "dedup_select_best": q_dedup_select_best,
+        "data_profile": q_data_profile,
+        "data_constraints": q_data_constraints,
+        "table_diff": q_table_diff,
+        "pq_encode": q_pq_encode,
+        "ann_pq": q_ann_pq,
+        "random_projection": q_random_projection,
+        "pmi_bigrams": q_pmi_bigrams,
+        "skipgram_pairs": q_skipgram_pairs,
+        "ngram_containment": q_ngram_containment,
+        "phrase_search": q_phrase_search,
+        "text_normalize": q_text_normalize,
+        "ewma": q_ewma,
+        "session_paths": q_session_paths,
+        "equidepth_histogram": q_equidepth_histogram,
+        "bucketed_join": q_bucketed_join,
+        # re-seats: r01-only evidence, oldest first, in the 12 slots
+        # the 38 first-timers leave free
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
         "aggregation": q_aggregation,
@@ -3481,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
+        # ===== positions 51+: driver-green in r01/r03/r04 =====
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -3496,26 +3571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_rank": q_ntile_rank,
         "set_ops": q_set_ops,
         "distinct_pairs": q_distinct_pairs,
-        # two more new operators this round (first driver evidence
-        # outranks re-seating already-green r01 rows)
-        "tfidf_topterms": q_tfidf_topterms,
-        "dedup_select_best": q_dedup_select_best,
-        # round-5 additions (window placement decided at end of round)
-        "data_profile": q_data_profile,
-        "data_constraints": q_data_constraints,
-        "table_diff": q_table_diff,
-        "pq_encode": q_pq_encode,
-        "ann_pq": q_ann_pq,
-        "random_projection": q_random_projection,
-        "pmi_bigrams": q_pmi_bigrams,
-        "skipgram_pairs": q_skipgram_pairs,
-        "ngram_containment": q_ngram_containment,
-        "phrase_search": q_phrase_search,
-        "text_normalize": q_text_normalize,
-        "ewma": q_ewma,
-        "session_paths": q_session_paths,
-        "equidepth_histogram": q_equidepth_histogram,
-        # ===== positions 51+: driver-green in r01/r03/r04 =====
         "rollup": q_rollup,
         "cube": q_cube,
         "semcache_invalidate": q_semcache_invalidate,
@@ -4803,6 +4858,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "bucketed_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price,
+                   CAST(0 AS INT) AS join_exchanges
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
         "ewma": _ewma_oracle_sql(),
         "session_paths": """
             WITH flagged AS (

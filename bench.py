@@ -75,6 +75,18 @@ HEADLINE = [
     "bpe_encode",
     # round 5 additions
     "tfidf_topterms",
+    "data_profile",
+    "table_diff",
+    "pq_encode",
+    "ann_pq",
+    "random_projection",
+    "pmi_bigrams",
+    "skipgram_pairs",
+    "phrase_search",
+    "text_normalize",
+    "ewma",
+    "session_paths",
+    "bucketed_join",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -11,7 +11,7 @@ iterative graph op) lives in :mod:`eclipse_spark.operators.dedup`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -192,3 +192,44 @@ def pagerank(
             ).alias("pr"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection: every node
+    starts as its own community; each round it adopts the most
+    frequent label among its neighbors (ties -> the smallest label;
+    isolated nodes and vote-less rounds keep the current label). The
+    deterministic tie-break makes the whole evolution engine-exact —
+    an external oracle can replay every round.
+
+    Scale shape per round: one (node)-keyed join pushing labels onto
+    the undirected edge list, one (node, label) count with map-side
+    combine, one argmax window over the per-node vote table (votes
+    per node ≤ distinct neighbor labels — bounded by degree), one
+    left join back to the node set. Labels-frontier-sized shuffles
+    only; nothing collects to the driver. Returns (node, label)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(n_rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("_n"), F.asc("label"))
+        best = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = labels.join(best, on="node", how="left").select(
+            "node", F.coalesce("_new", "label").alias("label")
+        )
+    return labels
