@@ -3337,6 +3337,110 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "n_rows", "min_val", "max_val")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of synchronous label propagation
+    (graph.label_propagation) over the part co-order graph — the
+    community-detection sibling of dedup's connected components
+    (CC merges everything reachable; LPA keeps densely-linked
+    clusters apart). Deterministic argmax (count desc, label asc) and
+    vote-less-round carryover make every round engine-exact; the
+    oracle unrolls both rounds. Per-node final label comes back for
+    all nodes, so one wrong vote anywhere hash-mismatches."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.label_propagation(edges, n_rounds=2, src="a", dst="b").select(
+        "node", "label"
+    )
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type (timeseries.mad_outliers):
+    median / MAD / k=3 exceedance counts — the heavy-tail-safe
+    companion to anomaly_zscore (a wild point inflates a stddev and
+    hides itself; it cannot move a median). Exact interpolated
+    percentiles (Spark percentile == DuckDB quantile_cont, the
+    already-pinned parity) with the per-type stats broadcast back."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return timeseries.mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source connector end-to-end (the reference's native
+    record model — newline-delimited lines, ``fileclient.hh`` line
+    reads): a deterministic documents subset serializes to
+    tab-separated lines, round-trips through the text reader, and
+    parses back; per-doc payload lengths must survive exactly. The
+    scratch dir is removed after materialization."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.sources import readers
+
+    sub = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    lines = sub.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace("text", r"\n", " "),
+        ).alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_src_text_")
+    try:
+        path = os.path.join(work, "docs_text")
+        readers.write_any(lines, path, fmt="text")
+        back = readers.read_any(spark, path, fmt="text")
+        out = back.select(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+            .cast("long")
+            .alias("doc_id"),
+            F.length(F.split_part(F.col("value"), F.lit("\t"), F.lit(2)))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source connector — the ingest path for the
+    multimodal tier (opaque bytes + typed metadata): a handful of
+    documents serialize to .bin files, Spark's binaryFile reader loads
+    (path, length, content), and per-file byte length + sha256 must
+    match the oracle's recomputation from the source table. The
+    content column is never shuffled (projected to digest at scan)."""
+    import shutil
+    import tempfile
+
+    rows_src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_src_bin_")
+    try:
+        for r in rows_src:
+            with open(os.path.join(work, f"{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        back = spark.read.format("binaryFile").load(work)
+        out = back.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha_hex"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible proof of the co-bucketed no-shuffle join (SURVEY
     §4, the bucketBy replacement for Eclipse's DHT co-placement of
@@ -3541,6 +3645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "equidepth_histogram": q_equidepth_histogram,
         "bucketed_join": q_bucketed_join,
+        "label_propagation": q_label_propagation,
+        "anomaly_mad": q_anomaly_mad,
+        "source_text": q_source_text,
+        "source_binary": q_source_binary,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -4858,6 +4966,57 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "anomaly_mad": """
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+            dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+                    FROM events e JOIN med m USING (event_type)),
+            stats AS (SELECT event_type, min(med) AS med,
+                             quantile_cont(dev, 0.5) AS mad
+                      FROM dev GROUP BY 1),
+            outl AS (SELECT d.event_type, count(*) AS n_outliers
+                     FROM dev d JOIN stats s USING (event_type)
+                     WHERE d.dev > 3.0 * s.mad GROUP BY 1)
+            SELECT s.event_type, s.med, s.mad,
+                   COALESCE(o.n_outliers, 0) AS n_outliers
+            FROM stats s LEFT JOIN outl o USING (event_type)
+        """,
+        "source_text": """
+            SELECT doc_id,
+                   CAST(length(replace(text, chr(10), ' ')) AS BIGINT)
+                     AS n_chars
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "source_binary": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha_hex
+            FROM documents WHERE doc_id < 8
+        """,
+        "label_propagation": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 4 = 0 AND b.l_orderkey % 4 = 0),
+            und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+            v1 AS (SELECT und.a AS node, l0.label, count(*) AS n
+                   FROM und JOIN l0 ON und.b = l0.node GROUP BY 1, 2),
+            b1 AS (SELECT node, label AS nw FROM v1
+                   QUALIFY row_number() OVER (PARTITION BY node
+                                              ORDER BY n DESC, label) = 1),
+            l1 AS (SELECT l0.node, COALESCE(b1.nw, l0.label) AS label
+                   FROM l0 LEFT JOIN b1 USING (node)),
+            v2 AS (SELECT und.a AS node, l1.label, count(*) AS n
+                   FROM und JOIN l1 ON und.b = l1.node GROUP BY 1, 2),
+            b2 AS (SELECT node, label AS nw FROM v2
+                   QUALIFY row_number() OVER (PARTITION BY node
+                                              ORDER BY n DESC, label) = 1)
+            SELECT l1.node, COALESCE(b2.nw, l1.label) AS label
+            FROM l1 LEFT JOIN b2 USING (node)
+        """,
         "bucketed_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

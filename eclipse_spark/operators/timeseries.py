@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "session_paths", "equidepth_histogram"]
+__all__ = ["ewma", "session_paths", "equidepth_histogram", "mad_outliers"]
 
 
 def ewma(
@@ -159,4 +159,45 @@ def equidepth_histogram(
             F.min(col).alias("min_val"),
             F.max(col).alias("max_val"),
         )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier stats: median, median-absolute-
+    deviation, and the count of points with ``|x - median| > k*MAD``
+    — the heavy-tail-safe alternative to z-scores (one wild point
+    inflates a stddev and hides itself; it cannot move a median).
+
+    Scale shape: two grouped exact-percentile aggregates (full sort
+    per group — at 100 TB swap ``percentile`` for the mergeable
+    ``approx_percentile`` sketch, same plan otherwise) with the tiny
+    per-group stats table broadcast back both times. All comparisons
+    are deterministic IEEE on identically-computed doubles.
+    Returns (group, med, mad, n_outliers)."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    stats = dev.groupBy(group_col).agg(
+        F.min("med").alias("med"),
+        F.expr("percentile(_dev, 0.5)").alias("mad"),
+    )
+    outl = (
+        dev.join(F.broadcast(stats.select(group_col, "mad")), group_col)
+        .filter(F.col("_dev") > F.lit(k) * F.col("mad"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("_n_out"))
+    )
+    return stats.join(outl, on=group_col, how="left").select(
+        group_col,
+        "med",
+        "mad",
+        F.coalesce("_n_out", F.lit(0)).cast("long").alias("n_outliers"),
     )

@@ -337,3 +337,20 @@ def test_run_concurrent_returns_in_order(spark, sf_smoke):
     got = run_concurrent(spark, thunks)
     assert got == [(i, n) for i in range(4)]
     assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_label_propagation_two_cliques(spark):
+    from eclipse_spark.operators import graph
+
+    # two triangles bridged by one edge: LPA keeps them as separate
+    # min-label communities (CC would merge everything)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.label for r in graph.label_propagation(edges, n_rounds=2).collect()}
+    # hand-computed synchronous evolution with (count desc, label asc)
+    # tie-breaks: round 1 = {1:2,2:1,3:1,4:3,5:4,6:4}; round 2 below.
+    # The left triangle converges to community 1; the right side shows
+    # the classic sync-LPA oscillation — determinism is the contract.
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}

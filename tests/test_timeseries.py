@@ -55,3 +55,13 @@ def test_equidepth_histogram_balanced_counts(spark):
     assert sorted(r.n_rows for r in out) == [25, 25, 25, 25]
     b = {r.bucket: (r.min_val, r.max_val) for r in out}
     assert b[1] == (0.0, 24.0) and b[4] == (75.0, 99.0)
+
+
+def test_mad_outliers_robust_to_single_spike(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ts.mad_outliers(df, "g", "value", k=3.0).collect()[0]
+    assert r.med == 5.5  # the spike cannot move the median much
+    assert r.n_outliers == 1  # and is itself the only exceedance
