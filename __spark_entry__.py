@@ -3441,6 +3441,34 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability with add-0.5 smoothing
+    (text.bigram_logprob): the order-aware fluency score one level up
+    from unigram_logprob. Vocabulary-keyed LM build, (w1, w2) join,
+    round-9 decimal accumulation — fully engine-exact."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"), k=0.5)
+
+
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production containment pipeline: banded MinHash candidates
+    (portable hash family, 3-gram shingles) verified with the
+    ASYMMETRIC containment measure in both directions
+    (dedup.containment_on_candidates) — the scale path of
+    ngram_containment's bounded all-pairs baseline, on the same
+    planted-excerpt corpus. The oracle replays signatures, banding,
+    the bucket join, and both verify directions bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    quotes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 30)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    cands = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=32, bands=8, shingle_k=3, portable=True
+    )
+    return dedup.containment_on_candidates(corpus, cands, n=3, threshold=0.5)
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible proof of the co-bucketed no-shuffle join (SURVEY
     §4, the bucketBy replacement for Eclipse's DHT co-placement of
@@ -3649,6 +3677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "source_text": q_source_text,
         "source_binary": q_source_binary,
+        "bigram_logprob": q_bigram_logprob,
+        "containment_lsh": q_containment_lsh,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -4966,6 +4996,56 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "bigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            pairs AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(toks)),
+                               i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS p
+                      FROM tok),
+            pw AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs),
+            uni AS (SELECT w1, count(*) AS c1 FROM
+                      (SELECT unnest(toks) AS w1 FROM tok) GROUP BY 1),
+            vs AS (SELECT count(*) AS v FROM uni),
+            big AS (SELECT w1, w2, count(*) AS cab FROM pw GROUP BY 1, 2),
+            lm AS (SELECT big.w1, big.w2,
+                          CAST(round(ln((cab + 0.5) / (c1 + 0.5 * v)), 9)
+                               AS DECIMAL(16,9)) AS lp
+                   FROM big JOIN uni USING (w1), vs),
+            scored AS (SELECT pw.doc_id, count(*) AS n_trans,
+                              round(CAST(sum(lp) AS DOUBLE) / count(*), 9)
+                                AS avg_logprob
+                       FROM pw JOIN lm USING (w1, w2) GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(s.n_trans, 0) AS n_trans, s.avg_logprob
+            FROM tok t LEFT JOIN scored s USING (doc_id)
+        """,
+        "containment_lsh": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id <= 300
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     array_to_string(({TOKENS_SQL})[1:30], ' ') AS text
+              FROM documents WHERE doc_id <= 300 AND doc_id % 7 = 0),
+            sig AS {_sql_minhash_sig('corpus', 32, 3)},
+            band AS ({_sql_minhash_band_rows('sig', 32, 8)}),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM band a JOIN band b USING (band, bh)
+                     WHERE a.id < b.id),
+            cand2 AS (SELECT id_a, id_b FROM cand
+                      UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM cand),
+            sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                   FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus) t)
+            SELECT * FROM (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(a.sh), 6) AS containment
+              FROM cand2 c JOIN sh a ON c.id_a = a.id
+                           JOIN sh b ON c.id_b = b.id)
+            WHERE containment >= 0.5
+        """,
         "anomaly_mad": """
             WITH med AS (SELECT event_type,
                                 quantile_cont(value, 0.5) AS med

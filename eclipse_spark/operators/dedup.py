@@ -948,3 +948,51 @@ def containment_pairs(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def containment_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment verify over an LSH candidate set — the scale path
+    of :func:`containment_pairs`: candidate generation is the banded
+    MinHash join (sub-quadratic, bucket-keyed), then the asymmetric
+    ``|A ∩ B| / |A|`` evaluates BOTH directions of each candidate
+    pair (containment is directional; Jaccard-symmetric candidates
+    feed two verdicts). Shingle sets join the candidate table on the
+    id keys, so shingle arrays move rows proportional to the
+    candidate count, never the corpus.
+
+    Recall note: banded MinHash recalls pairs by JACCARD, so an
+    excerpt must still share enough of the larger doc's shingles to
+    surface (a 30-of-50-token quote does; a 5-of-5000 one needs a
+    dedicated asymmetric index). Returns (id_a, id_b, containment)
+    where id_a's shingles are the denominator."""
+    from eclipse_spark.operators.text import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    cand2 = candidates.select("id_a", "id_b").unionAll(
+        candidates.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    joined = (
+        cand2.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+    )
+    cont = F.round(
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size("_sh_a"),
+        6,
+    )
+    return (
+        joined.select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

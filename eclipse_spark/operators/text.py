@@ -933,3 +933,78 @@ def normalize_text(
         F.length(raw).cast("long").alias("n_chars_raw"),
         F.length(collapsed).cast("long").alias("n_chars_norm"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-k smoothing,
+    ``ln((c(ab) + k) / (c(a) + k*V))`` — the step up from
+    :func:`unigram_logprob` that actually notices word ORDER (token
+    soup with a plausible unigram mix still scores low here). The
+    corpus is its own LM, the standard self-scoring fluency filter.
+
+    Scale shape mirrors unigram_logprob: one bigram count and one
+    unigram count (vocabulary-sized keys), transitions re-join the
+    bigram LM on the (w1, w2) key, one per-doc aggregate. V is a
+    1-row aggregate cross-joined in. Per-transition log-probs round
+    to 9 and accumulate in decimal; docs with <2 tokens come back
+    with n_trans=0 and a NULL score (never silently dropped).
+    Returns (id_col, n_trans, avg_logprob)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p"),
+    ).select(F.col(id_col), "_p.w1", "_p.w2")
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("_v"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_cab"))
+    lm = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("_cab") + F.lit(k))
+                    / (F.col("_c1") + F.lit(k) * F.col("_v"))
+                ),
+                9,
+            )
+            .cast("decimal(16,9)")
+            .alias("_lp"),
+        )
+    )
+    scored = (
+        pairs.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trans"),
+            F.round(F.sum("_lp").cast("double") / F.count("*"), 9).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+            "avg_logprob",
+        )
+    )

@@ -90,3 +90,46 @@ def test_random_projection_shape_and_determinism(spark, sf_smoke):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     c = random_projection(emb, out_dim=4, seed=12).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_bigram_logprob_prefers_ordered_text(spark):
+    # same unigram bag, different order: the repeated ordered corpus
+    # makes "a b" transitions likely; the scrambled doc scores lower
+    rows = [(i, "a b c d") for i in range(1, 9)] + [(9, "d b a c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in text.bigram_logprob(df, k=0.5).collect()}
+    assert got[1].n_trans == 3
+    assert got[1].avg_logprob > got[9].avg_logprob
+    # short-doc handling: a 1-token doc yields 0 transitions, NULL score
+    one = spark.createDataFrame([(1, "solo")], "doc_id bigint, text string")
+    r = text.bigram_logprob(one).collect()[0]
+    assert r.n_trans == 0 and r.avg_logprob is None
+
+
+def test_containment_on_candidates_matches_allpairs_on_recalled(spark):
+    from eclipse_spark.operators import dedup
+
+    base = "one two three four five six seven eight nine ten"
+    # the 9-of-10-token excerpt keeps Jaccard ~0.875 so the banded
+    # MinHash (8 bands x 4 rows) recalls the pair deterministically
+    df = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine")],
+        "doc_id bigint, text string",
+    )
+    cands = dedup.minhash_lsh_candidates(
+        df, num_hashes=32, bands=8, shingle_k=3, portable=True
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_on_candidates(
+            df, cands, n=3, threshold=0.0
+        ).collect()
+    }
+    allp = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert got  # the high-overlap pair is recalled
+    for pair, c in got.items():
+        assert allp[pair] == c  # verify agrees with the exact baseline
+    assert got[(2, 1)] == 1.0 and got[(1, 2)] < 1.0
