@@ -3575,6 +3575,51 @@ def _rp_oracle_sql(out_dim: int = 16, seed: int = 11, dim: int = 64) -> str:
     """
 
 
+def q_data_profile_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source segmented profile of ``documents``
+    (profile.profile_by): the grouped quality report a mixed-corpus
+    ingest needs — a 90%-complete column can hide one source that is
+    0% complete. One grouped aggregate pass, one (source, column)
+    row out."""
+    from eclipse_spark.operators import profile as prof
+
+    return prof.profile_by(
+        _t(spark, sf_dir, "documents"), "source", ["doc_id", "lang", "n_chars"]
+    )
+
+
+def _profile_by_oracle_sql() -> str:
+    """DuckDB mirror of q_data_profile_by: grouped aggregate CTE,
+    per-column UNION into long format."""
+    numeric = {"doc_id", "n_chars"}
+    cols = ["doc_id", "lang", "n_chars"]
+    aggs = ["source", "count(*) AS n_rows"]
+    sels = []
+    for i, c in enumerate(cols):
+        aggs.append(f"count({c}) AS nn{i}")
+        aggs.append(f"count(DISTINCT {c}) AS nd{i}")
+        if c in numeric:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn{i}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx{i}")
+            mn, mx = f"mn{i}", f"mx{i}"
+            smin = smax = "CAST(NULL AS VARCHAR)"
+        else:
+            aggs.append(f"CAST(min({c}) AS VARCHAR) AS smn{i}")
+            aggs.append(f"CAST(max({c}) AS VARCHAR) AS smx{i}")
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smin, smax = f"smn{i}", f"smx{i}"
+        sels.append(
+            f"SELECT source, '{c}' AS col_name, n_rows, n_rows - nn{i} AS n_nulls, "
+            f"CAST(nn{i} AS DOUBLE) / n_rows AS completeness, "
+            f"nd{i} AS n_distinct, {mn} AS min_num, {mx} AS max_num, "
+            f"{smin} AS min_str, {smax} AS max_str FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM documents GROUP BY source) "
+        + " UNION ALL ".join(sels)
+    )
+
+
 def _profile_oracle_sql() -> str:
     """Generate the DuckDB mirror of q_data_profile: one aggregate CTE
     with the same statistics, unioned into long format per column."""
@@ -3679,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_binary": q_source_binary,
         "bigram_logprob": q_bigram_logprob,
         "containment_lsh": q_containment_lsh,
+        "data_profile_by": q_data_profile_by,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -4996,6 +5042,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
+        "data_profile_by": _profile_by_oracle_sql(),
         "bigram_logprob": f"""
             WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
             pairs AS (SELECT doc_id,

@@ -10,29 +10,29 @@ the engine itself rather than a bolted-on scan.
 Scale shape: ONE pass over the data. All per-column statistics are
 aggregate expressions in a single ``agg`` — Spark computes the
 null-counts/min/max partials map-side and shuffles one partial row per
-partition. Exact per-column distinct counts ride the same aggregate
-via Catalyst's Expand rewrite (rows are replicated once per DISTINCT
-aggregate before the partial agg — at P profiled columns the scan's
-row stream multiplies by ~P, still map-side partial-aggregated). At
-100 TB profile widths, pass ``exact_distinct=False`` to swap in
-HyperLogLog (``approx_count_distinct``) and keep the pass
-replication-free; the oracle-checked queries use the exact path at
-test scale.
+partition (per group for :func:`profile_by`). Exact per-column
+distinct counts ride the same aggregate via Catalyst's Expand rewrite
+(rows are replicated once per DISTINCT aggregate before the partial
+agg — at P profiled columns the scan's row stream multiplies by ~P,
+still map-side partial-aggregated). At 100 TB profile widths, pass
+``exact_distinct=False`` to swap in HyperLogLog
+(``approx_count_distinct``) and keep the pass replication-free; the
+oracle-checked queries use the exact path at test scale.
 
-The wide 1-row aggregate is exploded into one row per column on the
-driver-sized result (a single row), so the long-format reshape costs
+The wide aggregate rows are exploded into one row per (group, column)
+on the already-aggregated result, so the long-format reshape costs
 nothing.
 """
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile", "check_constraints"]
+__all__ = ["profile", "profile_by", "check_constraints"]
 
 _NUMERIC = (
     T.ByteType,
@@ -43,6 +43,56 @@ _NUMERIC = (
     T.DoubleType,
     T.DecimalType,
 )
+
+
+def _stat_exprs(
+    cols: Sequence[str],
+    schema: Mapping[str, T.DataType],
+    nd: Callable[[str], Column],
+) -> list[Column]:
+    """The per-column statistic aggregates of one profile pass."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(nd(c).alias(f"_ndist_{c}"))
+        if isinstance(schema[c], _NUMERIC):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_smin_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_smax_{c}"))
+    return aggs
+
+
+def _long_entry(c: str, schema: Mapping[str, T.DataType]) -> Column:
+    """One column's statistics as a struct, for the long-format
+    explode over the (driver-sized) wide aggregate row."""
+    numeric = isinstance(schema[c], _NUMERIC)
+    return F.struct(
+        F.lit(c).alias("col_name"),
+        F.col("n_rows").alias("n_rows"),
+        (F.col("n_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+        (F.col(f"_nn_{c}").cast("double") / F.col("n_rows")).alias("completeness"),
+        F.col(f"_ndist_{c}").alias("n_distinct"),
+        (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias(
+            "min_num"
+        ),
+        (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias(
+            "max_num"
+        ),
+        (F.lit(None).cast("string") if numeric else F.col(f"_smin_{c}")).alias(
+            "min_str"
+        ),
+        (F.lit(None).cast("string") if numeric else F.col(f"_smax_{c}")).alias(
+            "max_str"
+        ),
+    )
+
+
+def _nd_fn(exact_distinct: bool) -> Callable[[str], Column]:
+    if exact_distinct:
+        return lambda c: F.count_distinct(F.col(c))
+    return lambda c: F.approx_count_distinct(F.col(c))
 
 
 def profile(
@@ -63,50 +113,36 @@ def profile(
     """
     cols = list(columns) if columns is not None else list(df.columns)
     schema = {f.name: f.dataType for f in df.schema.fields}
-    nd = (
-        (lambda c: F.count_distinct(F.col(c)))
-        if exact_distinct
-        else (lambda c: F.approx_count_distinct(F.col(c)))
-    )
-    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(nd(c).alias(f"_ndist_{c}"))
-        if isinstance(schema[c], _NUMERIC):
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
-        else:
-            aggs.append(F.min(F.col(c).cast("string")).alias(f"_smin_{c}"))
-            aggs.append(F.max(F.col(c).cast("string")).alias(f"_smax_{c}"))
-    wide = df.agg(*aggs)
-
-    def _entry(c: str) -> Column:
-        numeric = isinstance(schema[c], _NUMERIC)
-        return F.struct(
-            F.lit(c).alias("col_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
-            (F.col(f"_nn_{c}").cast("double") / F.col("n_rows")).alias(
-                "completeness"
-            ),
-            F.col(f"_ndist_{c}").alias("n_distinct"),
-            (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias(
-                "min_num"
-            ),
-            (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias(
-                "max_num"
-            ),
-            (F.lit(None).cast("string") if numeric else F.col(f"_smin_{c}")).alias(
-                "min_str"
-            ),
-            (F.lit(None).cast("string") if numeric else F.col(f"_smax_{c}")).alias(
-                "max_str"
-            ),
-        )
-
+    wide = df.agg(*_stat_exprs(cols, schema, _nd_fn(exact_distinct)))
     return wide.select(
-        F.explode(F.array(*[_entry(c) for c in cols])).alias("_p")
+        F.explode(F.array(*[_long_entry(c, schema) for c in cols])).alias("_p")
     ).select("_p.*")
+
+
+def profile_by(
+    df: DataFrame,
+    group_col: str,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """:func:`profile` segmented by ``group_col`` — the per-source /
+    per-partition quality report a mixed-corpus ingest needs (a
+    90%-complete column can hide one source that is 0% complete; the
+    grouped profile can't be fooled that way). Same single-pass
+    shape, one wide row per group, exploded to (group, column) rows;
+    ``n_rows`` becomes the group's row count."""
+    cols = [
+        c for c in (columns if columns is not None else df.columns)
+        if c != group_col
+    ]
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    wide = df.groupBy(group_col).agg(
+        *_stat_exprs(cols, schema, _nd_fn(exact_distinct))
+    )
+    return wide.select(
+        F.col(group_col),
+        F.explode(F.array(*[_long_entry(c, schema) for c in cols])).alias("_p"),
+    ).select(group_col, "_p.*")
 
 
 def check_constraints(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:

@@ -60,3 +60,16 @@ def test_constraints_verdicts(toy):
 def test_constraints_empty_raises(toy):
     with pytest.raises(ValueError):
         prof.check_constraints(toy, {})
+
+
+def test_profile_by_segments_expose_hidden_gaps(spark):
+    df = spark.createDataFrame(
+        [("s1", "x"), ("s1", "y"), ("s2", None), ("s2", None)],
+        "src string, v string",
+    )
+    rows = {
+        (r.src, r.col_name): r for r in prof.profile_by(df, "src").collect()
+    }
+    assert rows[("s1", "v")].completeness == 1.0
+    assert rows[("s2", "v")].completeness == 0.0  # invisible in a global profile
+    assert rows[("s2", "v")].n_rows == 2
