@@ -3522,11 +3522,100 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _ewma_oracle_sql(alpha: float = 0.5, window: int = 8) -> str:
+def q_events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful EWMA via applyInPandasWithState: per-user
+    state holds the last-8 (ts, id, value) history; each trigger
+    merges new rows, re-sorts (cross-batch arrival order is not
+    time order), trims, and emits the smoothed value of the LATEST
+    event plus the monotone events-seen counter used to pick each
+    user's final emission. The arithmetic mirrors timeseries.ewma
+    exactly (round-10 terms summed in decimal, float division of the
+    decimal totals), so the stream's final state equals the batch
+    operator at the last event — the batch/stream parity contract,
+    now for arbitrary stateful arithmetic, with a full SQL oracle."""
+    import pandas as pd
+    from decimal import Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "events.*"), raw_schema
+    )
+
+    def ewma_state(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ts_l, eid_l, val_l, n_seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+                int(state.get[3]),
+            )
+        else:
+            ts_l, eid_l, val_l, n_seen = [], [], [], 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            # raw ts may arrive as TIMESTAMP or as nanos-long
+            # (driver-round layouts differ); both sort identically
+            s = pdf["ts"]
+            ts_ints = (
+                s.astype("int64") if s.dtype.kind == "M" else pd.to_numeric(s)
+            )
+            ts_l.extend(int(t) for t in ts_ints)
+            eid_l.extend(int(i) for i in pdf["event_id"])
+            val_l.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(eid_l)), key=lambda j: (ts_l[j], eid_l[j]))[-8:]
+        ts_l = [ts_l[j] for j in order]
+        eid_l = [eid_l[j] for j in order]
+        val_l = [val_l[j] for j in order]
+        state.update((ts_l, eid_l, val_l, n_seen))
+        num, den = Decimal(0), Decimal(0)
+        for i, x in enumerate(reversed(val_l)):
+            wi = 0.5 * 0.5**i
+            num += Decimal(str(round(x * wi, 10)))
+            den += Decimal(str(wi))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_seen],
+                "ewma": [float(num) / float(den)],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        ewma_state,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType=(
+            "ts array<long>, eid array<long>, val array<double>, n long"
+        ),
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    stream_windows.run_stream_to_memory(out, "ev_stream_ewma", "update")
+    # n_events is strictly monotone per user across emissions, so the
+    # final state is the max_by(n_events) row regardless of batching
+    return (
+        spark.table("ev_stream_ewma")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(ewma, n_events)").alias("ewma"),
+        )
+    )
+
+
+def _ewma_oracle_sql(
+    alpha: float = 0.5, window: int = 8, last_only: bool = False
+) -> str:
     """DuckDB mirror of q_ewma: explicit lag columns, the same
     round-(window+2) decimal term sums (the width where every weighted
     term is exactly representable, so no half-way rounding case
-    exists), present-lag weight renormalization."""
+    exists), present-lag weight renormalization. ``last_only`` keeps
+    each user's latest event only, plus the per-user event count —
+    the streaming final-state shape (q_events_stream_ewma)."""
     digits = window + 2
     dec = f"DECIMAL({digits + 10},{digits})"
     lags = ", ".join(
@@ -3543,14 +3632,24 @@ def _ewma_oracle_sql(alpha: float = 0.5, window: int = 8) -> str:
             f"(CASE WHEN {x} IS NOT NULL THEN CAST({wi} AS {dec}) "
             f"ELSE CAST(0 AS {dec}) END)"
         )
-    return f"""
-        WITH l AS (SELECT event_id, user_id, value, {lags}
+    base = f"""
+        WITH l AS (SELECT event_id, user_id, ts, value, {lags}
                    FROM events
-                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        SELECT event_id, user_id,
-               CAST({' + '.join(num_terms)} AS DOUBLE)
-                 / CAST({' + '.join(den_terms)} AS DOUBLE) AS ewma
-        FROM l
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        e2 AS (SELECT event_id, user_id, ts,
+                      CAST({' + '.join(num_terms)} AS DOUBLE)
+                        / CAST({' + '.join(den_terms)} AS DOUBLE) AS ewma
+               FROM l)
+    """
+    if not last_only:
+        return base + " SELECT event_id, user_id, ewma FROM e2"
+    return base + """
+        SELECT user_id, n_events, ewma FROM (
+          SELECT user_id, ewma,
+                 count(*) OVER (PARTITION BY user_id) AS n_events,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e2) WHERE rn = 1
     """
 
 
@@ -3725,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "containment_lsh": q_containment_lsh,
         "data_profile_by": q_data_profile_by,
+        "events_stream_ewma": q_events_stream_ewma,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5153,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ewma": _ewma_oracle_sql(),
+        "events_stream_ewma": _ewma_oracle_sql(last_only=True),
         "session_paths": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, event_type,
