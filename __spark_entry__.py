@@ -1038,6 +1038,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (relational.asof_join): per 'error' event,
+    the user's earliest 'click' at-or-after it, payload carried in
+    the min-struct — merge_asof(direction='forward') as one
+    key-partitioned window sort. Completes the temporal-join family
+    next to the backward q_asof_join."""
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return relational.asof_join(
+        errors, clicks, on=["user_id"], right_payload=["value"],
+        direction="forward",
+    ).select("event_id", "user_id", "asof_ts", "asof_value")
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (relational.asof_join): per 'error' event,
+    the user's closest 'click' in either direction, sub-second ties
+    resolved to backward via microsecond-precision double distances
+    (unix_timestamp would truncate to seconds and flip ties). Both
+    direction frames reuse one partitioned sort — 'nearest' costs the
+    same single shuffle as either direction."""
+    _utc(spark)
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return relational.asof_join(
+        errors, clicks, on=["user_id"], right_payload=["value"],
+        direction="nearest",
+    ).select("event_id", "user_id", "asof_ts", "asof_value")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per 'error' event, how many 'click' events of the
     same user in the preceding hour. Scale path: equi-join on
@@ -3825,6 +3862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_lsh": q_containment_lsh,
         "data_profile_by": q_data_profile_by,
         "events_stream_ewma": q_events_stream_ewma,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5143,6 +5182,60 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{TOKENS}", TOKENS_SQL),
         "data_profile": _profile_oracle_sql(),
         "data_profile_by": _profile_by_oracle_sql(),
+        "asof_forward": """
+            WITH c AS (SELECT user_id, ts AS click_ts, value AS click_val
+                       FROM events WHERE event_type = 'click'),
+            u AS (SELECT user_id, ts AS t, 1 AS is_probe, event_id,
+                         CAST(NULL AS TIMESTAMP) AS click_ts
+                  FROM events WHERE event_type = 'error'
+                  UNION ALL
+                  SELECT user_id, click_ts AS t, 0 AS is_probe,
+                         CAST(NULL AS BIGINT) AS event_id, click_ts
+                  FROM c),
+            m AS (SELECT user_id, is_probe, event_id,
+                         min(click_ts) OVER (PARTITION BY user_id
+                             ORDER BY t, is_probe DESC
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS asof_ts
+                  FROM u)
+            SELECT m.event_id, m.user_id, m.asof_ts,
+                   c.click_val AS asof_value
+            FROM m LEFT JOIN c
+              ON m.user_id = c.user_id AND m.asof_ts = c.click_ts
+            WHERE m.is_probe = 1
+        """,
+        "asof_nearest": """
+            WITH c AS (SELECT user_id, ts AS click_ts, value AS click_val
+                       FROM events WHERE event_type = 'click'),
+            u AS (SELECT user_id, ts AS t, 1 AS is_probe, event_id,
+                         CAST(NULL AS TIMESTAMP) AS click_ts
+                  FROM events WHERE event_type = 'error'
+                  UNION ALL
+                  SELECT user_id, click_ts AS t, 0 AS is_probe,
+                         CAST(NULL AS BIGINT) AS event_id, click_ts
+                  FROM c),
+            m AS (SELECT user_id, t, is_probe, event_id,
+                         max(click_ts) OVER (PARTITION BY user_id
+                             ORDER BY t, is_probe ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS back_ts,
+                         min(click_ts) OVER (PARTITION BY user_id
+                             ORDER BY t, is_probe DESC
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS fwd_ts
+                  FROM u),
+            sel AS (SELECT event_id, user_id,
+                           CASE WHEN back_ts IS NULL THEN fwd_ts
+                                WHEN fwd_ts IS NULL THEN back_ts
+                                WHEN (epoch(fwd_ts) - epoch(t))
+                                     < (epoch(t) - epoch(back_ts)) THEN fwd_ts
+                                ELSE back_ts END AS asof_ts
+                    FROM m WHERE is_probe = 1)
+            SELECT s.event_id, s.user_id, s.asof_ts,
+                   c.click_val AS asof_value
+            FROM sel s LEFT JOIN c
+              ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
+        """,
         "bigram_logprob": f"""
             WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
             pairs AS (SELECT doc_id,

@@ -91,6 +91,7 @@ HEADLINE = [
     "anomaly_mad",
     "bigram_logprob",
     "containment_lsh",
+    "data_profile_by",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

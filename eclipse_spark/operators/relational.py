@@ -287,3 +287,87 @@ def dataset_split(
         cond = h < F.lit(ub)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    direction: str = "backward",
+) -> DataFrame:
+    """Generalized as-of join (pandas ``merge_asof`` semantics as a
+    library operator): for each left row, the right row whose
+    timestamp is the latest at-or-before (``backward``), the earliest
+    at-or-after (``forward``), or the closest in either direction
+    (``nearest``, ties to backward). Emits the left columns plus
+    ``asof_ts`` and the requested ``right_payload`` columns.
+
+    Scale shape: ONE key-partitioned window sort over the union of
+    both sides — no per-row subquery, no range-explosion join; both
+    direction frames reuse the same sort, so 'nearest' costs the same
+    single shuffle as either direction. The matched row rides as a
+    (ts, payload...) struct under min/max — the struct's leading
+    timestamp makes extreme-by-ts selection a plain min/max, and the
+    probe/build ordering at equal timestamps keeps both directions
+    INCLUSIVE of exact-match rows."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    keys = list(on)
+    payload = list(right_payload)
+    lcols = [c for c in left.columns]
+    rstruct = F.struct(
+        F.col(right_ts).alias("_t"), *[F.col(c).alias(c) for c in payload]
+    )
+    build = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_evt"),
+        F.lit(0).alias("_probe"),
+        rstruct.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    probe = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_evt"),
+        F.lit(1).alias("_probe"),
+        F.lit(None).cast(build.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    merged = build.unionByName(probe)
+    # backward: build rows sort BEFORE probes at equal ts (inclusive);
+    # forward: probes sort before builds (inclusive on the other side)
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_evt"), F.asc("_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_evt"), F.desc("_probe"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        matched = F.max("_r").over(w_back)
+    elif direction == "forward":
+        matched = F.min("_r").over(w_fwd)
+    else:
+        b, f = F.max("_r").over(w_back), F.min("_r").over(w_fwd)
+        # microsecond-precision distances (timestamp->double keeps the
+        # fraction; unix_timestamp would truncate to seconds and
+        # resolve sub-second ties differently from the oracle)
+        db = F.col("_evt").cast("double") - b["_t"].cast("double")
+        df_ = f["_t"].cast("double") - F.col("_evt").cast("double")
+        matched = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(df_ < db, f)
+            .otherwise(b)  # ties -> backward
+        )
+    out = merged.withColumn("_m", matched).filter(F.col("_probe") == 1)
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        F.col("_m._t").alias("asof_ts"),
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload],
+    )

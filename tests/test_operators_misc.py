@@ -354,3 +354,38 @@ def test_label_propagation_two_cliques(spark):
     # The left triangle converges to community 1; the right side shows
     # the classic sync-LPA oscillation — determinism is the contract.
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_asof_join_directions_and_ties(spark):
+    from eclipse_spark.operators import relational
+
+    def ts(s):
+        return f"timestamp '2024-01-01 00:00:{s:02d}'"
+
+    right = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:{s:02d}", float(s)) for s in (10, 20)],
+        "k bigint, ts string, value double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:05"),   # before both
+         (2, 1, "2024-01-01 00:00:15"),   # equidistant between 10 and 20
+         (3, 1, "2024-01-01 00:00:20"),   # exact match
+         (4, 1, "2024-01-01 00:00:25")],  # after both
+        "id bigint, k bigint, ts string",
+    ).selectExpr("id", "k", "CAST(ts AS TIMESTAMP) AS ts")
+
+    def vals(direction):
+        out = relational.asof_join(
+            left, right, on=["k"], right_payload=["value"], direction=direction
+        )
+        return {r.id: r.asof_value for r in out.collect()}
+
+    assert vals("backward") == {1: None, 2: 10.0, 3: 20.0, 4: 20.0}
+    assert vals("forward") == {1: 10.0, 2: 20.0, 3: 20.0, 4: None}
+    # nearest: equidistant resolves BACKWARD; exact match sticks
+    assert vals("nearest") == {1: 10.0, 2: 10.0, 3: 20.0, 4: 20.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        relational.asof_join(left, right, on=["k"], direction="sideways")
