@@ -2476,6 +2476,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     scale), and aggregate — proving the format connector end-to-end.
     Java's shortest-round-trip double formatting makes the text
     round-trip value-exact, so the parquet-based oracle applies."""
+    import shutil
     import tempfile
 
     from eclipse_spark.sources import readers
@@ -2483,16 +2484,22 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix=f"eclipse_src_{fmt}_"), f"orders_{fmt}")
-    readers.write_any(sub, path, fmt=fmt)
-    back = readers.read_any(
-        spark, path, fmt=fmt,
-        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
-    )
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        _dsum("o_totalprice", "sum_price"),
-    )
+    work = tempfile.mkdtemp(prefix=f"eclipse_src_{fmt}_")
+    try:
+        path = os.path.join(work, f"orders_{fmt}")
+        readers.write_any(sub, path, fmt=fmt)
+        back = readers.read_any(
+            spark, path, fmt=fmt,
+            schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "sum_price"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
