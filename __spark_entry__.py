@@ -3808,13 +3808,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys, so each round the window rotates to the
     queries that still lack driver evidence. Round-5 window: the 16
     queries that had never held a slot through round 4, the 5
-    bounded-error / refresh-dedup additions, the 17 operators new
-    this round (profiling, CDC diff, PQ ANN, NLP, time-series, the
-    bucketed-join proof), and the 12 oldest r01-only re-seats the
-    remaining slots allow. Everything rotated out retains its prior
-    round's driver-green row (CORRECTNESS_r01/r03/r04.json) and every
-    query at every position stays locally oracle-checked by
-    tests/test_oracle_parity.py."""
+    bounded-error / refresh-dedup additions, and the 27 operators new
+    this round (profiling + constraints + per-segment profiles, CDC
+    diff, PQ encode/ADC search, JL projection, PMI/skip-gram/phrase/
+    containment/normalize NLP ops, EWMA/session-paths/equi-depth/MAD
+    time-series ops, the bucketed-join no-shuffle proof, label
+    propagation, text/binary sources, bigram LM, LSH containment,
+    streaming stateful EWMA, forward/nearest as-of) — 48 first-timers
+    plus the 2 oldest r01-only re-seats. Everything rotated out
+    retains its prior round's driver-green row
+    (CORRECTNESS_r01/r03/r04.json) and every query at every position
+    stays locally oracle-checked by tests/test_oracle_parity.py."""
     return {
         # ===== positions 1-50: the round-5 driver window =====
         # 16 first-ever driver slots (locally oracle-green since r04)

@@ -329,3 +329,46 @@ def test_dataset_split_partitions_every_row(spark, docs):
     assert a == b
     assert set(a.values()) <= {"train", "val", "test"}
     assert len(a) == len(docs)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        max_size=20,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_table_diff_changefeed_reconstructs_new(spark, old_rows, new_rows):
+    """Applying the change feed to the old snapshot must reconstruct
+    the new snapshot exactly: new == (old - deletes - update_pre)
+    + inserts + update_post. Holds for every keyed table including
+    NULL-valued transitions."""
+    from eclipse_spark.storage import table_diff
+
+    def dedupe(rows):  # one row per key (keyed-table precondition)
+        return list({k: (k, v) for k, v in rows}.values())
+
+    old_rows, new_rows = dedupe(old_rows), dedupe(new_rows)
+    old = spark.createDataFrame(old_rows or [(99999, None)], "k bigint, v bigint")
+    new = spark.createDataFrame(new_rows or [(99998, None)], "k bigint, v bigint")
+    changes = table_diff(old, new, ["k"]).collect()
+    state = {k: v for k, v in old.collect()}
+    # removals first, additions second (the feed itself is unordered)
+    for c in changes:
+        if c.change_type in ("delete", "update_preimage"):
+            assert state.pop(c.k) == c.v
+    for c in changes:
+        if c.change_type in ("insert", "update_postimage"):
+            assert c.k not in state
+            state[c.k] = c.v
+    assert state == {k: v for k, v in new.collect()}
