@@ -3485,6 +3485,50 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster labeling: embeddings assign to their
+    nearest of 8 centroid vectors (the kmeans/semdedup assignment
+    shape), the matching documents' tokens aggregate per cell, and
+    each cluster is labeled with its top-3 terms by cluster-level
+    TF-IDF (idf over cells, so corpus-wide boilerplate terms wash
+    out). The compose-everything query: similarity assignment +
+    id-join across modalities + search-style scoring, all
+    engine-exact (round-6 scores, (score, term) tie-breaks)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim", similarity.cosine_sim(F.col("embedding"), F.col("centroid"))
+        )
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("vec_id").alias("doc_id"), "cell")
+    )
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .join(assigned, on="doc_id")
+        .select("cell", F.explode(text.tokens(F.col("text"))).alias("term"))
+    )
+    tf = toks.groupBy("cell", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("_dfc"))
+    scored = tf.join(dfc, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(8.0) / F.col("_dfc")), 6),
+    )
+    wr = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("cell", "term", "tf", "score", "rank")
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram log-probability with add-0.5 smoothing
     (text.bigram_logprob): the order-aware fluency score one level up
@@ -3875,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_ewma": q_events_stream_ewma,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "cluster_topics": q_cluster_topics,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5246,6 +5291,30 @@ def oracle_sql() -> dict[str, str]:
                    c.click_val AS asof_value
             FROM sel s LEFT JOIN c
               ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
+        """,
+        "cluster_topics": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cell, ve AS centroid FROM e
+                      WHERE vec_id < 8),
+            scored0 AS (SELECT e.vec_id, c.cell,
+                               list_cosine_similarity(e.ve, c.centroid) AS sim
+                        FROM e, cents c),
+            assigned AS (SELECT vec_id AS doc_id, cell FROM scored0
+                         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell) = 1),
+            toks AS (SELECT a.cell, unnest({TOKENS_SQL}) AS term
+                     FROM documents d JOIN assigned a USING (doc_id)),
+            tf AS (SELECT cell, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+            s AS (SELECT tf.cell, tf.term, tf.tf,
+                         round(tf.tf * ln(8.0 / dfc), 6) AS score
+                  FROM tf JOIN dfc USING (term))
+            SELECT cell, term, tf, score, rank FROM
+              (SELECT *, row_number() OVER (PARTITION BY cell
+                       ORDER BY score DESC, term) AS rank FROM s)
+            WHERE rank <= 3
         """,
         "bigram_logprob": f"""
             WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
