@@ -175,7 +175,7 @@ def main() -> None:
 
     many_job: dict[str, float] = {}
     _one_job()  # warm (codegen + parquet footers), adjacent to the clock
-    for n in (1, 4, 16):
+    for n in (1, 4, 16, 64):
         t0 = time.perf_counter()
         run_concurrent(spark, [_one_job] * n)
         many_job[str(n)] = round(time.perf_counter() - t0, 3)
