@@ -3485,6 +3485,24 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (graph.bfs_distances): minimum hop count from
+    the first 5 part keys over the co-order graph, 2 hops. Per hop one
+    edge join + one min-agg; integer min needs no tie-break, so the
+    oracle replays the bounded expansion exactly. Completes the graph
+    family (components, communities, ranks, triangles, now paths)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    sources = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 5)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return graph.bfs_distances(
+        edges, sources, max_hops=2, src="a", dst="b"
+    )
+
+
 def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal cluster labeling: embeddings assign to their
     nearest of 8 centroid vectors (the kmeans/semdedup assignment
@@ -3920,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "cluster_topics": q_cluster_topics,
+        "bfs_distances": q_bfs_distances,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5291,6 +5310,27 @@ def oracle_sql() -> dict[str, str]:
                    c.click_val AS asof_value
             FROM sel s LEFT JOIN c
               ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
+        """,
+        "bfs_distances": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 4 = 0 AND b.l_orderkey % 4 = 0),
+            und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            d0 AS (SELECT DISTINCT p_partkey AS node, 0 AS dist
+                   FROM part WHERE p_partkey < 5),
+            d1 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d0
+                     UNION ALL
+                     SELECT und.b AS node, d0.dist + 1 AS dist
+                     FROM und JOIN d0 ON und.a = d0.node) GROUP BY 1),
+            d2 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d1
+                     UNION ALL
+                     SELECT und.b AS node, d1.dist + 1 AS dist
+                     FROM und JOIN d1 ON und.a = d1.node) GROUP BY 1)
+            SELECT node, CAST(dist AS INT) AS dist FROM d2
         """,
         "cluster_topics": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve

@@ -233,3 +233,41 @@ def label_propagation(
             "node", F.coalesce("_new", "label").alias("label")
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: the minimum hop
+    count from any source node, up to ``max_hops`` (unreached nodes
+    are absent — emit-what-you-reached semantics, so the result size
+    is frontier-bounded, not graph-bounded).
+
+    Scale shape per hop: one (node)-keyed join pushing the current
+    distance table onto the edges, one min-agg merging new candidates
+    with the standing table — the textbook iterative-join BFS with a
+    persisted edge list and nothing at the driver. Distances are
+    integers; min() needs no tie-break, so the result is trivially
+    engine-exact and an oracle can replay it with a bounded recursive
+    expansion. Returns (node, dist)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    for _ in range(max_hops):
+        frontier = (
+            und.join(dist.withColumnRenamed("node", "a"), on="a")
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+    return dist

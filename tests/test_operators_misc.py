@@ -389,3 +389,19 @@ def test_asof_join_directions_and_ties(spark):
 
     with _pytest.raises(ValueError):
         relational.asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_bfs_distances_path_graph(spark):
+    from eclipse_spark.operators import graph
+
+    # path 1-2-3-4-5; source {1}: dists 0,1,2 within 2 hops; 4,5 unreached
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    got = {r.node: r.dist for r in graph.bfs_distances(edges, srcs, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # isolated source still reports itself at distance 0
+    srcs2 = spark.createDataFrame([(99,)], "node bigint")
+    got2 = {r.node: r.dist for r in graph.bfs_distances(edges, srcs2, max_hops=2).collect()}
+    assert got2 == {99: 0}
