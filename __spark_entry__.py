@@ -3485,6 +3485,46 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-truth audit of the MinHash tier
+    (dedup.minhash_estimate_pairs): for every LSH candidate pair, the
+    signature-based Jaccard estimate (equal components / 32 — the
+    number the scale tier thresholds on) NEXT TO the exact shingle-set
+    Jaccard and their absolute error. Deterministic end-to-end via the
+    portable hash family, so unlike a recall bound this estimator
+    audit is hash-checked value-for-value by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, shingle_k=5, portable=True
+    )
+    est = dedup.minhash_estimate_pairs(
+        docs, cands, num_hashes=32, shingle_k=5, portable=True
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(
+            text.word_shingles_raw(text.tokens(F.col("text")), 5)
+        ).alias("_sh"),
+    )
+    exact = (
+        est.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                / F.size(F.array_union("_sa", "_sb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return exact.withColumn(
+        "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
+    )
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (graph.bfs_distances): minimum hop count from
     the first 5 part keys over the co-order graph, 2 hops. Per hop one
@@ -3939,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "cluster_topics": q_cluster_topics,
         "bfs_distances": q_bfs_distances,
+        "minhash_estimate": q_minhash_estimate,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -4210,6 +4251,39 @@ def _sql_minhash_band_rows(sig_cte: str, nh: int = 32, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
+
+
+def _oracle_minhash_estimate(nh: int = 32, bands: int = 8, k: int = 5) -> str:
+    """DuckDB replay of q_minhash_estimate: portable signatures, banded
+    candidates, equal-component estimate, exact shingle Jaccard."""
+    eq = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    shingle = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-"
+        f"{k - 1},1)+1), i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
+    )
+    jac = (
+        "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+    )
+    return f"""
+        WITH sig AS {_sql_minhash_sig('documents', nh, k)},
+        band AS ({_sql_minhash_band_rows('sig', nh, bands)}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM band a JOIN band b USING (band, bh)
+                 WHERE a.id < b.id),
+        est AS (SELECT c.id_a, c.id_b,
+                       CAST(({eq}) AS DOUBLE) / {nh} AS est_jaccard
+                FROM cand c JOIN sig a ON c.id_a = a.id
+                            JOIN sig b ON c.id_b = b.id),
+        sh AS (SELECT doc_id AS id, {shingle} AS sh
+               FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents) t)
+        SELECT e.id_a, e.id_b, e.est_jaccard,
+               {jac} AS jaccard,
+               round(abs(e.est_jaccard - {jac}), 6) AS abs_err
+        FROM est e JOIN sh x ON e.id_a = x.id JOIN sh y ON e.id_b = y.id
+    """
 
 
 def _oracle_incremental_dedup(
@@ -5311,6 +5385,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sel s LEFT JOIN c
               ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
         """,
+        "minhash_estimate": _oracle_minhash_estimate(),
         "bfs_distances": """
             WITH e AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -996,3 +996,46 @@ def containment_on_candidates(
         joined.select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+    portable: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for candidate pairs: the
+    fraction of equal MinHash components — the number the LSH tier
+    actually thresholds on at scale, where exact shingle-set
+    intersection of every candidate is unaffordable. Returns
+    (id_a, id_b, est_jaccard); est is k_equal/num_hashes, exact in
+    double. Joining against the signature table costs candidate-count
+    rows; signatures are num_hashes longs per doc regardless of
+    document size — the whole point of sketch-verify."""
+    sig = minhash_signatures_df(
+        df, text_col, id_col, num_hashes, shingle_k, portable
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    eq = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (eq.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+    )
