@@ -92,6 +92,8 @@ HEADLINE = [
     "bigram_logprob",
     "containment_lsh",
     "data_profile_by",
+    "cluster_topics",
+    "bfs_distances",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -7,8 +7,11 @@ from eclipse_spark.operators import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    profile,
     relational,
+    search,
     similarity,
     skew,
     text,
+    timeseries,
 )
