@@ -140,6 +140,25 @@ class Catalog:
                     continue
         return sorted(out)
 
+    def vacuum(self, name: str | None = None, keep: int | None = None) -> int:
+        """Prune retained snapshots beyond the newest ``keep`` (default:
+        the catalog's ``retain_versions``) for one table or all tables —
+        Delta VACUUM's role over the rename-snapshot log. Retention
+        already prunes on every write; vacuum is the manual lever for
+        reclaiming space after lowering the budget or for tables that
+        stopped receiving writes. Returns the number of snapshot
+        directories removed."""
+        budget = self.retain_versions if keep is None else keep
+        names = [name] if name is not None else self.ls()
+        removed = 0
+        for n in names:
+            hist = self.history(n)
+            drop = hist[:-budget] if budget > 0 else hist
+            for v in drop:
+                shutil.rmtree(self._version_path(n, v), ignore_errors=True)
+                removed += 1
+        return removed
+
     def restore(self, name: str, version: int) -> str:
         """Roll a table back to a retained snapshot: the snapshot data
         becomes the new CURRENT copy under a NEW version number (like

@@ -242,3 +242,18 @@ def test_table_diff_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1, 2.0)], "k bigint, w double")
     with _pytest.raises(ValueError):
         table_diff(a, b, ["k"])
+
+
+def test_vacuum_prunes_old_snapshots(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "vac"), retain_versions=5)
+    df = spark.range(3)
+    for _ in range(4):
+        cat.put("t", df)
+    assert cat.history("t") == [1, 2, 3]
+    assert cat.vacuum("t", keep=1) == 2  # drop v1, v2
+    assert cat.history("t") == [3]
+    assert cat.get("t", version=3).count() == 3  # survivor still readable
+    assert cat.vacuum(keep=0) == 1  # all-tables, drop everything retained
+    assert cat.history("t") == []
