@@ -3485,6 +3485,101 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of WATERMARK late-data semantics — the streaming
+    guarantee the other stream queries don't exercise: an hourly
+    append-mode count over a 3-file source processed one file per
+    trigger. File A (deterministic remap of the first 30 events onto
+    hours 0-3) seeds the state; file B's fresh hour-4 rows advance the
+    watermark past every A-hour, which EMITS hours 0-3 and evicts
+    their state; file C then replays LATE rows into the emitted hours.
+    Append mode MUST drop them (re-admitting would force a duplicate
+    emission, violating the append sink contract — this post-eviction
+    drop is the hard guarantee; pre-eviction, sub-watermark rows into
+    still-live state are legitimately mergeable and deliberately not
+    under proof here). Expected output: hours 0-3 with counts from
+    file A only; hour 4 stays open and never emits. Verified in
+    design: the run's stateOperators report numRowsDroppedByWatermark
+    = 3 post-partial-agg rows for file C. The oracle recomputes the
+    closed windows from the same derivation. File order is pinned via
+    mtimes (FileStreamSource processes oldest-first)."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    ev = _events(spark, sf_dir).orderBy("event_id").limit(40)
+    w = Window.orderBy("event_id")
+    base = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    ranked = ev.select("event_id", F.row_number().over(w).alias("rn"))
+    early = ranked.filter(F.col("rn") <= 30).select(
+        "event_id",
+        (
+            base
+            + F.make_interval(
+                secs=(F.col("rn") % 4) * 3600 + 1800 + F.col("rn") * 10
+            )
+        ).alias("ts"),
+    )
+    # all late rows target hours 0-2: emitted-and-evicted by the time
+    # file C arrives, so the post-eviction watermark filter MUST drop
+    # them (the append-no-duplicates guarantee).
+    late = ranked.filter(F.col("rn").between(31, 34)).select(
+        "event_id",
+        (
+            base + F.make_interval(secs=((F.col("rn") - 31) % 3) * 3600 + 60)
+        ).alias("ts"),
+    )
+    fresh = ranked.filter(F.col("rn") >= 35).select(
+        "event_id",
+        (base + F.make_interval(secs=4 * 3600 + 1800 + F.col("rn") * 10)).alias(
+            "ts"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_stream_late_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        def _write_one(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(work, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_one(early, "a_early.parquet", 1_000_000.0)
+        _write_one(fresh, "b_fresh.parquet", 1_000_100.0)
+        _write_one(late, "c_late.parquet", 1_000_200.0)
+        schema = "event_id long, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("win.start").alias("window_start"), "n_events")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ev_stream_late")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table("ev_stream_late")
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-vs-truth audit of the MinHash tier
     (dedup.minhash_estimate_pairs): for every LSH candidate pair, the
@@ -3980,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_topics": q_cluster_topics,
         "bfs_distances": q_bfs_distances,
         "minhash_estimate": q_minhash_estimate,
+        "events_stream_late": q_events_stream_late,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5384,6 +5480,20 @@ def oracle_sql() -> dict[str, str]:
                    c.click_val AS asof_value
             FROM sel s LEFT JOIN c
               ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
+        """,
+        "events_stream_late": """
+            WITH top40 AS (SELECT event_id FROM events
+                           ORDER BY event_id LIMIT 40),
+            r AS (SELECT event_id,
+                         row_number() OVER (ORDER BY event_id) AS rn
+                  FROM top40),
+            early AS (SELECT TIMESTAMP '2024-06-01 00:00:00'
+                             + ((rn % 4) * 3600 + 1800 + rn * 10)
+                               * INTERVAL 1 SECOND AS ts
+                      FROM r WHERE rn <= 30)
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events
+            FROM early GROUP BY 1
         """,
         "minhash_estimate": _oracle_minhash_estimate(),
         "bfs_distances": """
