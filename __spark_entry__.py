@@ -4011,11 +4011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     containment/normalize NLP ops, EWMA/session-paths/equi-depth/MAD
     time-series ops, the bucketed-join no-shuffle proof, label
     propagation, text/binary sources, bigram LM, LSH containment,
-    streaming stateful EWMA, forward/nearest as-of) — 48 first-timers
-    plus the 2 oldest r01-only re-seats. Everything rotated out
-    retains its prior round's driver-green row
-    (CORRECTNESS_r01/r03/r04.json) and every query at every position
-    stays locally oracle-checked by tests/test_oracle_parity.py."""
+    streaming stateful EWMA, forward/nearest as-of, cluster labeling,
+    BFS, the MinHash estimator audit, the watermark late-data proof) —
+    50 first-timers; the two simplest round-5 ops (text_normalize,
+    equidepth_histogram) wait at 51-52 for the round-6 rotation along
+    with the r01-green re-seats. Everything rotated out retains its
+    prior round's driver-green row (CORRECTNESS_r01/r03/r04.json) and
+    every query at every position stays locally oracle-checked by
+    tests/test_oracle_parity.py."""
     return {
         # ===== positions 1-50: the round-5 driver window =====
         # 16 first-ever driver slots (locally oracle-green since r04)
@@ -4057,10 +4060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "ngram_containment": q_ngram_containment,
         "phrase_search": q_phrase_search,
-        "text_normalize": q_text_normalize,
         "ewma": q_ewma,
         "session_paths": q_session_paths,
-        "equidepth_histogram": q_equidepth_histogram,
         "bucketed_join": q_bucketed_join,
         "label_propagation": q_label_propagation,
         "anomaly_mad": q_anomaly_mad,
@@ -4076,6 +4077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
+        # first two 51+ slots: locally green, next round's rotation
+        "text_normalize": q_text_normalize,
+        "equidepth_histogram": q_equidepth_histogram,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
