@@ -3485,6 +3485,71 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (SURVEY §2.6 function library): and/or/
+    xor/not, shifts, bit_count, and single-bit extraction over the
+    order keys — pure codegen projections, engine-exact on positive
+    bigints."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(c).alias("k_and_c"),
+        k.bitwiseOR(c).alias("k_or_c"),
+        k.bitwiseXOR(c).alias("k_xor_c"),
+        F.shiftleft(k, 3).alias("k_shl3"),
+        F.shiftright(k, 2).alias("k_shr2"),
+        F.bit_count(k).alias("k_bits"),
+        F.shiftright(k, 4).bitwiseAND(F.lit(1)).cast("int").alias("k_bit4"),
+    )
+
+
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction / field access / nested comparison — the
+    composite-type surface: named_struct, dotted field projection, and
+    whole-struct ordering used as a SQL tuple."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.alias("os"),
+    ).select(
+        "o_orderkey",
+        F.col("os.st").alias("status"),
+        F.round(F.col("os.tp"), 2).alias("price"),
+        (F.col("os") > F.struct(F.lit("O").alias("st"), F.lit(0.0).alias("tp")))
+        .cast("int")
+        .alias("gt_o_zero"),
+    )
+
+
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing over synthesized per-order URLs (regex extraction
+    kept to the RE2 ∩ Java common subset): scheme, host, path, query
+    parameter — the log-analytics staple the function library owes."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+    )
+    return o.select(
+        "o_orderkey",
+        url.alias("url"),
+        F.regexp_extract(url, r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]status=([^&]*)", 1).alias("status_param"),
+    )
+
+
 def q_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of WATERMARK late-data semantics — the streaming
     guarantee the other stream queries don't exercise: an hourly
@@ -4077,9 +4142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
-        # first two 51+ slots: locally green, next round's rotation
+        # first 51+ slots: locally green, next round's rotation
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
+        "bitwise_funcs": q_bitwise_funcs,
+        "struct_funcs": q_struct_funcs,
+        "url_funcs": q_url_funcs,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5484,6 +5552,39 @@ def oracle_sql() -> dict[str, str]:
                    c.click_val AS asof_value
             FROM sel s LEFT JOIN c
               ON s.user_id = c.user_id AND s.asof_ts = c.click_ts
+        """,
+        "bitwise_funcs": """
+            SELECT o_orderkey,
+                   o_orderkey & o_custkey AS k_and_c,
+                   o_orderkey | o_custkey AS k_or_c,
+                   xor(o_orderkey, o_custkey) AS k_xor_c,
+                   o_orderkey << 3 AS k_shl3,
+                   o_orderkey >> 2 AS k_shr2,
+                   CAST(bit_count(o_orderkey) AS INT) AS k_bits,
+                   CAST((o_orderkey >> 4) & 1 AS INT) AS k_bit4
+            FROM orders
+        """,
+        "struct_funcs": """
+            SELECT o_orderkey,
+                   o_orderstatus AS status,
+                   round(o_totalprice, 2) AS price,
+                   CAST(({'st': o_orderstatus, 'tp': o_totalprice}
+                         > {'st': 'O', 'tp': 0.0}) AS INT) AS gt_o_zero
+            FROM orders
+        """,
+        "url_funcs": """
+            WITH u AS (SELECT o_orderkey,
+                              'https://shop-' || (o_custkey % 10)
+                              || '.example.com/orders/' || o_orderkey
+                              || '?status=' || o_orderstatus AS url
+                       FROM orders)
+            SELECT o_orderkey, url,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                   regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, '[?&]status=([^&]*)', 1)
+                     AS status_param
+            FROM u
         """,
         "events_stream_late": """
             WITH top40 AS (SELECT event_id FROM events
