@@ -3550,6 +3550,90 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    semantics inner joins can't show: unmatched clicks must flush as
+    null-matched rows, but only once the watermark proves no purchase
+    can still arrive. A 2-file one-file-per-trigger source (events,
+    then far-future sentinel rows on both sides under user_id -1)
+    advances both sides' 0-second watermarks past every real row, so
+    the no-data micro-batches flush ALL outer results deterministically
+    and the stream equals the batch left join row-for-row (sentinels
+    filtered from the result; their own rows stay open by
+    construction). The oracle is the plain batch interval left
+    join."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    sent = spark.createDataFrame(
+        [
+            (900001, "2030-01-01 00:00:00", -1, "click"),
+            (900002, "2030-01-01 01:00:00", -1, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type",
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_souter_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        def _write_one(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(work, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_one(ev, "a_events.parquet", 1_000_000.0)
+        _write_one(sent, "b_sentinel.parquet", 1_000_100.0)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .withWatermark("ts", "0 seconds")
+            .alias("a")
+        )
+        buys = (
+            stream.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "0 seconds")
+            .alias("b")
+        )
+        cond = (
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 minutes"))
+        )
+        j = clicks.join(buys, cond, "left_outer").select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ev_stream_outer")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table("ev_stream_outer").filter(F.col("user_id") >= 0)
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of WATERMARK late-data semantics — the streaming
     guarantee the other stream queries don't exercise: an hourly
@@ -4142,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
+        "events_stream_outer_join": q_events_stream_outer_join,
         # first 51+ slots: locally green, next round's rotation
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
@@ -5585,6 +5670,17 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(url, '[?&]status=([^&]*)', 1)
                      AS status_param
             FROM u
+        """,
+        "events_stream_outer_join": """
+            WITH c AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.user_id, c.event_id AS event_a, p.event_id AS event_b
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "events_stream_late": """
             WITH top40 AS (SELECT event_id FROM events

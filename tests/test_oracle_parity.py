@@ -82,3 +82,16 @@ def test_all_queries_run(spark, sf_smoke):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_contract():
+    """Registry invariants the driver depends on: every window entry
+    (first 50) is oracle-backed, oracle keys are a subset of query
+    keys, and names are unique and stable-formatted."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    assert set(ORACLES) <= set(QUERIES)
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"window entries without oracles: {missing}"
+    assert all(n.replace("_", "").isalnum() for n in names)
