@@ -3263,6 +3263,37 @@ enc AS (SELECT vec_id, subspace, code, dist FROM
 """
 
 
+def q_ann_pq_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ production shape (similarity.pq_index + pq_adc_topk):
+    codebook and code table persist ONCE as Catalog artifacts; the
+    query batch then ADC-ranks over the stored codes without touching
+    or re-encoding the raw vectors — the PQ analogue of
+    incremental_dedup_cached's stored-index refresh shape. Same
+    parameters and corpora as ann_pq, so the same exact oracle must
+    reproduce the ranking; the result materializes before the scratch
+    catalog is removed."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="eclipse_pq_idx_")
+    try:
+        cat = Catalog(spark, work)
+        codes_t, cb_t = similarity.pq_index(cat, emb, m=8, ksub=16)
+        enc = cat.get(codes_t).select(
+            F.col("vec_id").alias("match_id"), "subspace", "code"
+        )
+        out = similarity.pq_adc_topk(
+            emb.filter(F.col("vec_id") < 5), enc, cat.get(cb_t), k=10, m=8
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection of the 64-dim embeddings to 16
     dims (similarity.random_projection): hash-derived weights (no
@@ -4109,6 +4140,28 @@ def _profile_by_oracle_sql() -> str:
     )
 
 
+_ANN_PQ_SQL = f"""
+            WITH {_PQ_EX_SQL},
+            q AS (SELECT * FROM ex WHERE vec_id < 5),
+            dtab AS (SELECT q.vec_id AS query_id, q.subspace, cb.code,
+                            sum(CAST(round((q.x - cb.c_val) * (q.x - cb.c_val), 9)
+                                     AS DECIMAL(18,9))) AS pd
+                     FROM q JOIN cb
+                       ON q.subspace = cb.subspace AND q.pos = cb.pos
+                     GROUP BY 1, 2, 3),
+            adc AS (SELECT dtab.query_id, enc.vec_id AS match_id,
+                           CAST(sum(pd) AS DOUBLE) AS adc_dist
+                    FROM enc JOIN dtab
+                      ON enc.subspace = dtab.subspace AND enc.code = dtab.code
+                    WHERE dtab.query_id <> enc.vec_id
+                    GROUP BY 1, 2)
+            SELECT query_id, match_id, adc_dist, rank FROM
+              (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adc_dist, match_id) AS rank
+               FROM adc) WHERE rank <= 10
+"""
+
+
 def _profile_oracle_sql() -> str:
     """Generate the DuckDB mirror of q_data_profile: one aggregate CTE
     with the same statistics, unioned into long format per column."""
@@ -4227,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
         "events_stream_outer_join": q_events_stream_outer_join,
+        "ann_pq_cached": q_ann_pq_cached,
         # first 51+ slots: locally green, next round's rotation
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
@@ -5974,26 +6028,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, subspace, code, CAST(dist AS DOUBLE) AS dist
             FROM enc
         """,
-        "ann_pq": f"""
-            WITH {_PQ_EX_SQL},
-            q AS (SELECT * FROM ex WHERE vec_id < 5),
-            dtab AS (SELECT q.vec_id AS query_id, q.subspace, cb.code,
-                            sum(CAST(round((q.x - cb.c_val) * (q.x - cb.c_val), 9)
-                                     AS DECIMAL(18,9))) AS pd
-                     FROM q JOIN cb
-                       ON q.subspace = cb.subspace AND q.pos = cb.pos
-                     GROUP BY 1, 2, 3),
-            adc AS (SELECT dtab.query_id, enc.vec_id AS match_id,
-                           CAST(sum(pd) AS DOUBLE) AS adc_dist
-                    FROM enc JOIN dtab
-                      ON enc.subspace = dtab.subspace AND enc.code = dtab.code
-                    WHERE dtab.query_id <> enc.vec_id
-                    GROUP BY 1, 2)
-            SELECT query_id, match_id, adc_dist, rank FROM
-              (SELECT *, row_number() OVER (PARTITION BY query_id
-                                            ORDER BY adc_dist, match_id) AS rank
-               FROM adc) WHERE rank <= 10
-        """,
+        "ann_pq": _ANN_PQ_SQL,
+        # the cached-index variant persists codebook+codes and queries
+        # the stored artifacts; results must be IDENTICAL to ann_pq
+        "ann_pq_cached": _ANN_PQ_SQL,
         "table_diff": """
             WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                                  o_totalprice FROM orders),

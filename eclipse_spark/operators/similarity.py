@@ -344,8 +344,29 @@ def pq_topk(
     enc = pq_encode(corpus, cb, m=m, id_col=c_id, vec_col=c_vec).select(
         F.col(c_id).alias("match_id"), "subspace", "code"
     )
+    return pq_adc_topk(queries, enc, cb, k=k, m=m, q_id=q_id, q_vec=q_vec)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    enc: DataFrame,
+    cb: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """The ADC scan itself, against an ALREADY-ENCODED corpus
+    (``enc``: (match_id, subspace, code)) and its codebook — the
+    steady-state shape once :func:`pq_index` has persisted both: a
+    query batch builds its broadcast distance table and ranks over
+    the compressed codes without ever touching (or re-encoding) the
+    raw vectors."""
     qex = _subvectors(
-        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec)), m, "query_id", q_vec
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec)),
+        m,
+        "query_id",
+        q_vec,
     )
     dtab = (
         qex.join(F.broadcast(cb), on=["subspace", "pos"])
@@ -370,6 +391,32 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
     return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_index(
+    catalog,
+    corpus: DataFrame,
+    table: str = "pq_index",
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Persist the PQ artifacts once — codebook (m*ksub*subdim rows)
+    and code table (m rows of 2 small ints per vector) — as Catalog
+    tables, so every later query batch is a :func:`pq_adc_topk` over
+    the stored codes: the 100 TB corpus's floats are read exactly once
+    at index-build time. Returns the (codes_table, codebook_table)
+    names."""
+    cb = pq_codebook(
+        corpus, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    catalog.put(f"{table}_codebook", cb)
+    cb_stored = catalog.get(f"{table}_codebook")
+    enc = pq_encode(corpus, cb_stored, m=m, id_col=id_col, vec_col=vec_col)
+    catalog.put(f"{table}_codes", enc.select(id_col, "subspace", "code"))
+    return f"{table}_codes", f"{table}_codebook"
 
 
 def kmeans_iterate(

@@ -437,3 +437,29 @@ def test_random_projection_single_shuffle(spark, sf_smoke):
     plan = _plan(QUERIES["random_projection"](spark, sf_smoke))
     assert _n_exchanges(plan) == 1
     assert "Join" not in plan
+
+
+def test_pq_index_query_never_reencodes_corpus(spark, sf_smoke, tmp_path):
+    """pq_adc_topk over stored artifacts: the only vector explode in
+    the plan is the QUERY batch's own (one Generate); the corpus side
+    is a plain scan of the persisted code table — the raw embeddings
+    are never re-read or re-encoded at query time."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators import similarity as sim
+    from eclipse_spark.storage import Catalog
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path / "pq"))
+    codes_t, cb_t = sim.pq_index(cat, emb, m=8, ksub=16)
+    enc = cat.get(codes_t).select(
+        F.col("vec_id").alias("match_id"), "subspace", "code"
+    )
+    top = sim.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 2), enc, cat.get(cb_t), k=5, m=8
+    )
+    plan = _plan(top)
+    assert len(re.findall(r"\n\(\d+\) Generate", plan)) == 1
+    # result matches the self-contained pq_topk end-to-end
+    direct = sim.pq_topk(emb.filter(F.col("vec_id") < 2), emb, k=5, m=8, ksub=16)
+    assert sorted(map(tuple, top.collect())) == sorted(map(tuple, direct.collect()))
