@@ -2470,7 +2470,7 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **options: str) -> DataFrame:
     """Write a deterministic orders subset in ``fmt`` via the sources
     layer, read it back with an explicit schema (never inferSchema at
     scale), and aggregate — proving the format connector end-to-end.
@@ -2487,10 +2487,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix=f"eclipse_src_{fmt}_")
     try:
         path = os.path.join(work, f"orders_{fmt}")
-        readers.write_any(sub, path, fmt=fmt)
+        readers.write_any(sub, path, fmt=fmt, **options)
         back = readers.read_any(
             spark, path, fmt=fmt,
             schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+            **options,
         )
         out = back.groupBy("o_orderstatus").agg(
             F.count("*").alias("n_orders"),
@@ -2508,6 +2509,13 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
+
+
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector round-trip (Spark 4 built-in XML source; rowTag
+    names the record element) — same deterministic orders subset,
+    explicit read schema, value-exact double round-trip."""
+    return _roundtrip(spark, sf_dir, "xml", rowTag="order")
 
 
 def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4281,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_late": q_events_stream_late,
         "events_stream_outer_join": q_events_stream_outer_join,
         "ann_pq_cached": q_ann_pq_cached,
+        "source_xml": q_source_xml,
         # first 51+ slots: locally green, next round's rotation
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
@@ -6609,6 +6618,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "source_xml": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
         """,
         "source_csv": """
             SELECT o_orderstatus, count(*) AS n_orders,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = ("parquet", "orc", "json", "csv", "text", "binaryFile")
+_FORMATS = ("parquet", "orc", "json", "csv", "text", "binaryFile", "xml")
 
 
 def read_any(
