@@ -372,3 +372,52 @@ def test_table_diff_changefeed_reconstructs_new(spark, old_rows, new_rows):
             assert c.k not in state
             state[c.k] = c.v
     assert state == {k: v for k, v in new.collect()}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=100), max_size=12),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_directions_match_bruteforce(spark, left_secs, right_secs):
+    """asof_join(backward/forward/nearest) equals a brute-force Python
+    reference on random second offsets (single key, ties to backward
+    at equal distance)."""
+    from eclipse_spark.operators import relational
+
+    base = "2024-01-01 00:00:"
+    left = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}")
+         for i, s in enumerate(left_secs)],
+        "id bigint, k bigint, ts string",
+    ).selectExpr("id", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(1, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", float(s))
+         for s in sorted(set(right_secs))],
+        "k bigint, ts string, value double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rs = sorted(set(right_secs))
+
+    def ref(direction, s):
+        back = max((r for r in rs if r <= s), default=None)
+        fwd = min((r for r in rs if r >= s), default=None)
+        if direction == "backward":
+            return back
+        if direction == "forward":
+            return fwd
+        if back is None or fwd is None:
+            return back if fwd is None else fwd
+        return fwd if (fwd - s) < (s - back) else back
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.id: r.asof_value
+            for r in relational.asof_join(
+                left, right, on=["k"], right_payload=["value"],
+                direction=direction,
+            ).collect()
+        }
+        for i, s in enumerate(left_secs):
+            want = ref(direction, s)
+            want_v = float(want) if want is not None else None
+            assert got[i] == want_v, (direction, s, got[i], want_v)
