@@ -3436,6 +3436,42 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between hourly click and
+    purchase value sums (timeseries.rolling_corr): moment sums
+    accumulate in decimal over one shared window frame, so unlike the
+    engines' streaming corr aggregate every coefficient is engine-
+    exact (round-9); undefined frames (zero variance, n<2) are NULL
+    by construction."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            _dsum(
+                F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                    F.lit(0.0)
+                ),
+                "x",
+            ),
+            _dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                ),
+                "y",
+            ),
+        )
+    )
+    return timeseries.rolling_corr(hourly, "hour", "x", "y", window=24).select(
+        "hour", "x", "y", "n_obs", "corr"
+    )
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event type (timeseries.mad_outliers):
     median / MAD / k=3 exceedance counts — the heavy-tail-safe
@@ -4290,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_outer_join": q_events_stream_outer_join,
         "ann_pq_cached": q_ann_pq_cached,
         "source_xml": q_source_xml,
+        "rolling_corr": q_rolling_corr,
         # first 51+ slots: locally green, next round's rotation
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
@@ -5854,6 +5891,45 @@ def oracle_sql() -> dict[str, str]:
               FROM cand2 c JOIN sh a ON c.id_a = a.id
                            JOIN sh b ON c.id_b = b.id)
             WHERE containment >= 0.5
+        """,
+        "rolling_corr": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     CAST(sum(CAST(CASE WHEN event_type = 'click'
+                                        THEN value ELSE 0.0 END
+                                   AS DECIMAL(18,2))) AS DOUBLE) AS x,
+                     CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+                                        THEN value ELSE 0.0 END
+                                   AS DECIMAL(18,2))) AS DOUBLE) AS y
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1),
+            m AS (SELECT hour, x, y,
+                         count(*) OVER w AS n,
+                         sum(CAST(x AS DECIMAL(18,2))) OVER w AS sx,
+                         sum(CAST(y AS DECIMAL(18,2))) OVER w AS sy,
+                         sum(CAST(x AS DECIMAL(18,2))
+                             * CAST(y AS DECIMAL(18,2))) OVER w AS sxy,
+                         sum(CAST(x AS DECIMAL(18,2))
+                             * CAST(x AS DECIMAL(18,2))) OVER w AS sxx,
+                         sum(CAST(y AS DECIMAL(18,2))
+                             * CAST(y AS DECIMAL(18,2))) OVER w AS syy
+                  FROM hourly
+                  WINDOW w AS (ORDER BY hour
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+            SELECT hour, x, y, CAST(n AS BIGINT) AS n_obs,
+                   CASE WHEN n >= 2
+                             AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+                   END AS corr
+            FROM m
         """,
         "anomaly_mad": """
             WITH med AS (SELECT event_type,

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "session_paths", "equidepth_histogram", "mad_outliers"]
+__all__ = [
+    "ewma",
+    "session_paths",
+    "equidepth_histogram",
+    "mad_outliers",
+    "rolling_corr",
+]
 
 
 def ewma(
@@ -201,3 +207,46 @@ def mad_outliers(
         "mad",
         F.coalesce("_n_out", F.lit(0)).cast("long").alias("n_outliers"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 24,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series over a
+    trailing ``window``-row frame — the co-movement diagnostic of a
+    metrics pipeline (do purchases track clicks this day?). Computed
+    from the five windowed moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    with every product accumulated in DECIMAL, so unlike the engines'
+    streaming ``corr`` aggregate the result is partition-order- and
+    engine-exact; the final formula runs in IEEE double and rounds to
+    9. Frames with undefined correlation (zero variance, n < 2) yield
+    NULL rather than NaN. One window sort; the moment sums share the
+    frame. Adds ``n_obs`` and ``corr`` columns."""
+    part = partition_by or []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(time_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    dx = F.col(x_col).cast("decimal(18,2)")
+    dy = F.col(y_col).cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(dx).over(w)
+    sy = F.sum(dy).over(w)
+    sxy = F.sum(dx * dy).over(w)
+    sxx = F.sum(dx * dx).over(w)
+    syy = F.sum(dy * dy).over(w)
+    nn = n.cast("double")
+    cov = nn * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    vx = nn * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nn * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 9),
+    )
+    return df.withColumn("n_obs", n.cast("long")).withColumn("corr", corr)

@@ -65,3 +65,20 @@ def test_mad_outliers_robust_to_single_spike(spark):
     r = ts.mad_outliers(df, "g", "value", k=3.0).collect()[0]
     assert r.med == 5.5  # the spike cannot move the median much
     assert r.n_outliers == 1  # and is itself the only exceedance
+
+
+def test_rolling_corr_known_series(spark):
+    # y = 2x on a 5-point series -> corr exactly 1.0 once n >= 2;
+    # anti-correlated tail flips the sign
+    rows = [(i, float(i), float(2 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "t bigint, x double, y double")
+    out = {r.t: (r.n_obs, r.corr) for r in ts.rolling_corr(df, "t", "x", "y", window=3).collect()}
+    assert out[0] == (1, None)  # single point: undefined
+    assert out[2] == (3, 1.0) and out[4] == (3, 1.0)
+    # constant x -> zero variance -> NULL, never NaN
+    df2 = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(4)], "t bigint, x double, y double"
+    )
+    assert all(
+        r.corr is None for r in ts.rolling_corr(df2, "t", "x", "y", window=3).collect()
+    )
