@@ -94,6 +94,8 @@ HEADLINE = [
     "data_profile_by",
     "cluster_topics",
     "bfs_distances",
+    "rolling_corr",
+    "minhash_estimate",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
