@@ -4237,6 +4237,102 @@ def _profile_oracle_sql() -> str:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy self-join (operators/linkage.py): distinct
+    part names within Levenshtein distance 2, candidates from the
+    exact-recall k-deletion neighborhood (FastSS) and an integer
+    levenshtein verify both engines share bit-for-bit. The blocking
+    explode is the scale story: |name|^2/2 variant rows per record vs
+    a corpus^2 scan — same guarantee, linear shuffle."""
+    from eclipse_spark.operators.linkage import fuzzy_self_join
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    return fuzzy_self_join(names, "p_name", "pid", k=2).select(
+        "id_a", "id_b", "key_a", "key_b", F.col("distance").cast("long").alias("distance")
+    )
+
+
+def q_apss_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs set-cosine similarity join at t=0.9
+    (similarity.allpairs_cosine): df-ordered prefix filtering with the
+    Bayardo recall proof, integer 100*c^2 >= 81*n*m threshold (no
+    float boundary), exact array_intersect verify. Restricted to
+    doc_id % 5 = 0 — this corpus is pathologically homogeneous (every
+    doc shares a token with ~every other), so the unrestricted output
+    is ~25k pairs of near-identical docs; the 1-in-5 slice keeps the
+    checked result ~1k rows while exercising the identical plan."""
+    from eclipse_spark.operators.similarity import allpairs_cosine
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").alias(
+                "toks"
+            ),
+        )
+    )
+    return allpairs_cosine(docs, "doc_id", "toks", threshold_sq_pct=81)
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands engagement streaks per user
+    (timeseries.activity_islands): distinct active days collapse into
+    maximal consecutive-day runs via the day-minus-row_number anchor —
+    two window passes on one (user) shuffle, no self-join."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    return timeseries.activity_islands(ev, "user_id", "ts").select(
+        F.col("key").alias("user_id"),
+        "n_islands",
+        "longest_streak",
+        "active_days",
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation onto the full hourly grid
+    (timeseries.interpolate_linear) for the sparse hourly 'error'
+    value series: sequence()-exploded grid, two IGNORE-NULLS window
+    passes for the bracketing observations, IEEE-ordered interpolation
+    arithmetic with one round-9 — engine-exact against the DuckDB
+    mirror including the filled flag."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(_dsum("value", "v"))
+    )
+    return timeseries.interpolate_linear(hourly, "h", "v", step_seconds=3600).select(
+        F.col("h").alias("hour"), F.col("v").alias("value"), "filled"
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (timeseries.last_touch_attribution): each purchase credits the
+    user's most recent click/view/signup within 7 days, else
+    '(direct)' — a point-in-time as-of join expressed as ONE
+    ignore-nulls window over the interleaved event stream (single
+    user-keyed shuffle), then a channel-level decimal revenue sum."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    return timeseries.last_touch_attribution(
+        ev,
+        conversion="purchase",
+        touch_types=("click", "view", "signup"),
+        lookback_hours=168,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4333,6 +4429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_funcs": q_bitwise_funcs,
         "struct_funcs": q_struct_funcs,
         "url_funcs": q_url_funcs,
+        "fuzzy_join": q_fuzzy_join,
+        "apss_cosine": q_apss_cosine,
+        "activity_islands": q_activity_islands,
+        "interpolate": q_interpolate,
+        "attribution": q_attribution,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -5930,6 +6031,101 @@ def oracle_sql() -> dict[str, str]:
                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
                    END AS corr
             FROM m
+        """,
+        "fuzzy_join": """
+            WITH n AS (SELECT p_name, min(p_partkey) AS pid
+                       FROM part GROUP BY 1)
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   a.p_name AS key_a, b.p_name AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+            FROM n a JOIN n b ON a.pid < b.pid
+            WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        """,
+        "apss_cosine": """
+            WITH d AS (SELECT doc_id, list_distinct({TOKENS}) AS toks
+                       FROM documents WHERE doc_id % 5 = 0),
+            tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, CAST(c AS BIGINT) AS overlap,
+                   CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+                   round(c / sqrt(CAST(x.n AS DOUBLE) * y.n), 9) AS cos_sim
+            FROM ov JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+            WHERE 100 * c * c >= 81 * x.n * y.n
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "activity_islands": """
+            WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+            r AS (SELECT user_id, day,
+                         day - CAST(row_number() OVER
+                               (PARTITION BY user_id ORDER BY day) AS INTEGER)
+                           AS anchor
+                  FROM days),
+            isl AS (SELECT user_id, anchor, count(*) AS len,
+                           min(day) AS s, max(day) AS e
+                    FROM r GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(sum(len) AS BIGINT) AS active_days,
+                   strftime(min(s), '%Y-%m-%d') AS first_day,
+                   strftime(max(e), '%Y-%m-%d') AS last_day
+            FROM isl GROUP BY 1
+        """,
+        "interpolate": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              FROM events WHERE event_type = 'error' GROUP BY 1),
+            span AS (SELECT min(h) AS t0, max(h) AS t1 FROM hourly),
+            grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+                     FROM span),
+            j AS (SELECT g.h, hv.v FROM grid g LEFT JOIN hourly hv USING (h)),
+            w AS (SELECT h, v,
+                    last_value((CASE WHEN v IS NOT NULL
+                                     THEN {'t': h, 'v': v} END) IGNORE NULLS)
+                      OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS pv,
+                    first_value((CASE WHEN v IS NOT NULL
+                                      THEN {'t': h, 'v': v} END) IGNORE NULLS)
+                      OVER (ORDER BY h ROWS BETWEEN CURRENT ROW
+                                              AND UNBOUNDED FOLLOWING) AS nv
+                  FROM j)
+            SELECT h AS hour,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          round(pv.v + (nv.v - pv.v)
+                            * (CAST(epoch_us(h)//1000000
+                                    - epoch_us(pv.t)//1000000 AS DOUBLE)
+                               / CAST(epoch_us(nv.t)//1000000
+                                      - epoch_us(pv.t)//1000000 AS DOUBLE)), 9)
+                   END AS value,
+                   v IS NULL AS filled
+            FROM w
+        """,
+        "attribution": """
+            WITH k AS (SELECT user_id AS u, ts AS t, event_type AS et,
+                              value AS val,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS kind
+                       FROM events
+                       WHERE event_type IN ('purchase','click','view','signup')),
+            w AS (SELECT *,
+                    last_value((CASE WHEN kind = 0
+                                     THEN {'tt': t, 'ch': et} END) IGNORE NULLS)
+                      OVER (PARTITION BY u ORDER BY t, kind, et
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pt
+                  FROM k),
+            a AS (SELECT CASE WHEN pt IS NOT NULL
+                               AND epoch_us(t)//1000000
+                                   - epoch_us(pt.tt)//1000000 <= 604800
+                              THEN pt.ch ELSE '(direct)' END AS channel, val
+                  FROM w WHERE kind = 1)
+            SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM a GROUP BY 1
         """,
         "anomaly_mad": """
             WITH med AS (SELECT event_type,

@@ -96,6 +96,11 @@ HEADLINE = [
     "bfs_distances",
     "rolling_corr",
     "minhash_estimate",
+    "fuzzy_join",
+    "apss_cosine",
+    "activity_islands",
+    "interpolate",
+    "attribution",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -593,3 +593,94 @@ def random_projection(
     return sums.select(
         F.col("_vid").alias(id_col), F.explode(entries).alias("_e")
     ).select(id_col, "_e.proj_pos", "_e.value")
+
+
+def allpairs_cosine(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_sq_pct: int = 81,
+) -> DataFrame:
+    """All-pairs set-cosine similarity self-join with PREFIX FILTERING
+    (Bayardo/Chaudhuri APSS) — "find every pair of documents whose
+    binary token-set cosine >= t" without the quadratic all-pairs scan.
+
+    ``threshold_sq_pct`` is ``t^2 * 100`` as an INTEGER (81 -> t=0.9),
+    so the qualifying test ``100*c^2 >= pct*n*m`` (c = |A∩B|,
+    n = |A|, m = |B|) is pure integer arithmetic — engine-exact, no
+    float threshold boundary.
+
+    Pruning logic: order tokens by ascending global document frequency
+    (rarest first; ties by token). For cosine >= t, any qualifying
+    pair must share a token inside BOTH docs' prefixes of length
+    ``n - ceil(t^2 * n) + 1``: if all common tokens sat past A's
+    prefix, c <= ceil(t^2*n)-1 < t^2*n, while sim >= t forces
+    m >= t^2*n and hence c >= t*sqrt(nm) >= t^2*n — contradiction.
+    So joining prefix tokens against prefix tokens has guaranteed
+    recall, and the exact verify (array_intersect on the full sorted
+    token arrays) makes precision exact too.
+
+    Scale shape: one df aggregate, one rank-ordered prefix slice, one
+    equi-join on (rare) prefix tokens — candidate volume tracks how
+    many pairs share a RARE token, not corpus^2 — then a verify join
+    that moves token arrays only for candidate ids. On a pathological
+    corpus where every doc shares rare tokens the candidate set
+    degrades toward all-pairs (data property, not plan property);
+    the MinHash/SimHash tier (operators/dedup.py) is the probabilistic
+    fallback there. Output: id_a < id_b, overlap, n_a, n_b,
+    cos_sim (round-9)."""
+    # the exploded token table feeds four consumers (sizes, document
+    # frequencies, the ranked prefix, and the verify arrays); persist()
+    # LAZILY so the tokenize+explode runs once — plan-level reuse via
+    # InMemoryRelation, lineage kept (lost executors recompute), and no
+    # job runs until the caller acts (same discipline as dedup.py)
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(F.col(tokens_col))).alias("tok")
+    ).distinct().persist()
+    sizes = toks.groupBy("_id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # global rarity order; dense rank per doc after sorting (df, tok)
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .join(sizes, "_id")
+    )
+    # prefix length: n - ceil(pct*n/100) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold_sq_pct) / F.lit(100)) + 1
+    ).select("_id", "tok", "n")
+    a = prefix.select(F.col("_id").alias("id_a"), "tok", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("_id").alias("id_b"), "tok", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # exact verify: full sorted token arrays only for candidate ids
+    arrays = toks.groupBy("_id").agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+    verified = (
+        cand.join(arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(arrays.select(F.col("_id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+        .withColumn("overlap", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(
+            F.lit(100) * F.col("overlap") * F.col("overlap")
+            >= F.lit(threshold_sq_pct) * F.col("n_a") * F.col("n_b")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("overlap") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")), 9
+        ).alias("cos_sim"),
+    )

@@ -20,6 +20,9 @@ __all__ = [
     "equidepth_histogram",
     "mad_outliers",
     "rolling_corr",
+    "activity_islands",
+    "interpolate_linear",
+    "last_touch_attribution",
 ]
 
 
@@ -250,3 +253,173 @@ def rolling_corr(
         F.round(cov / F.sqrt(vx * vy), 9),
     )
     return df.withColumn("n_obs", n.cast("long")).withColumn("corr", corr)
+
+
+def activity_islands(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's set of active DAYS into
+    maximal runs of consecutive days and report, per key, the number
+    of islands, the longest streak, and total active days — the
+    engagement-streak primitive of product analytics (and a shape SQL
+    engines canonically solve with the row_number-difference trick,
+    which is exactly what this emits so the plan is two window sorts
+    on the same key partition, no self-join).
+
+    ``day - row_number`` is constant within a run of consecutive days
+    (both advance by 1), so grouping on that anchor identifies the
+    island; everything after the distinct-day dedup is per-key window
+    arithmetic + one aggregate. Scale: one (key) shuffle carries only
+    (key, date) pairs."""
+    days = df.select(
+        F.col(key_col).alias("key"), F.col(day_col).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("key", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+    )
+    return islands.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.min("island_start").alias("first_day"),
+        F.max("island_end").alias("last_day"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Fill a sparse regular time series onto its full grid with
+    LINEAR interpolation between the surrounding observed points —
+    the gap-repair step before any rolling/seasonal computation
+    (sensor dropouts, hours with no events). Emits one row per grid
+    step between each partition's min and max observed time:
+    ``value`` (observed or interpolated), ``filled`` flag.
+
+    Plan shape: per-partition min/max aggregate -> ``sequence()``
+    explode builds the grid WITHOUT a driver loop or a range join ->
+    left join observations on the grid instant -> two IGNORE-NULLS
+    window passes (last known before, first known after) give the
+    bracketing points as (ts, value) structs -> pure arithmetic. Both
+    window passes reuse one (partition, time) sort order. The grid
+    explode is the only row inflation: max_gap/step rows per gap,
+    generated executor-side.
+
+    Interpolation arithmetic runs in IEEE double with one final
+    round-9 — identical expression order in any engine; boundary
+    rows outside the observed range stay NULL."""
+    part = partition_by or []
+    obs = df.select(
+        *part,
+        F.col(time_col).cast("timestamp").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    span = obs.groupBy(*part).agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = span.select(
+        *part,
+        F.explode(
+            F.sequence(
+                F.col("t0"),
+                F.col("t1"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias("t"),
+    )
+    joined = grid.join(obs, on=[*part, "t"], how="left")
+    w = Window.partitionBy(*part).orderBy("t")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    point = F.when(F.col("v").isNotNull(), F.struct(F.col("t"), F.col("v")))
+    prev = F.last(point, ignorenulls=True).over(wb)
+    nxt = F.first(point, ignorenulls=True).over(wf)
+    frac = (
+        F.unix_timestamp(F.col("t")) - F.unix_timestamp(prev["t"])
+    ).cast("double") / (
+        F.unix_timestamp(nxt["t"]) - F.unix_timestamp(prev["t"])
+    ).cast("double")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            F.round(prev["v"] + (nxt["v"] - prev["v"]) * frac, 9),
+        )
+    )
+    return joined.select(
+        *part,
+        F.col("t").alias(time_col),
+        interp.alias(value_col),
+        F.col("v").isNull().alias("filled"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution: credit each conversion
+    event's value to the most recent qualifying touch event by the
+    same user within ``lookback_hours``; conversions with no touch in
+    the window fall into the ``(direct)`` channel. Output: revenue and
+    conversion counts per attributed channel.
+
+    This is a point-in-time join (the as-of family) expressed as ONE
+    window pass instead of a join: union touches and conversions are
+    already interleaved per user in time order, so ``last(touch,
+    ignorenulls)`` over (user) ORDER BY (ts, tiebreak) finds the
+    preceding touch without shuffling the two sides separately —
+    one (user) shuffle total, then a small channel aggregate.
+    Value sums accumulate in decimal (engine-exact)."""
+    typed = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+        F.col(type_col).alias("et"),
+        F.col(value_col).alias("val"),
+    )
+    # touches sort BEFORE a conversion at the same instant (kind 0 < 1)
+    kinded = typed.withColumn(
+        "kind", F.when(F.col("et") == conversion, F.lit(1)).otherwise(F.lit(0))
+    ).filter(F.col("et").isin(conversion, *touch_types))
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "kind", "et")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("kind") == 0, F.struct(F.col("t").alias("tt"), F.col("et").alias("ch"))
+    )
+    attributed = (
+        kinded.withColumn("prev_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("prev_touch").isNotNull()
+                & (
+                    F.col("t").cast("long") - F.col("prev_touch.tt").cast("long")
+                    <= F.lit(int(lookback_hours) * 3600)
+                ),
+                F.col("prev_touch.ch"),
+            ).otherwise(F.lit("(direct)")),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
