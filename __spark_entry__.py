@@ -4333,6 +4333,49 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (operators/basket.py): part pairs
+    co-purchased in >= 3 orders, with supports and lift. The Apriori
+    prune (items must individually reach support before the pair join)
+    plus a per-basket size cap is what keeps the per-basket pair
+    explode from going quadratic at 100 TB; lift stays integer until
+    one double division (engine-exact under round-9)."""
+    from eclipse_spark.operators.basket import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (linkage.resolve_entities): fuzzy
+    part-name candidates at Levenshtein<=2 (exact-recall deletion
+    blocking) -> connected-components transitive closure -> smallest-id
+    canonical per entity. The DuckDB oracle replays the closure with a
+    recursive CTE, so the clustering itself — not just the pairs — is
+    value-checked (typo chains a~b~c must land in ONE entity even
+    where a~c fails pairwise)."""
+    from eclipse_spark.operators.linkage import resolve_entities
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    return resolve_entities(names, "p_name", "pid", k=2)
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (profile.chi_square) between
+    event type and a derived user segment: observed counts vs
+    marginal-product expectations, absent cells folded in analytically
+    (no dense grid), per-cell terms round-9 decimal-accumulated —
+    engine-exact to the last digit."""
+    from eclipse_spark.operators.profile import chi_square
+
+    ev = _events(spark, sf_dir)
+    seg = ev.select(
+        "event_type", (F.col("user_id") % 5).cast("long").alias("segment")
+    )
+    return chi_square(seg, "event_type", "segment")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4434,6 +4477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": q_activity_islands,
         "interpolate": q_interpolate,
         "attribution": q_attribution,
+        "frequent_pairs": q_frequent_pairs,
+        "er_resolve": q_er_resolve,
+        "chi_square": q_chi_square,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6126,6 +6172,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "frequent_pairs": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item
+                        FROM lineitem),
+            nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+            isup AS (SELECT item, count(*) AS support_i FROM bi GROUP BY 1),
+            p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS support
+                  FROM bi a JOIN bi b
+                    ON a.basket = b.basket AND a.item < b.item
+                  GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT p.ia AS item_a, p.ib AS item_b,
+                   CAST(p.support AS BIGINT) AS support,
+                   CAST(sa.support_i AS BIGINT) AS support_a,
+                   CAST(sb.support_i AS BIGINT) AS support_b,
+                   round(CAST(p.support * nb.n_baskets AS DOUBLE)
+                         / CAST(sa.support_i * sb.support_i AS DOUBLE), 9)
+                     AS lift
+            FROM p JOIN isup sa ON p.ia = sa.item
+                   JOIN isup sb ON p.ib = sb.item, nb
+        """,
+        "er_resolve": """
+            WITH RECURSIVE n AS (SELECT p_name, min(p_partkey) AS pid
+                                 FROM part GROUP BY 1),
+            e AS (SELECT a.pid AS ia, b.pid AS ib
+                  FROM n a JOIN n b
+                    ON a.pid < b.pid
+                   AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2),
+            sym AS (SELECT ia AS a, ib AS b FROM e
+                    UNION SELECT ib, ia FROM e),
+            reach(id, root) AS (
+              SELECT pid, pid FROM n
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id),
+            ent AS (SELECT id, min(root) AS entity_id FROM reach GROUP BY 1),
+            canon AS (SELECT DISTINCT ent.entity_id, n2.p_name AS canonical_key
+                      FROM ent JOIN n n2 ON n2.pid = ent.entity_id)
+            SELECT nn.pid, nn.p_name, ent.entity_id, canon.canonical_key
+            FROM n nn JOIN ent ON nn.pid = ent.id
+                      JOIN canon ON ent.entity_id = canon.entity_id
+        """,
+        "chi_square": """
+            WITH base AS (SELECT event_type AS a,
+                                 CAST(user_id % 5 AS BIGINT) AS b
+                          FROM events),
+            obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+            ra AS (SELECT a, count(*) AS ca FROM base GROUP BY 1),
+            rb AS (SELECT b, count(*) AS cb FROM base GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM base),
+            cells AS (SELECT o.o, ra.ca, rb.cb, nn.n,
+                             (o.o * nn.n - ra.ca * rb.cb)
+                               * (o.o * nn.n - ra.ca * rb.cb) AS num,
+                             ra.ca * rb.cb * nn.n AS den
+                      FROM obs o JOIN ra USING (a) JOIN rb USING (b), nn),
+            q AS (SELECT
+                    (num // den) * 1000000000
+                      + ((num % den) * 10000 // den) * 100000
+                      + (((num % den) * 10000 % den) * 100000 // den) AS qv,
+                    ((ca * cb) // n) * 1000000000
+                      + (((ca * cb) % n) * 10000 // n) * 100000
+                      + ((((ca * cb) % n) * 10000 % n) * 100000 // n) AS esc
+                  FROM cells),
+            agg AS (SELECT sum(qv) AS sq, sum(esc) AS sesc FROM q)
+            SELECT CAST(agg.sq + (nn.n * 1000000000 - agg.sesc) AS DOUBLE)
+                     / 1000000000.0 AS chi2,
+                   CAST(agg.sq + (nn.n * 1000000000 - agg.sesc) AS BIGINT)
+                     AS chi2_scaled,
+                   CAST(((SELECT count(*) FROM ra) - 1)
+                        * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+                   CAST(nn.n AS BIGINT) AS n,
+                   CAST((SELECT count(*) FROM ra) AS BIGINT) AS n_a,
+                   CAST((SELECT count(*) FROM rb) AS BIGINT) AS n_b
+            FROM agg, nn
         """,
         "anomaly_mad": """
             WITH med AS (SELECT event_type,

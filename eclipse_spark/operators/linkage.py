@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_self_join"]
+__all__ = ["deletion_variants", "fuzzy_self_join", "resolve_entities"]
 
 
 def deletion_variants(df: DataFrame, key_col: str, k: int = 1) -> DataFrame:
@@ -102,4 +102,47 @@ def fuzzy_self_join(
         pairs.withColumn("distance", F.levenshtein(F.col("key_a"), F.col("key_b")))
         .filter((F.col("distance") <= F.lit(k)) & (F.col("distance") > 0))
         .select("id_a", "id_b", "key_a", "key_b", "distance")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """End-to-end entity resolution over short string keys: fuzzy
+    candidate pairs (:func:`fuzzy_self_join`, exact-recall deletion
+    blocking) -> transitive closure into entity clusters
+    (operators/dedup.connected_components, min-label propagation) ->
+    canonical representative per entity (the member with the smallest
+    id). One row per input record: ``entity_id`` (smallest member id
+    in the cluster; singletons are their own entity) and
+    ``canonical_key`` (the canonical member's string).
+
+    This is the composition a production dedup/linkage pipeline runs —
+    pairwise similarity alone over-merges nothing but also resolves
+    nothing: a~b and b~c must land a, b, c in ONE entity even when
+    a~c fails the pairwise test (typo chains). Scale shape inherits
+    its parts: linear blocking explode, diameter-bounded label
+    propagation (typo chains are shallow), one broadcast-backed
+    canonical join."""
+    from eclipse_spark.operators.dedup import connected_components
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
+    edges = fuzzy_self_join(base, "_key", "_id", k=k).select("id_a", "id_b")
+    cc = connected_components(edges)  # (node, component) for non-singletons
+    resolved = base.join(
+        cc.withColumnRenamed("node", "_id"), on="_id", how="left"
+    ).withColumn("entity_id", F.coalesce(F.col("component"), F.col("_id")))
+    canon = (
+        resolved.groupBy("entity_id")
+        .agg(F.min(F.struct(F.col("_id"), F.col("_key"))).alias("_c"))
+        .select("entity_id", F.col("_c._key").alias("canonical_key"))
+    )
+    return resolved.join(canon, "entity_id").select(
+        F.col("_id").alias(id_col),
+        F.col("_key").alias(key_col),
+        "entity_id",
+        "canonical_key",
     )

@@ -1,0 +1,106 @@
+"""Market-basket pairs, entity resolution, and the fixed-point
+chi-square — each against a hand-computed or scipy-style reference."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from eclipse_spark.operators.basket import frequent_pairs
+from eclipse_spark.operators.linkage import resolve_entities
+from eclipse_spark.operators.profile import chi_square
+
+
+def test_frequent_pairs_counts_and_lift(spark):
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["a", "b", "d"],
+        4: ["c", "d"],
+        5: ["a", "c"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, ["bid", "item"])
+    out = {(r.item_a, r.item_b): r for r in frequent_pairs(df, "bid", "item", 2).collect()}
+    # pair supports: ab=3, ac=2, bc=1, ad=1, bd=1, cd=1
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert ab.support == 3 and ab.support_a == 4 and ab.support_b == 3
+    assert abs(ab.lift - round(3 * 5 / (4 * 3), 9)) < 1e-12
+    ac = out[("a", "c")]
+    assert ac.support == 2 and ac.support_b == 3
+    assert abs(ac.lift - round(2 * 5 / (4 * 3), 9)) < 1e-12
+
+
+def test_frequent_pairs_basket_cap_drops_megabasket(spark):
+    # mega-basket 1 holds six items that are all individually frequent
+    # (each also occurs in its own small basket), so the Apriori prune
+    # keeps them and only the post-prune size cap can drop the basket
+    rows = [(1, f"i{k}") for k in range(6)]
+    rows += [(10 + k, f"i{k}") for k in range(6)]
+    rows += [(20, "a"), (20, "b"), (21, "a"), (21, "b")]
+    df = spark.createDataFrame(rows, ["bid", "item"])
+    out = frequent_pairs(df, "bid", "item", min_support=2, max_basket_items=5).collect()
+    # all i*-pairs co-occur only inside the capped mega-basket -> gone;
+    # the a-b pair from two small baskets survives
+    assert {(r.item_a, r.item_b, r.support) for r in out} == {("a", "b", 2)}
+    uncapped = frequent_pairs(df, "bid", "item", min_support=1).collect()
+    assert len(uncapped) == 15 + 1
+
+
+def test_resolve_entities_typo_chain(spark):
+    # chain: ring ~ rang ~ rung (pairwise ring~rung lev=2 > k=1) must
+    # still land in ONE entity; isolated word stays a singleton
+    df = spark.createDataFrame(
+        [(10, "ring"), (20, "rang"), (30, "rung"), (40, "zzz")],
+        ["rid", "word"],
+    )
+    out = {r.rid: r for r in resolve_entities(df, "word", "rid", k=1).collect()}
+    assert out[10].entity_id == out[20].entity_id == out[30].entity_id == 10
+    assert out[10].canonical_key == "ring"
+    assert out[40].entity_id == 40 and out[40].canonical_key == "zzz"
+
+
+def test_chi_square_against_reference(spark):
+    # 2x2 with known chi2: [[10, 20], [30, 40]]
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    [r] = chi_square(df, "a", "b").collect()
+    # reference value computed exactly: n=100
+    obs = {("x", "u"): 10, ("x", "v"): 20, ("y", "u"): 30, ("y", "v"): 40}
+    ra = {"x": 30, "y": 70}
+    rb = {"u": 40, "v": 60}
+    expected = sum(
+        (obs[(a, b)] - ra[a] * rb[b] / 100) ** 2 / (ra[a] * rb[b] / 100)
+        for a, b in obs
+    )
+    assert r.dof == 1 and r.n == 100 and r.n_a == 2 and r.n_b == 2
+    assert abs(r.chi2 - expected) < 1e-8  # fixed-point truncation < 4e-9
+    assert r.chi2_scaled == math.floor(r.chi2 * 1e9 + 0.5) or abs(
+        r.chi2_scaled / 1e9 - expected
+    ) < 1e-8
+
+
+def test_chi_square_absent_cells_fold_in(spark):
+    # (x,v) never occurs: absent cell must still contribute its e
+    rows = [("x", "u")] * 5 + [("y", "u")] * 5 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    [r] = chi_square(df, "a", "b").collect()
+    obs = {("x", "u"): 5, ("x", "v"): 0, ("y", "u"): 5, ("y", "v"): 10}
+    ra = {"x": 5, "y": 15}
+    rb = {"u": 10, "v": 10}
+    expected = sum(
+        (obs[(a, b)] - ra[a] * rb[b] / 20) ** 2 / (ra[a] * rb[b] / 20)
+        for a in ra
+        for b in rb
+    )
+    assert abs(r.chi2 - expected) < 1e-8
+
+
+def test_chi_square_independent_is_zero(spark):
+    rows = [(a, b) for a, b in itertools.product("pq", "st") for _ in range(7)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    [r] = chi_square(df, "a", "b").collect()
+    assert r.chi2 == 0.0 and r.chi2_scaled == 0
