@@ -4376,6 +4376,55 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(seg, "event_type", "segment")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust clipping audit (timeseries.winsorize): per event type,
+    the exact interpolated [p05, p95] band and how many values fall
+    outside each side. Bounds come from the same exact percentile both
+    engines share (Spark percentile == DuckDB quantile_cont); outputs
+    are bounds + integer counts, so no summed float ever crosses the
+    oracle."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    w = timeseries.winsorize(ev, "value", partition_by=["event_type"])
+    return w.groupBy("event_type").agg(
+        F.min("lo_bound").alias("lo_bound"),
+        F.min("hi_bound").alias("hi_bound"),
+        F.sum(F.when(F.col("value") < F.col("lo_bound"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("value") > F.col("hi_bound"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (profile.ks_statistic) between
+    click and purchase value distributions — drift detection with the
+    ECDF gap kept in cross-multiplied INTEGERS (|cx*m - cy*n|), so the
+    supremum is engine-exact; only the display division touches
+    float."""
+    from eclipse_spark.operators.profile import ks_statistic
+
+    ev = _events(spark, sf_dir)
+    return ks_statistic(ev, "value", "event_type", "click", "purchase")
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 24h rolling distinct users per hour
+    (timeseries.rolling_distinct): per-hour distinct-key arrays on a
+    DENSE hour grid (a ROWS frame over observed hours would silently
+    widen across empty hours), one ordered window whose frame
+    flattens + re-distincts 24 arrays in codegen. The exact tier of
+    the metric HLL usually approximates."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    return timeseries.rolling_distinct(ev, "ts", "user_id", window=24, step="hour")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4480,6 +4529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs": q_frequent_pairs,
         "er_resolve": q_er_resolve,
         "chi_square": q_chi_square,
+        "winsorize": q_winsorize,
+        "ks_drift": q_ks_drift,
+        "rolling_distinct": q_rolling_distinct,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6172,6 +6224,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "winsorize": """
+            WITH b AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo_bound,
+                              quantile_cont(value, 0.95) AS hi_bound
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, min(b.lo_bound) AS lo_bound,
+                   min(b.hi_bound) AS hi_bound,
+                   CAST(sum(CASE WHEN e.value < b.lo_bound
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+                   CAST(sum(CASE WHEN e.value > b.hi_bound
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events e JOIN b USING (event_type)
+            GROUP BY 1
+        """,
+        "ks_drift": """
+            WITH t AS (SELECT value AS v,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS is_x,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS is_y
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            pv AS (SELECT v, sum(is_x) AS xa, sum(is_y) AS ya
+                   FROM t GROUP BY 1),
+            tot AS (SELECT sum(is_x) AS n_x, sum(is_y) AS n_y FROM t),
+            cum AS (SELECT sum(xa) OVER w AS cx, sum(ya) OVER w AS cy
+                    FROM pv
+                    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW)),
+            g AS (SELECT max(abs(cx * tot.n_y - cy * tot.n_x)) AS d_num
+                  FROM cum, tot)
+            SELECT CAST(g.d_num AS DOUBLE)
+                     / CAST(tot.n_x * tot.n_y AS DOUBLE) AS d_stat,
+                   CAST(g.d_num AS BIGINT) AS d_num,
+                   CAST(tot.n_x AS BIGINT) AS n_x,
+                   CAST(tot.n_y AS BIGINT) AS n_y
+            FROM g, tot
+        """,
+        "rolling_distinct": """
+            WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id
+                       FROM events),
+            span AS (SELECT min(h) AS t0, max(h) AS t1 FROM e),
+            grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                       AS t FROM span),
+            sd AS (SELECT h, count(DISTINCT user_id) AS step_distinct
+                   FROM e GROUP BY 1)
+            SELECT g.t,
+                   CAST(COALESCE(sd.step_distinct, 0) AS BIGINT)
+                     AS step_distinct,
+                   CAST((SELECT count(DISTINCT e2.user_id) FROM e e2
+                         WHERE e2.h <= g.t
+                           AND e2.h >= g.t - INTERVAL 23 HOUR) AS BIGINT)
+                     AS rolling_distinct
+            FROM grid g LEFT JOIN sd ON sd.h = g.t
         """,
         "frequent_pairs": """
             WITH bi AS (SELECT DISTINCT l_orderkey AS basket,

@@ -101,6 +101,12 @@ HEADLINE = [
     "activity_islands",
     "interpolate",
     "attribution",
+    "frequent_pairs",
+    "er_resolve",
+    "chi_square",
+    "winsorize",
+    "ks_drift",
+    "rolling_distinct",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -28,11 +28,17 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile", "profile_by", "check_constraints", "chi_square"]
+__all__ = [
+    "profile",
+    "profile_by",
+    "check_constraints",
+    "chi_square",
+    "ks_statistic",
+]
 
 _NUMERIC = (
     T.ByteType,
@@ -244,4 +250,61 @@ def chi_square(
         F.col("n").cast("long").alias("n"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    tag_col: str,
+    tag_x: str,
+    tag_y: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two row populations — the
+    distribution-drift detector of a data-quality gate (did this
+    corpus snapshot's value distribution move vs the last one?).
+    Returns one row: ``d_stat`` = sup_t |F_x(t) - F_y(t)| plus the
+    exact integer form (``d_num``, over denominator ``n_x * n_y``).
+
+    ENGINE-EXACT: at each distinct value v the ECDF gap is
+    ``|cx*m - cy*n| / (n*m)`` with cx/cy the cumulative counts — kept
+    as INTEGERS via cross-multiplication; only the final display
+    division touches float (one IEEE op on exactly-representable
+    operands). No round() anywhere.
+
+    Scale shape: per-distinct-value count aggregate, ONE global-order
+    window for the two cumulative sums (KS is inherently a total-order
+    statistic — a sup over the merged order; Spark executes the
+    unpartitioned window after a range-partitioned sort), then a max
+    aggregate. For 100 TB inputs, pre-bin values (the binned KS bounds
+    the true D within one bin's mass) or segment by a partition key."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(tag_col) == tag_x, F.lit(1)).otherwise(F.lit(0)).alias("is_x"),
+        F.when(F.col(tag_col) == tag_y, F.lit(1)).otherwise(F.lit(0)).alias("is_y"),
+    ).filter((F.col("is_x") == 1) | (F.col("is_y") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_x").alias("xa"), F.sum("is_y").alias("ya")
+    )
+    totals = tagged.agg(
+        F.sum("is_x").alias("n_x"), F.sum("is_y").alias("n_y")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        F.sum("xa").over(w).alias("cx"), F.sum("ya").over(w).alias("cy")
+    ).crossJoin(F.broadcast(totals))
+    gaps = cum.select(
+        F.abs(F.col("cx") * F.col("n_y") - F.col("cy") * F.col("n_x")).alias("gap"),
+        "n_x",
+        "n_y",
+    )
+    return gaps.groupBy("n_x", "n_y").agg(F.max("gap").alias("d_num")).select(
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_x") * F.col("n_y")).cast("double")
+        ).alias("d_stat"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
     )

@@ -23,6 +23,8 @@ __all__ = [
     "activity_islands",
     "interpolate_linear",
     "last_touch_attribution",
+    "winsorize",
+    "rolling_distinct",
 ]
 
 
@@ -422,4 +424,98 @@ def last_touch_attribution(
     return attributed.groupBy("channel").agg(
         F.count("*").cast("long").alias("n_conversions"),
         F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Winsorize: clip ``value_col`` into its per-group exact
+    interpolated [lower, upper] percentile band — the robust-scaling
+    step before any mean/variance-based feature (one wild sensor value
+    stops dominating a z-score without dropping the row). Adds
+    ``lo_bound``/``hi_bound``/``value_w`` columns.
+
+    Exact percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) in a per-group aggregate, broadcast back, then
+    a codegen clip — the clipped value is either the stored value
+    (exact) or the bound (computed once per group). At 100 TB the
+    per-group aggregate's full sort is the cost; swap in
+    approx_percentile for the sketch path when groups are huge."""
+    part = partition_by or []
+    pct = F.expr(f"percentile({value_col}, array({lower}, {upper}))")
+    bounds = (
+        df.groupBy(*part).agg(pct[0].alias("lo_bound"), pct[1].alias("hi_bound"))
+        if part
+        else df.agg(pct[0].alias("lo_bound"), pct[1].alias("hi_bound"))
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=part)
+        if part
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("lo_bound")),
+        F.col("hi_bound"),
+    )
+    return joined.withColumn("value_w", clipped)
+
+
+def rolling_distinct(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    window: int = 24,
+    step: str = "hour",
+) -> DataFrame:
+    """EXACT distinct-key count over a trailing window of ``window``
+    time steps (e.g. 24h rolling distinct users per hour) — the
+    engagement metric HLL sketches usually approximate, computed
+    exactly: per-step distinct key arrays, then one ordered window
+    whose frame flattens and re-distincts the last ``window`` arrays
+    in codegen (``flatten`` + ``array_distinct`` — no Python, no
+    shuffle beyond the per-step aggregate + one global window over
+    #steps rows).
+
+    Scale envelope: rows after the first aggregate = #time-steps; each
+    carries that step's distinct-key array, and a frame holds at most
+    ``window`` of them in memory at once — exact is affordable while
+    (per-step distinct keys x window) fits an executor (e.g. 1M keys
+    x 24h). Beyond that, the HLL partial-merge path
+    (approx_count_distinct over the same frame) is the documented
+    fallback; this operator is the exact tier."""
+    step_iv = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[step]
+    per_step = (
+        df.select(
+            F.date_trunc(step, F.col(time_col).cast("timestamp")).alias("t"),
+            F.col(key_col).alias("k"),
+        )
+        .groupBy("t")
+        .agg(F.collect_set("k").alias("keys"), F.count_distinct("k").alias("step_distinct"))
+    )
+    # dense step grid: a ROWS frame over observed steps would silently
+    # widen across empty steps (last 24 OBSERVED hours != last 24
+    # hours); materializing every step keeps frame = wall-clock window
+    span = per_step.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.expr(step_iv))).alias("t")
+    )
+    # no coalesce on `keys`: collect_list skips NULL entries, so empty
+    # steps simply contribute nothing to the flattened frame
+    dense = grid.join(per_step, "t", "left").select(
+        "t",
+        "keys",
+        F.coalesce(F.col("step_distinct"), F.lit(0)).alias("step_distinct"),
+    )
+    w = Window.orderBy("t").rowsBetween(-(window - 1), Window.currentRow)
+    return dense.select(
+        "t",
+        F.col("step_distinct").cast("long").alias("step_distinct"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("keys").over(w))))
+        .cast("long")
+        .alias("rolling_distinct"),
     )
