@@ -4425,6 +4425,43 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_distinct(ev, "ts", "user_id", window=24, step="hour")
 
 
+def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/ivm.py):
+    an aggregate view built over snapshot v1 of orders is refreshed to
+    v2 purely from the CHANGE FEED (storage.table_diff: deletes,
+    inserts, and price updates between the versions) — O(|changes|)
+    keyed merge, the base never rescanned — and the oracle checks the
+    refreshed view equals a from-scratch aggregate of v2, decimal
+    bit-exact. That equality is the property that makes incremental
+    refresh trustworthy on a 100 TB base."""
+    from eclipse_spark.operators.ivm import aggregate_view, incremental_refresh
+    from eclipse_spark.storage import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    v2 = orders.filter(F.col("o_custkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    bucket = (F.col("o_custkey") % 100).cast("long").alias("cust_bucket")
+    mv_v1 = aggregate_view(
+        v1.select(bucket, "o_totalprice"),
+        keys=["cust_bucket"],
+        sum_cols={"o_totalprice": "revenue"},
+    )
+    changes = table_diff(v1, v2, on=["o_orderkey"]).select(
+        "change_type", bucket, "o_totalprice"
+    )
+    refreshed = incremental_refresh(
+        mv_v1, changes, keys=["cust_bucket"], sum_cols={"o_totalprice": "revenue"}
+    )
+    return refreshed.select(
+        "cust_bucket", "n_rows", F.col("revenue").cast("double").alias("revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4532,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "ks_drift": q_ks_drift,
         "rolling_distinct": q_rolling_distinct,
+        "mv_refresh": q_mv_refresh,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6224,6 +6262,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "mv_refresh": """
+            WITH v2 AS (SELECT o_custkey,
+                               CASE WHEN o_orderkey % 13 = 0
+                                    THEN o_totalprice + 10.0
+                                    ELSE o_totalprice END AS p
+                        FROM orders WHERE o_custkey % 7 <> 0)
+            SELECT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM v2 GROUP BY 1
         """,
         "winsorize": """
             WITH b AS (SELECT event_type,

@@ -107,6 +107,7 @@ HEADLINE = [
     "winsorize",
     "ks_drift",
     "rolling_distinct",
+    "mv_refresh",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
