@@ -4462,6 +4462,68 @@ def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-view maintenance
+    (streaming.ivm_stream_to_catalog): RAW event batches — three
+    files, one per trigger, NO Spark aggregation state — fold into a
+    Catalog-stored per-type aggregate view as insert-only change
+    feeds via ivm.incremental_refresh. External-state streaming: the
+    running totals live in the versioned table, each batch costs
+    O(|batch| + |view|), and after the source drains the view equals
+    a batch aggregate of ALL events, decimal bit-exact (the oracle).
+    Completes the IVM pair: mv_refresh proves the batch delta
+    algebra; this proves the same algebra applied trigger-by-trigger."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="eclipse_stream_ivm_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        def _write_one(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(work, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        for i in range(3):
+            _write_one(
+                ev.filter(F.col("event_id") % 3 == i),
+                f"batch_{i}.parquet",
+                1_000_000.0 + 100 * i,
+            )
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cat = Catalog(spark, os.path.join(work, "cat"), retain_versions=1)
+        stream_windows.ivm_stream_to_catalog(
+            stream.drop("event_id"),
+            cat,
+            "type_totals",
+            keys=["event_type"],
+            sum_cols={"value": "total_value"},
+            checkpoint=os.path.join(work, "ckpt"),
+        )
+        out = cat.get("type_totals").select(
+            "event_type",
+            "n_rows",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4570,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "rolling_distinct": q_rolling_distinct,
         "mv_refresh": q_mv_refresh,
+        "events_stream_ivm": q_events_stream_ivm,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6262,6 +6325,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "events_stream_ivm": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events GROUP BY 1
         """,
         "mv_refresh": """
             WITH v2 AS (SELECT o_custkey,

@@ -123,3 +123,59 @@ def test_merge_stream_upsert_multi_batch(spark, events_small, tmp_path):
     assert got == exp
     # table version advanced once per non-empty batch (4 files -> >=2 merges)
     assert cat.info("uc").version >= 2
+
+
+def test_ivm_stream_matches_batch_aggregate(spark, events_small, tmp_path):
+    """Raw batches folded through incremental_refresh (no streaming
+    aggregation state) drain to the exact batch aggregate, with one
+    catalog version per non-empty batch proving the per-trigger
+    refresh actually ran incrementally."""
+    from decimal import Decimal
+
+    from eclipse_spark.storage import Catalog
+
+    path, df = events_small
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    cat = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
+    W.ivm_stream_to_catalog(
+        stream.select("event_type", "value"),
+        cat,
+        "tv",
+        keys=["event_type"],
+        sum_cols={"value": "total"},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r.event_type: (r.n_rows, Decimal(str(r.total)))
+        for r in cat.get("tv").collect()
+    }
+    exp = {
+        r.event_type: (r.n, Decimal(str(r.s)))
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert cat.info("tv").version >= 2  # 4 files -> >= 2 incremental applies
+
+
+def test_ivm_stream_requires_versioned_catalog(spark, events_small, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    path, df = events_small
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    cat = Catalog(spark, str(tmp_path / "cat0"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        W.ivm_stream_to_catalog(
+            stream, cat, "t", keys=["event_type"],
+            sum_cols={"value": "total"}, checkpoint=str(tmp_path / "c"),
+        )
