@@ -4524,6 +4524,45 @@ def q_events_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend fit (profile.linear_fit): hourly value sums
+    regressed on the hour index with DECIMAL moment sums — engine-
+    exact where the builtin regr_slope's streaming double accumulation
+    is partition-order-dependent. Slope/intercept/r2 touch float in
+    fixed-order expressions over exact moments (round-9)."""
+    from eclipse_spark.operators.profile import linear_fit
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(_dsum("value", "y"))
+        .withColumn(
+            "x", (F.unix_timestamp("h") / F.lit(3600)).cast("long") % F.lit(100000)
+        )
+    )
+    return linear_fit(hourly, ["event_type"], "x", "y")
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient
+    (graph.clustering_coefficient) over the part co-order graph —
+    the node-level companion to the global triangle count: the same
+    degree-oriented wedge join (out-degree O(sqrt(m)) after
+    orientation), but each closed wedge credits all three corners,
+    then one integer-ratio division. The oracle recomputes per-node
+    triangles with the naive a<b<c join (fine at test scale, the
+    exact thing the oriented join avoids at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # co-order graph restricted to even orderkeys to keep the oracle's
+    # naive triangle join inside test-scale bounds
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_orderkey", "l_partkey"
+    )
+    return graph.clustering_coefficient(edges)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4633,6 +4672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct": q_rolling_distinct,
         "mv_refresh": q_mv_refresh,
         "events_stream_ivm": q_events_stream_ivm,
+        "linreg": q_linreg,
+        "clustering_coeff": q_clustering_coeff,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6325,6 +6366,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "linreg": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+              FROM events GROUP BY 1, 2),
+            hx AS (SELECT event_type, y,
+                          (epoch_us(h)//1000000 // 3600) % 100000 AS x
+                   FROM hourly),
+            g AS (SELECT event_type, count(*) AS n,
+                         sum(CAST(x AS DECIMAL(18,2))) AS sx,
+                         sum(CAST(y AS DECIMAL(18,2))) AS sy,
+                         sum(CAST(x AS DECIMAL(18,2))
+                             * CAST(y AS DECIMAL(18,2))) AS sxy,
+                         sum(CAST(x AS DECIMAL(18,2))
+                             * CAST(x AS DECIMAL(18,2))) AS sxx,
+                         sum(CAST(y AS DECIMAL(18,2))
+                             * CAST(y AS DECIMAL(18,2))) AS syy
+                  FROM hx GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND
+                             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                                   9)
+                   END AS slope,
+                   CASE WHEN n >= 2 AND
+                             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        THEN round((CAST(sy AS DOUBLE)
+                                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE)
+                                            * CAST(sx AS DOUBLE)))
+                                      * CAST(sx AS DOUBLE))
+                                   / CAST(n AS DOUBLE), 9)
+                   END AS intercept,
+                   CASE WHEN n >= 2 AND
+                             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                             AND
+                             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sy AS DOUBLE)))
+                                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sx AS DOUBLE))
+                                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                         - CAST(sy AS DOUBLE)
+                                           * CAST(sy AS DOUBLE))), 9)
+                   END AS r2
+            FROM g
+        """,
+        "clustering_coeff": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 2 = 0),
+            deg AS (SELECT n, count(*) AS degree
+                    FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pn AS (SELECT n, count(*) AS n_triangles
+                   FROM (SELECT x AS n FROM tri UNION ALL
+                         SELECT y FROM tri UNION ALL
+                         SELECT z FROM tri)
+                   GROUP BY 1)
+            SELECT d.n AS node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(CAST(2 * COALESCE(pn.n_triangles, 0)
+                                        AS DOUBLE)
+                                   / CAST(d.degree * (d.degree - 1) AS DOUBLE),
+                                   9)
+                   END AS coeff
+            FROM deg d LEFT JOIN pn ON pn.n = d.n
         """,
         "events_stream_ivm": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,

@@ -108,6 +108,9 @@ HEADLINE = [
     "ks_drift",
     "rolling_distinct",
     "mv_refresh",
+    "events_stream_ivm",
+    "linreg",
+    "clustering_coeff",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -38,6 +38,7 @@ __all__ = [
     "check_constraints",
     "chi_square",
     "ks_statistic",
+    "linear_fit",
 ]
 
 _NUMERIC = (
@@ -307,4 +308,55 @@ def ks_statistic(
         F.col("d_num").cast("long").alias("d_num"),
         F.col("n_x").cast("long").alias("n_x"),
         F.col("n_y").cast("long").alias("n_y"),
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit (slope, intercept,
+    r2) — the trend primitive of a metrics pipeline ("is this series
+    drifting, and how fast?"), computed from the five moment sums with
+    every product accumulated in DECIMAL. Unlike the engines' builtin
+    ``regr_slope`` (streaming double accumulation, partition-order-
+    dependent), the moments here are exact, so the fit is
+    engine-exact: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) touches
+    float in ONE division (round-9); intercept and r2 reuse the same
+    exact moments in fixed expression order. Degenerate groups (zero
+    x-variance, n < 2) yield NULLs. One map-side-combined aggregate —
+    the 100 TB shape by construction."""
+    dx = F.col(x_col).cast("decimal(18,2)")
+    dy = F.col(y_col).cast("decimal(18,2)")
+    g = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nn * F.col("sxy").cast("double") - sx * sy
+    den = nn * F.col("sxx").cast("double") - sx * sx
+    deny = nn * F.col("syy").cast("double") - sy * sy
+    slope = F.when((F.col("n") >= 2) & (den > 0), F.round(num / den, 9))
+    intercept = F.when(
+        (F.col("n") >= 2) & (den > 0),
+        F.round((sy - (num / den) * sx) / nn, 9),
+    )
+    r2 = F.when(
+        (F.col("n") >= 2) & (den > 0) & (deny > 0),
+        F.round((num * num) / (den * deny), 9),
+    )
+    return g.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )

@@ -104,3 +104,41 @@ def test_chi_square_independent_is_zero(spark):
     df = spark.createDataFrame(rows, ["a", "b"])
     [r] = chi_square(df, "a", "b").collect()
     assert r.chi2 == 0.0 and r.chi2_scaled == 0
+
+
+def test_linear_fit_exact_line(spark):
+    from eclipse_spark.operators.profile import linear_fit
+
+    # y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 1.0) for x in range(10)], ["grp", "x", "y"]
+    )
+    [r] = linear_fit(df, ["grp"], "x", "y").collect()
+    assert r.slope == 2.0 and r.intercept == 1.0 and r.r2 == 1.0
+
+
+def test_linear_fit_degenerate_null(spark):
+    from eclipse_spark.operators.profile import linear_fit
+
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0), ("h", 1.0, 1.0)], ["grp", "x", "y"]
+    )
+    out = {r.grp: r for r in linear_fit(df, ["grp"], "x", "y").collect()}
+    assert out["g"].slope is None  # zero x-variance
+    assert out["h"].slope is None  # n < 2
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from eclipse_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4: coeff(1)=coeff(2)=1,
+    # coeff(3)=1/3 (deg 3, one closed of three wedges), coeff(4)=NULL
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["a", "b"]
+    )
+    out = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert out[1].coeff == 1.0 and out[1].n_triangles == 1
+    assert out[2].coeff == 1.0
+    assert out[3].degree == 3 and out[3].n_triangles == 1
+    assert abs(out[3].coeff - round(1 / 3, 9)) < 1e-12
+    assert out[4].coeff is None and out[4].n_triangles == 0
