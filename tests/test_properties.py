@@ -421,3 +421,141 @@ def test_asof_directions_match_bruteforce(spark, left_secs, right_secs):
             want = ref(direction, s)
             want_v = float(want) if want is not None else None
             assert got[i] == want_v, (direction, s, got[i], want_v)
+
+
+short_words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=5), min_size=1, max_size=10
+)
+
+
+@SETTINGS
+@given(words=short_words, k=st.sampled_from([1, 2]))
+def test_fuzzy_join_equals_bruteforce(spark, words, k):
+    """Deletion-neighborhood blocking has EXACT recall: the candidate
+    join + verify must equal the all-pairs Levenshtein scan for any
+    input, including repeats and empty strings."""
+    import itertools
+
+    from eclipse_spark.operators.linkage import fuzzy_self_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(words)), ["wid", "w"])
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_self_join(df, "w", "wid", k=k).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(words), 2)
+        if 0 < lev(a, b) <= k
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.sets(st.sampled_from(list("abcdefgh")), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    pct=st.sampled_from([25, 49, 81]),
+)
+def test_allpairs_cosine_equals_bruteforce(spark, docs, pct):
+    """Prefix filtering must lose NOTHING: candidates + exact verify
+    equal the quadratic scan at any threshold."""
+    import itertools
+
+    from eclipse_spark.operators.similarity import allpairs_cosine
+
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(docs)], ["did", "toks"]
+    )
+    got = {
+        (r.id_a, r.id_b, r.overlap)
+        for r in allpairs_cosine(df, "did", "toks", pct).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        c = len(a & b)
+        if 100 * c * c >= pct * len(a) * len(b):
+            want.add((i, j, c))
+    assert got == want
+
+
+@SETTINGS
+@given(
+    v1=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.sampled_from("pq"), st.integers(0, 50)
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    v2=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.sampled_from("pq"), st.integers(0, 50)
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_ivm_refresh_equals_recompute(spark, v1, v2):
+    """Incremental refresh from the change feed equals a from-scratch
+    recompute for ANY pair of keyed snapshots (insert/delete/update/
+    group birth/group death all arise from random pairs)."""
+    from decimal import Decimal
+
+    from eclipse_spark.operators.ivm import aggregate_view, incremental_refresh
+    from eclipse_spark.storage import table_diff
+
+    schema = "k int, g string, v double"
+    d1 = spark.createDataFrame(
+        [(k, g, float(v)) for k, g, v in v1], schema
+    )
+    d2 = spark.createDataFrame(
+        [(k, g, float(v)) for k, g, v in v2], schema
+    )
+    mv = aggregate_view(d1, ["g"], {"v": "s"})
+    refreshed = incremental_refresh(
+        mv, table_diff(d1, d2, on=["k"]), ["g"], {"v": "s"}
+    )
+    def canon(df):
+        return {
+            r.g: (r.n_rows, Decimal(str(r.s))) for r in df.collect()
+        }
+    assert canon(refreshed) == canon(aggregate_view(d2, ["g"], {"v": "s"}))
+
+
+@SETTINGS
+@given(
+    xs=st.lists(st.integers(0, 20), min_size=1, max_size=12),
+    ys=st.lists(st.integers(0, 20), min_size=1, max_size=12),
+)
+def test_ks_statistic_equals_bruteforce(spark, xs, ys):
+    from fractions import Fraction
+
+    from eclipse_spark.operators.profile import ks_statistic
+
+    rows = [(float(v), "x") for v in xs] + [(float(v), "y") for v in ys]
+    df = spark.createDataFrame(rows, ["v", "tag"])
+    [r] = ks_statistic(df, "v", "tag", "x", "y").collect()
+    pts = sorted(set(xs) | set(ys))
+    want = max(
+        abs(
+            Fraction(sum(1 for v in xs if v <= t), len(xs))
+            - Fraction(sum(1 for v in ys if v <= t), len(ys))
+        )
+        for t in pts
+    )
+    assert Fraction(r.d_num, r.n_x * r.n_y) == want
