@@ -4563,6 +4563,41 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.clustering_coefficient(edges)
 
 
+def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document self-repetition cleaning
+    (text.collapse_repeated_lines) over a line-ified corpus (words ->
+    lines, so the synthetic corpus' consecutive word repeats play the
+    boilerplate role; 388/500 docs at sf0.01 have some). Pure map
+    stage — indexed filter lambda reads the previous element, no
+    shuffle at all — and the cleaned text is pinned by md5, so the
+    oracle checks the TRANSFORM, not just the counts."""
+    from eclipse_spark.operators.text import collapse_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    out = collapse_repeated_lines(docs)
+    return out.select(
+        "doc_id",
+        "n_lines_in",
+        "n_lines_out",
+        "n_removed",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (text.negative_samples): every document draws k=4 other documents
+    via the portable hash family — no rand(), so the pairs are
+    reproducible across engines/partitionings and the DuckDB oracle
+    replays every draw (including the self-draw bump) value-for-value."""
+    from eclipse_spark.operators.text import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", k=4, seed=7)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4674,6 +4709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_ivm": q_events_stream_ivm,
         "linreg": q_linreg,
         "clustering_coeff": q_clustering_coeff,
+        "collapse_lines": q_collapse_lines,
+        "negative_sampling": q_negative_sampling,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6367,6 +6404,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
         """,
+        "collapse_lines": """
+            WITH l AS (SELECT doc_id,
+                              string_split(replace(text, ' ', chr(10)),
+                                           chr(10)) AS ls
+                       FROM documents),
+            k AS (SELECT doc_id, ls,
+                         list_filter(ls, (x, i) -> i = 1 OR x != ls[i-1])
+                           AS kept
+                  FROM l)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines_in,
+                   CAST(len(kept) AS BIGINT) AS n_lines_out,
+                   CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM k
+        """,
+        "negative_sampling": """
+            WITH idx AS (SELECT doc_id AS id,
+                                row_number() OVER (ORDER BY doc_id) - 1
+                                  AS ix
+                         FROM documents),
+            nn AS (SELECT count(*) AS n FROM idx),
+            draws AS (
+              SELECT i.id, i.ix, nn.n, j,
+                     ({HEX15}) % nn.n AS draw
+              FROM idx i, nn, unnest([1, 2, 3, 4]) AS t(j)),
+            resolved AS (
+              SELECT id, j,
+                     CASE WHEN draw = ix THEN (draw + 1) % n
+                          ELSE draw END AS neg_ix
+              FROM draws)
+            SELECT r.id AS anchor, CAST(r.j AS BIGINT) AS j,
+                   x.id AS neg
+            FROM resolved r JOIN idx x ON x.ix = r.neg_ix
+        """.replace(
+            "{HEX15}",
+            _sql_hex15("md5(id::VARCHAR || ':' || j::VARCHAR || ':' || '7')"),
+        ),
         "linreg": """
             WITH hourly AS (
               SELECT event_type, date_trunc('hour', ts) AS h,

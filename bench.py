@@ -111,6 +111,8 @@ HEADLINE = [
     "events_stream_ivm",
     "linreg",
     "clustering_coeff",
+    "collapse_lines",
+    "negative_sampling",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -1008,3 +1008,104 @@ def bigram_logprob(
             "avg_logprob",
         )
     )
+
+
+def collapse_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document consecutive-duplicate-line removal — the
+    self-repetition cleaner of a pretraining pipeline (boilerplate
+    navigation blocks, stuttering crawls, template spam repeat the
+    SAME line back to back; cross-corpus span dedup
+    (:func:`span_dedup`) deliberately does not touch them because the
+    repeats live inside one document).
+
+    Pure row-local codegen: split to lines, keep line i iff i == 0 or
+    it differs from line i-1 (an indexed ``filter`` lambda reading the
+    previous element — no explode, no shuffle, no window; the whole
+    operator is a map stage that scales embarrassingly). Returns
+    ``id_col``, cleaned ``text``, ``n_lines_in``, ``n_lines_out``,
+    ``n_removed``."""
+    lines = F.split(F.col(text_col), r"\n")
+    # element_at is 1-based, the filter lambda index 0-based: at index
+    # i the previous element is element_at(lines, i)
+    kept = F.expr(
+        f"filter(split({text_col}, '\\n'), (x, i) -> i = 0 OR "
+        f"x != element_at(split({text_col}, '\\n'), i))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("text"),
+        F.size(lines).cast("long").alias("n_lines_in"),
+        F.size(kept).cast("long").alias("n_lines_out"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row gets ``k`` pseudo-random OTHER rows as negatives,
+    reproducibly (same corpus + seed -> same pairs on any engine,
+    any partitioning — no ``rand()``, the same discipline as
+    :func:`mixture_sample` / dataset_split).
+
+    Mechanics: rows are densely indexed 0..n-1 by a global id-ordered
+    row_number (one total-order window — at 100 TB swap for a
+    zipWithIndex-style per-partition offset scan; the rest of the plan
+    is unchanged), each (anchor, j) draws ``idx = hash60(id:j:seed)
+    % n`` from the portable hash family, self-draws bump to the next
+    index (deterministic, bias 1/n), and one equi-join on the index
+    resolves negative ids. Output (anchor, j, neg) rows; the join is
+    the only shuffle beyond the indexing sort."""
+    from eclipse_spark.functions.scalar import portable_hash60
+
+    indexed = df.select(F.col(id_col).alias("_id")).withColumn(
+        "_idx", F.row_number().over(Window.orderBy("_id")) - 1
+    )
+    n = indexed.agg(F.count("*").alias("_n"))
+    draws = (
+        indexed.crossJoin(F.broadcast(n))
+        .select(
+            "_id",
+            "_idx",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+        )
+        .withColumn(
+            "_draw",
+            F.pmod(
+                portable_hash60(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("_id").cast("string"),
+                            F.col("j").cast("string"),
+                            F.lit(int(seed)).cast("string"),
+                        )
+                    )
+                ),
+                F.col("_n"),
+            ),
+        )
+        .withColumn(
+            "_neg_idx",
+            F.when(F.col("_draw") == F.col("_idx"),
+                   F.pmod(F.col("_draw") + 1, F.col("_n"))).otherwise(F.col("_draw")),
+        )
+    )
+    negs = indexed.select(F.col("_idx").alias("_neg_idx"), F.col("_id").alias("neg"))
+    return (
+        draws.join(negs, "_neg_idx")
+        .select(
+            F.col("_id").alias("anchor"),
+            F.col("j").cast("long").alias("j"),
+            F.col("neg"),
+        )
+    )

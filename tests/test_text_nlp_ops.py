@@ -133,3 +133,33 @@ def test_containment_on_candidates_matches_allpairs_on_recalled(spark):
     for pair, c in got.items():
         assert allp[pair] == c  # verify agrees with the exact baseline
     assert got[(2, 1)] == 1.0 and got[(1, 2)] < 1.0
+
+
+def test_collapse_repeated_lines_exact(spark):
+    from eclipse_spark.operators.text import collapse_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\na\nb\na\nc\nc\nc"), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in collapse_repeated_lines(df).collect()}
+    assert out[1].text == "a\nb\na\nc"  # non-consecutive repeat of 'a' kept
+    assert (out[1].n_lines_in, out[1].n_lines_out, out[1].n_removed) == (7, 4, 3)
+    assert out[2].text == "solo" and out[2].n_removed == 0
+    assert out[3].n_removed == 0
+
+
+def test_negative_samples_deterministic_and_valid(spark):
+    from eclipse_spark.operators.text import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(10, 20)], ["doc_id"])
+    a = negative_samples(df, "doc_id", k=3, seed=1).collect()
+    b = negative_samples(df, "doc_id", k=3, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert len(a) == 10 * 3
+    for r in a:
+        assert r.neg != r.anchor          # never self
+        assert 10 <= r.neg < 20           # a real corpus member
+    # different seed -> different draws (overwhelmingly)
+    c = negative_samples(df, "doc_id", k=3, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
