@@ -463,3 +463,63 @@ def test_pq_index_query_never_reencodes_corpus(spark, sf_smoke, tmp_path):
     # result matches the self-contained pq_topk end-to-end
     direct = sim.pq_topk(emb.filter(F.col("vec_id") < 2), emb, k=5, m=8, ksub=16)
     assert sorted(map(tuple, top.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_collapse_lines_zero_shuffles(spark, sf_smoke):
+    """The repetition cleaner is a pure map stage — any Exchange in
+    its plan means the row-local formulation regressed."""
+    plan = _plan(QUERIES["collapse_lines"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 0
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_smoke):
+    """Last-touch attribution = ONE user-keyed window shuffle + the
+    channel aggregate's exchange; a third would mean the two event
+    sides got shuffled separately (the join formulation it avoids)."""
+    plan = _plan(QUERIES["attribution"](spark, sf_smoke))
+    assert _n_exchanges(plan) <= 2
+
+
+def test_fuzzy_join_no_cartesian(spark, sf_smoke):
+    plan = _plan(QUERIES["fuzzy_join"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frequent_pairs_prunes_before_pair_join(spark, sf_smoke):
+    """Apriori order: the item-support semi-join must sit below the
+    basket self-join, so infrequent items never enter the quadratic
+    stage (grep: a LeftSemi join exists and no cartesian shape)."""
+    plan = _plan(QUERIES["frequent_pairs"](spark, sf_smoke))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mv_refresh_never_rescans_base_table(spark, sf_smoke):
+    """The refresh plan reads orders for the v1 view and the change
+    feed — but the refreshed view itself must come from the MERGE of
+    view + delta (one full-outer join), not a fresh v2 aggregate:
+    the join and its outer coalesce are the O(|changes|) contract."""
+    plan = _plan(QUERIES["mv_refresh"](spark, sf_smoke))
+    assert "FullOuter" in plan.replace(" ", "")
+
+
+def test_chi_square_no_float_udf_and_three_aggs(spark, sf_smoke):
+    plan = _plan(QUERIES["chi_square"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan
+    # obs + two marginals + n: at least three aggregate subtrees
+    assert plan.count("HashAggregate") >= 6  # partial+final per agg
+
+
+def test_rolling_distinct_one_ordered_window(spark, sf_smoke):
+    plan = _plan(QUERIES["rolling_distinct"](spark, sf_smoke))
+    # per-step agg + grid join + one global window; no python
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_negative_sampling_single_index_join(spark, sf_smoke):
+    plan = _plan(QUERIES["negative_sampling"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
