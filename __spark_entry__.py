@@ -4598,6 +4598,39 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(docs, "doc_id", k=4, seed=7)
 
 
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (relational.temporal_join):
+    every purchase annotated with the user's status — the SCD2 run of
+    signup/login/error events — in effect AT PURCHASE TIME. Because
+    SCD2 intervals tile each key's timeline, the containment lookup
+    collapses to an as-of window pick on ONE user-keyed shuffle (the
+    general range join the oracle runs would be a bucketed explode at
+    scale); facts before the user's first interval get '(none)'."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    status_events = ev.filter(F.col("event_type").isin("signup", "login", "error"))
+    dim = relational.scd2(
+        status_events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = relational.temporal_join(
+        facts, dim, key_cols=["user_id"], fact_ts_col="ts",
+        attr_cols=["event_type"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce(F.col("dim_event_type"), F.lit("(none)")).alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4711,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "collapse_lines": q_collapse_lines,
         "negative_sampling": q_negative_sampling,
+        "temporal_join": q_temporal_join,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6403,6 +6437,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
+        """,
+        "temporal_join": """
+            WITH flagged AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN row_number() OVER w = 1
+                               OR lag(event_type) OVER w
+                                  IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WHERE event_type IN ('signup', 'login', 'error')
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), iv AS (
+              SELECT user_id, event_type, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to
+              FROM flagged WHERE chg = 1
+            )
+            SELECT f.event_id, f.user_id, f.value,
+                   COALESCE(i.event_type, '(none)') AS status
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') f
+            LEFT JOIN iv i
+              ON i.user_id = f.user_id
+             AND i.valid_from <= f.ts
+             AND (i.valid_to IS NULL OR f.ts < i.valid_to)
         """,
         "collapse_lines": """
             WITH l AS (SELECT doc_id,

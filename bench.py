@@ -113,6 +113,7 @@ HEADLINE = [
     "clustering_coeff",
     "collapse_lines",
     "negative_sampling",
+    "temporal_join",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -371,3 +371,72 @@ def asof_join(
         F.col("_m._t").alias("asof_ts"),
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload],
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts_col: str,
+    attr_cols: Sequence[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: annotate each fact row with the
+    dimension attributes in effect at the fact's timestamp, against an
+    SCD2-style interval history ``[valid_from, valid_to)`` (NULL
+    valid_to = current) — the warehouse lookup every fact table owes
+    its dimensions ("what was this user's status WHEN they bought").
+
+    NOT a range join: because SCD2 intervals tile each key's timeline,
+    the containment lookup reduces to an as-of pick — union interval
+    STARTS with facts, one (key)-partitioned window sort, each fact
+    takes the last preceding start (ties: starts sort before facts at
+    the same instant, so a change taking effect at t applies to facts
+    at t). A fact landing after its picked interval's ``valid_to``
+    (i.e. before the first interval, or in a gap of a non-tiling
+    history) gets NULL attrs rather than a stale row. One shuffle
+    end-to-end vs the bucketed-explode range join the general
+    non-tiling case needs (operators/skew.py's range query shape)."""
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    d = dim.select(
+        *keys,
+        F.col(valid_from_col).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.struct(
+            *[F.col(a).alias(a) for a in attrs],
+            F.col(valid_to_col).alias("_vto"),
+        ).alias("_dim"),
+    )
+    f = facts.select(
+        *keys,
+        F.col(fact_ts_col).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(d.schema["_dim"].dataType).alias("_dim"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_fact"),
+    )
+    u = d.withColumn("_fact", F.lit(None).cast(f.schema["_fact"].dataType)).unionByName(
+        f
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        u.withColumn("_eff", F.last("_dim", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+        .withColumn(
+            "_ok",
+            F.col("_eff").isNotNull()
+            & (F.col("_eff._vto").isNull() | (F.col("_t") < F.col("_eff._vto"))),
+        )
+    )
+    return picked.select(
+        "_fact.*",
+        *[
+            F.when(F.col("_ok"), F.col(f"_eff.{a}")).alias(f"dim_{a}")
+            for a in attrs
+        ],
+    )

@@ -405,3 +405,42 @@ def test_bfs_distances_path_graph(spark):
     srcs2 = spark.createDataFrame([(99,)], "node bigint")
     got2 = {r.node: r.dist for r in graph.bfs_distances(edges, srcs2, max_hops=2).collect()}
     assert got2 == {99: 0}
+
+
+def test_temporal_join_interval_semantics(spark):
+    """Facts pick the interval containing their ts: inclusive
+    valid_from, exclusive valid_to, NULL attrs before the first
+    interval, open current interval matches forever."""
+    from datetime import datetime
+
+    from eclipse_spark.operators.relational import temporal_join
+
+    t = lambda s: datetime(2024, 1, 1, s, 0, 0)
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t(2), t(5)),
+            (1, "gold", t(5), None),
+            (2, "silver", t(3), None),
+        ],
+        ["uid", "tier", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(1)),   # before first interval -> NULL
+            (101, 1, t(2)),   # at valid_from -> bronze (inclusive)
+            (102, 1, t(4)),   # inside -> bronze
+            (103, 1, t(5)),   # at boundary -> gold (exclusive old end)
+            (104, 1, t(9)),   # open interval -> gold
+            (105, 2, t(3)),   # silver
+            (106, 3, t(3)),   # unknown key -> NULL
+        ],
+        ["fid", "uid", "ts"],
+    )
+    out = {
+        r.fid: r.dim_tier
+        for r in temporal_join(facts, dim, ["uid"], "ts", ["tier"]).collect()
+    }
+    assert out == {
+        100: None, 101: "bronze", 102: "bronze", 103: "gold",
+        104: "gold", 105: "silver", 106: None,
+    }
