@@ -4631,6 +4631,39 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation pipeline, fully value-checked:
+    language filter (en) -> Gopher-style quality gates -> exact dedup
+    -> 8-gram benchmark decontamination -> deterministic train/val/
+    test split -> per-(source, split) corpus accounting. Five
+    operators composed exactly as a production pretraining run chains
+    them, and the DuckDB oracle replays EVERY stage (per-doc language
+    scores, ratio gates, min-id dedup groups, string-gram collisions,
+    hash-range splits), so the composition — not just each piece — is
+    driver-checkable. Scale shape inherits its parts: codegen
+    projections, one dedup key shuffle, broadcast benchmark grams,
+    map-side split."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    en = text.language_id(corpus).filter(F.col("lang_pred") == "en")
+    gated = text.quality_stats(en).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("digit_ratio") < 0.2)
+        & (F.col("upper_ratio") < 0.3)
+    )
+    kept = dedup.exact_dedup(gated)
+    flags = dedup.ngram_decontaminate(kept, bench, n=8)
+    clean = kept.join(flags.select("doc_id"), "doc_id", "left_anti")
+    split = relational.dataset_split(
+        clean, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4745,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": q_collapse_lines,
         "negative_sampling": q_negative_sampling,
         "temporal_join": q_temporal_join,
+        "curation_pipeline": q_curation_pipeline,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6438,6 +6472,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM a GROUP BY 1
         """,
+        "curation_pipeline": f"""
+            WITH corpus AS (SELECT doc_id, text, source, n_chars
+                            FROM documents WHERE doc_id % 20 <> 0),
+            sc AS (SELECT doc_id, text, source, n_chars,
+                     len(list_distinct(list_filter({TOKENS_SQL},
+                       x -> list_contains([{{EN}}], x)))) AS s_en,
+                     len(list_distinct(list_filter({TOKENS_SQL},
+                       x -> list_contains([{{DE}}], x)))) AS s_de,
+                     len(list_distinct(list_filter({TOKENS_SQL},
+                       x -> list_contains([{{FR}}], x)))) AS s_fr,
+                     len(list_distinct(list_filter({TOKENS_SQL},
+                       x -> list_contains([{{ES}}], x)))) AS s_es
+                   FROM corpus),
+            en AS (SELECT doc_id, text, source, n_chars FROM sc
+                   WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+                     AND s_en = greatest(s_en, s_de, s_fr, s_es)),
+            gated AS (SELECT doc_id, text, source, n_chars FROM en
+                      WHERE len({TOKENS_SQL}) >= 5
+                        AND (CASE WHEN length(text) > 0
+                                  THEN length(regexp_replace(text,
+                                         '[^0-9]', '', 'g')) / length(text)
+                                  ELSE 0.0 END) < 0.2
+                        AND (CASE WHEN length(text) > 0
+                                  THEN length(regexp_replace(text,
+                                         '[^A-Z]', '', 'g')) / length(text)
+                                  ELSE 0.0 END) < 0.3),
+            ded AS (SELECT * FROM gated WHERE doc_id IN (
+                      SELECT min(doc_id) FROM gated
+                      GROUP BY regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g'))),
+            bg AS (SELECT DISTINCT
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - 7, 1) + 1),
+                       i -> array_to_string(toks[i:i+7], ' '))) AS g
+                   FROM (SELECT {TOKENS_SQL} AS toks FROM documents
+                         WHERE doc_id % 20 = 0) b),
+            contaminated AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT d.doc_id,
+                       unnest(list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 7, 1) + 1),
+                         i -> array_to_string(toks[i:i+7], ' ')))) AS g
+                FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM ded) d) x
+              JOIN bg USING (g)),
+            clean AS (SELECT * FROM ded
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            sp AS (SELECT source, n_chars,
+                     ({{HEX15}}) % 1048576 AS h
+                   FROM (SELECT source, n_chars,
+                                md5(doc_id::VARCHAR) AS mh FROM clean) z)
+            SELECT source,
+                   CASE WHEN h < 838860 THEN 'train'
+                        WHEN h < 943718 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM sp GROUP BY 1, 2
+        """.replace("{EN}", lang_scores["en"])
+           .replace("{DE}", lang_scores["de"])
+           .replace("{FR}", lang_scores["fr"])
+           .replace("{ES}", lang_scores["es"])
+           .replace("{HEX15}", _sql_hex15("mh", 0)),
         "temporal_join": """
             WITH flagged AS (
               SELECT user_id, event_type, ts, event_id,

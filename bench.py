@@ -114,6 +114,7 @@ HEADLINE = [
     "collapse_lines",
     "negative_sampling",
     "temporal_join",
+    "curation_pipeline",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

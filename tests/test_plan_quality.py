@@ -523,3 +523,11 @@ def test_negative_sampling_single_index_join(spark, sf_smoke):
     plan = _plan(QUERIES["negative_sampling"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_pipeline_broadcasts_benchmark_grams(spark, sf_smoke):
+    """The decontamination stage must broadcast the (small) benchmark
+    gram table — a shuffle join there moves corpus-scale gram rows."""
+    plan = _plan(QUERIES["curation_pipeline"](spark, sf_smoke))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
