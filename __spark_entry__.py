@@ -4664,6 +4664,76 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the one streaming join
+    shape the suite didn't yet cover: a micro-batch stream joins a
+    static (bounded) dimension DataFrame, which Spark broadcasts into
+    every batch with NO state store at all (unlike stream-stream
+    joins there is nothing to watermark — the dimension is complete).
+    Per-segment decimal revenue over the drained stream equals the
+    batch join+aggregate, which is the oracle."""
+    _utc(spark)
+    stream = _event_stream(spark, sf_dir)
+    seg_dim = (
+        _events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("long"))
+    )
+    joined = stream.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(seg_dim), "user_id"
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+    )
+    stream_windows.run_stream_to_memory(agg, "ev_stream_enrich", "complete")
+    return spark.table("ev_stream_enrich").select(
+        "segment",
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+def q_mv_refresh_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance (ivm.incremental_refresh_minmax):
+    min/max are NOT self-maintainable (a delete can remove the extreme
+    row), so delta-only merge applies to insert-only groups and groups
+    touched by a delete/update rescan FROM THE NEW BASE — but only
+    those groups, via a semi-join that a key-partitioned base turns
+    into a sliver read. Same v1->v2 orders change feed as mv_refresh;
+    the oracle aggregates v2 directly, proving the split rule loses
+    nothing."""
+    from eclipse_spark.operators.ivm import (
+        aggregate_view_minmax,
+        incremental_refresh_minmax,
+    )
+    from eclipse_spark.storage import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    v2 = orders.filter(F.col("o_custkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    bucket = (F.col("o_custkey") % 100).cast("long").alias("cust_bucket")
+    mv_v1 = aggregate_view_minmax(
+        v1.select(bucket, "o_totalprice"), ["cust_bucket"], "o_totalprice"
+    )
+    changes = table_diff(v1, v2, on=["o_orderkey"]).select(
+        "change_type", bucket, "o_totalprice"
+    )
+    return incremental_refresh_minmax(
+        mv_v1,
+        changes,
+        v2.select(bucket, "o_totalprice"),
+        ["cust_bucket"],
+        "o_totalprice",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4686,11 +4756,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     propagation, text/binary sources, bigram LM, LSH containment,
     streaming stateful EWMA, forward/nearest as-of, cluster labeling,
     BFS, the MinHash estimator audit, the watermark late-data proof) —
-    50 first-timers; the two simplest round-5 ops (text_normalize,
-    equidepth_histogram) wait at 51-52 for the round-6 rotation along
-    with the r01-green re-seats. Everything rotated out retains its
-    prior round's driver-green row (CORRECTNESS_r01/r03/r04.json) and
-    every query at every position stays locally oracle-checked by
+    50 first-timers.
+
+    The round-6 rotation queue starts directly at position 51: the
+    late-round-5 additions (bitwise/struct/URL scalar suites,
+    text_normalize, equidepth_histogram, XML source, rolling
+    correlation, stream-stream outer join, stored PQ index, plus the
+    linkage/APSS/time-series/drift/basket/ER/chi-square/winsorize/
+    KS/rolling-distinct/IVM batch + streaming IVM/OLS/clustering-
+    coefficient/repetition-cleaner/negative-sampling/temporal-join/
+    curation-pipeline wave — ~28 first-timers, all locally
+    oracle-green), then the r01-only re-seats (word_count,
+    inverted_index, aggregation, the TPC-H singles, window/set/scalar
+    suites). Everything rotated out retains its prior round's
+    driver-green row (CORRECTNESS_r01/r03/r04.json) and every query
+    at every position stays locally oracle-checked by
     tests/test_oracle_parity.py."""
     return {
         # ===== positions 1-50: the round-5 driver window =====
@@ -4779,6 +4859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "temporal_join": q_temporal_join,
         "curation_pipeline": q_curation_pipeline,
+        "events_stream_enrich": q_events_stream_enrich,
+        "mv_refresh_minmax": q_mv_refresh_minmax,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6685,11 +6767,34 @@ def oracle_sql() -> dict[str, str]:
                    END AS coeff
             FROM deg d LEFT JOIN pn ON pn.n = d.n
         """,
+        "events_stream_enrich": """
+            WITH dim AS (SELECT DISTINCT user_id,
+                                CAST(user_id % 5 AS BIGINT) AS segment
+                         FROM events)
+            SELECT d.segment,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM events e JOIN dim d USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1
+        """,
         "events_stream_ivm": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "mv_refresh_minmax": """
+            WITH v2 AS (SELECT o_custkey,
+                               CASE WHEN o_orderkey % 13 = 0
+                                    THEN o_totalprice + 10.0
+                                    ELSE o_totalprice END AS p
+                        FROM orders WHERE o_custkey % 7 <> 0)
+            SELECT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(p) AS min_val, max(p) AS max_val
+            FROM v2 GROUP BY 1
         """,
         "mv_refresh": """
             WITH v2 AS (SELECT o_custkey,

@@ -115,6 +115,8 @@ HEADLINE = [
     "negative_sampling",
     "temporal_join",
     "curation_pipeline",
+    "events_stream_enrich",
+    "mv_refresh_minmax",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -4,8 +4,11 @@ text analysis, multimodal columns) and scale helpers (skew salting,
 two-phase aggregation)."""
 
 from eclipse_spark.operators import (  # noqa: F401
+    basket,
     dedup,
     graph,
+    ivm,
+    linkage,
     multimodal,
     profile,
     relational,

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_view", "incremental_refresh"]
+__all__ = [
+    "aggregate_view",
+    "incremental_refresh",
+    "aggregate_view_minmax",
+    "incremental_refresh_minmax",
+]
 
 _NEG = ("delete", "update_preimage")
 
@@ -80,3 +85,74 @@ def incremental_refresh(
             ).alias(out)
         )
     return merged.select(*out_cols).filter(F.col(count_col) > 0)
+
+
+def aggregate_view_minmax(
+    df: DataFrame, keys: list[str], value_col: str, count_col: str = "n_rows"
+) -> DataFrame:
+    """Recompute form of the MIN/MAX view: per-group count + min + max
+    of ``value_col`` (no arithmetic touches the stored values, so the
+    extremes are exact in any engine)."""
+    return df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(count_col),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+    )
+
+
+def incremental_refresh_minmax(
+    mv: DataFrame,
+    changes: DataFrame,
+    base_new: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Refresh a MIN/MAX view from the change feed with TARGETED GROUP
+    RESCAN — the standard answer to min/max not being
+    self-maintainable (a delete may remove the very row holding the
+    extreme, and no delta algebra can recover the runner-up).
+
+    Split rule: groups whose batch contains only inserts /
+    update_postimages stay delta-only (``least/greatest`` of old
+    extreme and batch extreme — monoid merge); groups with ANY delete
+    or update_preimage rescan FROM THE NEW BASE, but only those
+    groups — ``base_new`` is semi-joined to the affected keys before
+    its aggregate, so with the base partitioned or bucketed on the
+    keys the rescan reads a sliver, not 100 TB. Groups reaching count
+    zero drop; groups born in the batch arrive via the outer merge.
+    The refreshed view is row-for-row equal to
+    :func:`aggregate_view_minmax` over the new base (the oracle)."""
+    sign = F.when(F.col("change_type").isin(*_NEG), F.lit(-1)).otherwise(F.lit(1))
+    pos_val = F.when(~F.col("change_type").isin(*_NEG), F.col(value_col))
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).alias("_dn"),
+        F.min(pos_val).alias("_ins_min"),
+        F.max(pos_val).alias("_ins_max"),
+        F.max(
+            F.when(F.col("change_type").isin(*_NEG), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_has_neg"),
+    )
+    merged = mv.join(delta, on=keys, how="full_outer")
+    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    alive = merged.filter(n_new > 0)
+    safe = alive.filter(F.coalesce(F.col("_has_neg"), F.lit(0)) == 0).select(
+        *keys,
+        n_new.cast("long").alias(count_col),
+        F.least(
+            F.coalesce(F.col("min_val"), F.col("_ins_min")),
+            F.coalesce(F.col("_ins_min"), F.col("min_val")),
+        ).alias("min_val"),
+        F.greatest(
+            F.coalesce(F.col("max_val"), F.col("_ins_max")),
+            F.coalesce(F.col("_ins_max"), F.col("max_val")),
+        ).alias("max_val"),
+    )
+    rescan_keys = alive.filter(F.col("_has_neg") == 1).select(*keys)
+    rescanned = aggregate_view_minmax(
+        base_new.join(rescan_keys, on=keys, how="left_semi"),
+        keys,
+        value_col,
+        count_col,
+    )
+    return safe.unionByName(rescanned)

@@ -59,3 +59,68 @@ def test_refresh_update_only_touches_sum_not_count(spark):
         incremental_refresh(mv1, table_diff(v1, v2, on=["k"]), ["g"], {"v": "revenue"})
     )
     assert got == {"a": (2, Decimal("7.5"))}
+
+
+def test_minmax_refresh_equals_recompute(spark):
+    from eclipse_spark.operators.ivm import (
+        aggregate_view_minmax,
+        incremental_refresh_minmax,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "c", 1.0)],
+        ["k", "g", "v"],
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged
+            # 2 deleted: group a's MAX row is gone -> must rescan
+            (3, "b", 5.0),
+            (5, "b", 9.0),    # insert: delta-only greatest() path
+            (6, "d", 2.0),    # group birth
+            # 4 deleted: group c dies entirely
+        ],
+        ["k", "g", "v"],
+    )
+    mv = aggregate_view_minmax(v1, ["g"], "v")
+    got = {
+        r.g: (r.n_rows, r.min_val, r.max_val)
+        for r in incremental_refresh_minmax(
+            mv, table_diff(v1, v2, on=["k"]), v2, ["g"], "v"
+        ).collect()
+    }
+    want = {
+        r.g: (r.n_rows, r.min_val, r.max_val)
+        for r in aggregate_view_minmax(v2, ["g"], "v").collect()
+    }
+    assert got == want
+    assert got["a"] == (1, 10.0, 10.0)  # rescan recovered the runner-up
+    assert got["b"] == (2, 5.0, 9.0)    # insert-only group merged, no rescan
+    assert "c" not in got and got["d"] == (1, 2.0, 2.0)
+
+
+def test_minmax_refresh_untouched_groups_not_rescanned(spark):
+    """Groups with no changes at all must pass through the outer merge
+    unchanged (plan-level: they never reach the rescan semi-join)."""
+    from eclipse_spark.operators.ivm import (
+        aggregate_view_minmax,
+        incremental_refresh_minmax,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 3.0), (2, "b", 4.0)], ["k", "g", "v"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 3.0), (2, "b", 4.0), (3, "b", 1.0)], ["k", "g", "v"]
+    )
+    out = {
+        r.g: (r.n_rows, r.min_val, r.max_val)
+        for r in incremental_refresh_minmax(
+            aggregate_view_minmax(v1, ["g"], "v"),
+            table_diff(v1, v2, on=["k"]),
+            v2,
+            ["g"],
+            "v",
+        ).collect()
+    }
+    assert out == {"a": (1, 3.0, 3.0), "b": (2, 1.0, 4.0)}
