@@ -559,3 +559,61 @@ def test_ks_statistic_equals_bruteforce(spark, xs, ys):
         for t in pts
     )
     assert Fraction(r.d_num, r.n_x * r.n_y) == want
+
+
+@SETTINGS
+@given(
+    dim_starts=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.sampled_from("xyz")),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    fact_ts=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_temporal_join_equals_interval_lookup(spark, dim_starts, fact_ts):
+    """The as-of window formulation must equal the direct interval
+    containment lookup for any tiling SCD2 history."""
+    from datetime import datetime, timedelta
+
+    from eclipse_spark.operators.relational import temporal_join
+
+    base = datetime(2024, 1, 1)
+    t = lambda s: base + timedelta(hours=s)
+    # build a tiling history per key from the distinct starts
+    per_key: dict[int, list[tuple[int, str]]] = {}
+    for k, s, a in sorted(dim_starts):
+        per_key.setdefault(k, []).append((s, a))
+    dim_rows = []
+    for k, runs in per_key.items():
+        for i, (s, a) in enumerate(runs):
+            vto = t(runs[i + 1][0]) if i + 1 < len(runs) else None
+            dim_rows.append((k, a, t(s), vto))
+    facts = [(i, k, t(s)) for i, (k, s) in enumerate(fact_ts)]
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    dim_schema = StructType([
+        StructField("uid", IntegerType()), StructField("attr", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+    ])
+    dim = spark.createDataFrame(dim_rows, dim_schema)
+    fdf = spark.createDataFrame(facts, ["fid", "uid", "ts"])
+    got = {
+        r.fid: r.dim_attr
+        for r in temporal_join(fdf, dim, ["uid"], "ts", ["attr"]).collect()
+    }
+    want = {}
+    for fid, k, ts in facts:
+        hit = None
+        for kk, a, vf, vto in dim_rows:
+            if kk == k and vf <= ts and (vto is None or ts < vto):
+                hit = a
+        want[fid] = hit
+    assert got == want
