@@ -4734,6 +4734,20 @@ def q_mv_refresh_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (timeseries.quantile_normalize): every event type's value
+    distribution mapped onto the pooled distribution at matching
+    within-group rank — batch-effect correction for mixed-source
+    scores. Index arithmetic stays integer (scaled div/mod) up to one
+    fixed-order interpolation; ties are multiset-safe (equal values
+    swap ranks without changing the output set)."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    return timeseries.quantile_normalize(ev, "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4861,6 +4875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "events_stream_enrich": q_events_stream_enrich,
         "mv_refresh_minmax": q_mv_refresh_minmax,
+        "quantile_normalize": q_quantile_normalize,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6784,6 +6799,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "quantile_normalize": """
+            WITH g AS (SELECT event_type AS gg, value AS v FROM events
+                       WHERE event_id % 7 = 0),
+            r AS (SELECT gg, v,
+                         row_number() OVER (PARTITION BY gg ORDER BY v) AS rn,
+                         count(*) OVER (PARTITION BY gg) AS ng
+                  FROM g),
+            p AS (SELECT v, row_number() OVER (ORDER BY v) AS pr FROM g),
+            np AS (SELECT count(*) AS n FROM g),
+            pos AS (SELECT gg, v,
+                           CASE WHEN ng > 1
+                                THEN (rn - 1) * (np.n - 1) ELSE 0 END AS num,
+                           CASE WHEN ng > 1 THEN ng - 1 ELSE 1 END AS den
+                    FROM r, np),
+            ix AS (SELECT gg, v, 1 + num // den AS lo_idx,
+                          num % den AS rem, den
+                   FROM pos),
+            f AS (SELECT gg, v, lo_idx, rem, den,
+                         CASE WHEN rem > 0 THEN lo_idx + 1
+                              ELSE lo_idx END AS hi_idx
+                  FROM ix)
+            SELECT f.gg AS event_type, f.v AS value,
+                   round(lo.v + (hi.v - lo.v)
+                         * (CAST(rem AS DOUBLE) / CAST(den AS DOUBLE)), 9)
+                     AS value_qn
+            FROM f JOIN p lo ON lo.pr = f.lo_idx
+                   JOIN p hi ON hi.pr = f.hi_idx
         """,
         "mv_refresh_minmax": """
             WITH v2 AS (SELECT o_custkey,

@@ -117,6 +117,7 @@ HEADLINE = [
     "curation_pipeline",
     "events_stream_enrich",
     "mv_refresh_minmax",
+    "quantile_normalize",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -25,6 +25,7 @@ __all__ = [
     "last_touch_attribution",
     "winsorize",
     "rolling_distinct",
+    "quantile_normalize",
 ]
 
 
@@ -518,4 +519,81 @@ def rolling_distinct(
         F.size(F.array_distinct(F.flatten(F.collect_list("keys").over(w))))
         .cast("long")
         .alias("rolling_distinct"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: each group's value
+    distribution is mapped onto the POOLED distribution (every value
+    is replaced by the pooled quantile at its within-group rank) — the
+    batch-effect correction of mixed-source corpora (one source's
+    systematically inflated scores stop dominating a global threshold,
+    while within-source ordering is preserved exactly).
+
+    Exact and engine-deterministic: within-group position p =
+    (rank-1)/(n_g-1) maps to pooled index 1 + p*(N-1); the bracketing
+    pooled order statistics come from TWO integer row_number joins
+    (floor and ceil index), and the final linear interpolation is one
+    fixed-order IEEE expression rounded at 9. Rank ties break on the
+    full sort order of (value, tiebreak implicit by row_number over
+    value) so both engines agree. Plan: one (group) window, one global
+    pooled sort (the inherent total-order cost — pre-bin at 100 TB),
+    two integer equi-joins. Singleton groups map to the pooled
+    minimum (p = 0 by convention). Adds ``value_qn``."""
+    g = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    wg = Window.partitionBy("_g").orderBy("_v")
+    ranked = g.withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_ng", F.count("*").over(Window.partitionBy("_g"))
+    )
+    pooled = (
+        g.select("_v")
+        .withColumn("_pr", F.row_number().over(Window.orderBy("_v")))
+    )
+    n_pool = pooled.agg(F.count("*").alias("_np"))
+    # pooled index arithmetic kept integer: scaled position in 1e6ths
+    # avoids float index math entirely — pos = 1 + (r-1)*(N-1)/(ng-1)
+    # computed as integer floor + exact fractional remainder
+    with_pos = ranked.crossJoin(F.broadcast(n_pool)).select(
+        "_g",
+        "_v",
+        "_r",
+        "_ng",
+        "_np",
+        F.when(F.col("_ng") > 1,
+               (F.col("_r") - 1) * (F.col("_np") - 1)).otherwise(F.lit(0)).alias("_num"),
+        F.when(F.col("_ng") > 1, F.col("_ng") - 1).otherwise(F.lit(1)).alias("_den"),
+    ).select(
+        "_g",
+        "_v",
+        (F.lit(1) + F.expr("_num div _den")).alias("_lo_idx"),
+        F.expr("_num % _den").alias("_rem"),
+        "_den",
+    )
+    lo = pooled.select(F.col("_pr").alias("_lo_idx"), F.col("_v").alias("_lo_v"))
+    hi = pooled.select(F.col("_pr").alias("_hi_idx"), F.col("_v").alias("_hi_v"))
+    out = (
+        with_pos.withColumn(
+            "_hi_idx",
+            F.when(F.col("_rem") > 0, F.col("_lo_idx") + 1).otherwise(F.col("_lo_idx")),
+        )
+        .join(lo, "_lo_idx")
+        .join(hi, "_hi_idx")
+        .withColumn(
+            "value_qn",
+            F.round(
+                F.col("_lo_v")
+                + (F.col("_hi_v") - F.col("_lo_v"))
+                * (F.col("_rem").cast("double") / F.col("_den").cast("double")),
+                9,
+            ),
+        )
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        "value_qn",
     )

@@ -60,3 +60,40 @@ def test_rolling_distinct_with_empty_steps(spark):
     assert out[h2].rolling_distinct == 1
     h3 = t0 + timedelta(hours=3)
     assert out[h3].rolling_distinct == 2  # {2, 3}
+
+
+def test_quantile_normalize_known_mapping(spark):
+    from eclipse_spark.operators.timeseries import quantile_normalize
+
+    # group a = {0, 10}, group b = {100, 110}: pooled = {0,10,100,110}
+    # rank-0 of each group -> pooled p=0 -> 0; rank-1 -> pooled max 110
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("b", 100.0), ("b", 110.0)], ["g", "v"]
+    )
+    out = {(r.g, r.v): r.value_qn for r in quantile_normalize(df, "g", "v").collect()}
+    assert out[("a", 0.0)] == 0.0 and out[("b", 100.0)] == 0.0
+    assert out[("a", 10.0)] == 110.0 and out[("b", 110.0)] == 110.0
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from eclipse_spark.operators.timeseries import quantile_normalize
+
+    vals = [3.0, 1.0, 7.0, 5.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r.v: r.value_qn for r in quantile_normalize(df, "g", "v").collect()}
+    # one group == pooled distribution: the map is the identity
+    assert out == {v: v for v in vals}
+
+
+def test_quantile_normalize_preserves_within_group_order(spark):
+    from eclipse_spark.operators.timeseries import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (5, 1, 9)] + [("b", float(v)) for v in (100, 50)],
+        ["g", "v"],
+    )
+    rows = quantile_normalize(df, "g", "v").collect()
+    for gname in ("a", "b"):
+        grp = sorted((r.v, r.value_qn) for r in rows if r.g == gname)
+        qns = [q for _, q in grp]
+        assert qns == sorted(qns)  # monotone mapping
