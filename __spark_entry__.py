@@ -4753,8 +4753,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q1 shape on sf0.001 through the engine."""
-    return q_tpch_q1(spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end curation pipeline (language filter ->
+    quality gates -> exact dedup -> decontamination -> deterministic
+    split -> per-(source, split) accounting) on sf0.001 — the
+    composition that exercises text analysis, dedup, and the
+    deterministic-sampling discipline in one plan."""
+    return q_curation_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4779,8 +4783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     linkage/APSS/time-series/drift/basket/ER/chi-square/winsorize/
     KS/rolling-distinct/IVM batch + streaming IVM/OLS/clustering-
     coefficient/repetition-cleaner/negative-sampling/temporal-join/
-    curation-pipeline wave — ~28 first-timers, all locally
-    oracle-green), then the r01-only re-seats (word_count,
+    curation-pipeline/stream-enrich/minmax-IVM/quantile-normalize
+    wave — ~31 first-timers, all locally oracle-green), then the
+    r01-only re-seats (word_count,
     inverted_index, aggregation, the TPC-H singles, window/set/scalar
     suites). Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01/r03/r04.json) and every query
