@@ -2655,12 +2655,19 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
     work = tempfile.mkdtemp(prefix="eclipse_stream_upsert_")
-    cat = Catalog(spark, os.path.join(work, "cat"))
-    stream_windows.merge_stream_to_catalog(
-        agg, cat, "user_counts", on=["user_id"],
-        checkpoint=os.path.join(work, "ckpt"),
-    )
-    return cat.get("user_counts")
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        stream_windows.merge_stream_to_catalog(
+            agg, cat, "user_counts", on=["user_id"],
+            checkpoint=os.path.join(work, "ckpt"),
+        )
+        out = cat.get("user_counts")
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -374,7 +374,7 @@ def last_touch_attribution(
     value_col: str = "value",
     conversion: str = "purchase",
     touch_types: tuple[str, ...] = ("click", "view", "signup"),
-    lookback_hours: int = 168,
+    lookback_hours: float = 168,
 ) -> DataFrame:
     """Marketing-style LAST-TOUCH attribution: credit each conversion
     event's value to the most recent qualifying touch event by the
@@ -416,7 +416,9 @@ def last_touch_attribution(
                 F.col("prev_touch").isNotNull()
                 & (
                     F.col("t").cast("long") - F.col("prev_touch.tt").cast("long")
-                    <= F.lit(int(lookback_hours) * 3600)
+                    # int() AFTER the multiply: a fractional-hour
+                    # lookback must not truncate to zero hours
+                    <= F.lit(int(lookback_hours * 3600))
                 ),
                 F.col("prev_touch.ch"),
             ).otherwise(F.lit("(direct)")),

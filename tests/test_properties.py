@@ -617,3 +617,121 @@ def test_temporal_join_equals_interval_lookup(spark, dim_starts, fact_ts):
                 hit = a
         want[fid] = hit
     assert got == want
+
+
+@SETTINGS
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("pqrs")),
+        min_size=0,
+        max_size=20,
+    ),
+    min_sup=st.sampled_from([1, 2, 3]),
+)
+def test_frequent_pairs_equals_bruteforce(spark, baskets, min_sup):
+    import itertools
+    from collections import Counter
+    from fractions import Fraction
+
+    from eclipse_spark.operators.basket import frequent_pairs
+
+    if not baskets:
+        return
+    df = spark.createDataFrame(baskets, ["bid", "item"])
+    got = {
+        (r.item_a, r.item_b): (r.support, r.support_a, r.support_b)
+        for r in frequent_pairs(df, "bid", "item", min_sup).collect()
+    }
+    by_basket: dict[int, set] = {}
+    for b, i in baskets:
+        by_basket.setdefault(b, set()).add(i)
+    isup = Counter(i for items in by_basket.values() for i in items)
+    psup = Counter()
+    for items in by_basket.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            psup[(a, b)] += 1
+    want = {
+        p: (c, isup[p[0]], isup[p[1]])
+        for p, c in psup.items()
+        if c >= min_sup
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("xy"), st.sampled_from("uvw")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_chi_square_matches_float_reference(spark, rows):
+    from collections import Counter
+
+    from eclipse_spark.operators.profile import chi_square
+
+    df = spark.createDataFrame(rows, ["a", "b"])
+    [r] = chi_square(df, "a", "b").collect()
+    obs = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    rb = Counter(b for _, b in rows)
+    n = len(rows)
+    expected = sum(
+        (obs.get((a, b), 0) - ra[a] * rb[b] / n) ** 2 / (ra[a] * rb[b] / n)
+        for a in ra
+        for b in rb
+    )
+    # fixed-point truncation bias < n_cells * 1e-9
+    assert abs(r.chi2 - expected) < len(ra) * len(rb) * 1e-8
+    assert r.n == n and r.n_a == len(ra) and r.n_b == len(rb)
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                  # user
+            st.integers(0, 400),                # seconds offset
+            st.sampled_from(["click", "view", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_attribution_equals_bruteforce(spark, events):
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from eclipse_spark.operators.timeseries import last_touch_attribution
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(seconds=s), et, float(10 + i))
+        for i, (u, s, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    got = {
+        r.channel: (r.n_conversions, Decimal(str(r.revenue)))
+        for r in last_touch_attribution(
+            df, touch_types=("click", "view"), lookback_hours=1 / 30
+        ).collect()  # 120-second lookback
+    }
+    want_n: dict[str, int] = defaultdict(int)
+    want_v: dict[str, Decimal] = defaultdict(Decimal)
+    for u, ts, et, val in rows:
+        if et != "purchase":
+            continue
+        touches = [
+            (t2, e2)
+            for u2, t2, e2, _ in rows
+            if u2 == u and e2 in ("click", "view") and (t2, 0, e2) < (ts, 1, "")
+        ]
+        touches.sort()
+        ch = "(direct)"
+        if touches and int(ts.timestamp()) - int(touches[-1][0].timestamp()) <= 120:
+            ch = touches[-1][1]
+        want_n[ch] += 1
+        want_v[ch] += Decimal(str(val))
+    assert got == {c: (want_n[c], want_v[c]) for c in want_n}
