@@ -4755,6 +4755,32 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.quantile_normalize(ev, "event_type", "value")
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types per
+    user (timeseries.transition_matrix): one user-keyed window lag,
+    a (from, to) count, broadcast row totals, integer-ratio
+    probabilities round-9 — deterministic chain via (ts, event_id)
+    tie-break."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    return timeseries.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type Gini coefficient of event values
+    (timeseries.gini_coefficient): the rank formulation with
+    decimal-exact moment sums (sum x, sum i*x) and ONE fixed-order
+    float expression — concentration/inequality accounting the
+    engines agree on to the last digit."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    return timeseries.gini_coefficient(ev, "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4888,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enrich": q_events_stream_enrich,
         "mv_refresh_minmax": q_mv_refresh_minmax,
         "quantile_normalize": q_quantile_normalize,
+        "transitions": q_transitions,
+        "gini": q_gini,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6811,6 +6839,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "transitions": """
+            WITH p AS (SELECT lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS f, event_type AS t2
+                       FROM events),
+            c AS (SELECT f AS from_state, t2 AS to_state, count(*) AS n
+                  FROM p WHERE f IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_state, sum(n) AS rt FROM c GROUP BY 1)
+            SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+                   round(CAST(c.n AS DOUBLE) / CAST(tot.rt AS DOUBLE), 9)
+                     AS p
+            FROM c JOIN tot USING (from_state)
+        """,
+        "gini": """
+            WITH r AS (SELECT event_type AS g, value AS v,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value) AS i
+                       FROM events),
+            a AS (SELECT g, count(*) AS n,
+                         sum(CAST(v AS DECIMAL(18,2))) AS sx,
+                         sum(i * CAST(v AS DECIMAL(18,2))) AS six
+                  FROM r GROUP BY 1)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS DOUBLE) AS total,
+                   CASE WHEN n >= 2 AND CAST(sx AS DOUBLE) > 0 THEN
+                        round(2.0 * CAST(six AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                              - (CAST(n AS DOUBLE) + 1.0)
+                                / CAST(n AS DOUBLE), 9)
+                   END AS gini
+            FROM a
         """,
         "quantile_normalize": """
             WITH g AS (SELECT event_type AS gg, value AS v FROM events

@@ -118,6 +118,8 @@ HEADLINE = [
     "events_stream_enrich",
     "mv_refresh_minmax",
     "quantile_normalize",
+    "transitions",
+    "gini",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

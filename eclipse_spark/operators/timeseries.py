@@ -26,6 +26,8 @@ __all__ = [
     "winsorize",
     "rolling_distinct",
     "quantile_normalize",
+    "transition_matrix",
+    "gini_coefficient",
 ]
 
 
@@ -598,4 +600,83 @@ def quantile_normalize(
         F.col("_g").alias(group_col),
         F.col("_v").alias(value_col),
         "value_qn",
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive states per key (the user-journey transition matrix:
+    "after a view, how often does a purchase follow?"). One
+    key-partitioned window sort for the lag, one (from, to) count,
+    one broadcast-joined row total; the probability is a single
+    integer-ratio division rounded at 9. Ties in ``ts_col`` break on
+    ``tiebreak_cols`` so the chain is engine-deterministic.
+    Returns (from_state, to_state, n, p)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("from_state"), F.col(state_col).alias("to_state"))
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"), 9
+            ).alias("p"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group Gini coefficient of a non-negative value
+    distribution — the inequality screen of corpus accounting (is 90%
+    of revenue / token mass concentrated in 1% of users/docs?). Uses
+    the rank formulation ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n``
+    over ascending-sorted values: one (group)-partitioned window sort
+    for the rank, decimal-exact moment sums (sum x, sum i*x), and a
+    single fixed-order float expression rounded at 9 — the engines
+    agree to the last digit. Ties order arbitrarily WITHIN an equal
+    value, which cannot change either sum (equal x share any rank
+    permutation's total). Returns (group, n, total, gini); n < 2 or
+    zero total yield NULL gini."""
+    ranked = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).withColumn("_i", F.row_number().over(Window.partitionBy("_g").orderBy("_v")))
+    g = ranked.groupBy("_g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_v").cast("decimal(18,2)")).alias("sx"),
+        F.sum(F.col("_i") * F.col("_v").cast("decimal(18,2)")).alias("six"),
+    )
+    nn = F.col("n").cast("double")
+    gini = F.when(
+        (F.col("n") >= 2) & (F.col("sx").cast("double") > 0),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (nn * F.col("sx").cast("double"))
+            - (nn + F.lit(1.0)) / nn,
+            9,
+        ),
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("double").alias("total"),
+        gini.alias("gini"),
     )

@@ -97,3 +97,37 @@ def test_quantile_normalize_preserves_within_group_order(spark):
         grp = sorted((r.v, r.value_qn) for r in rows if r.g == gname)
         qns = [q for _, q in grp]
         assert qns == sorted(qns)  # monotone mapping
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime, timedelta
+
+    from eclipse_spark.operators.timeseries import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=m), s, m)
+        for m, s in enumerate(["a", "b", "a", "b", "c"])
+    ] + [(2, t0, "a", 100), (2, t0 + timedelta(minutes=1), "b", 101)]
+    df = spark.createDataFrame(rows, ["uid", "ts", "state", "eid"])
+    out = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_matrix(df, "uid", "ts", "state", ["eid"]).collect()
+    }
+    # a->b x3 (users 1,1,2), b->a x1, b->c x1
+    assert out[("a", "b")] == (3, 1.0)
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert len(out) == 3
+
+
+def test_gini_known_values(spark):
+    from eclipse_spark.operators.timeseries import gini_coefficient
+
+    # perfectly equal -> 0; maximal concentration -> (n-1)/n
+    rows = [("eq", 5.0)] * 4 + [("max", 0.0)] * 3 + [("max", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in gini_coefficient(df, "g", "v").collect()}
+    assert out["eq"].gini == 0.0
+    assert abs(out["max"].gini - 0.75) < 1e-12  # (n-1)/n with n=4
+    assert out["max"].total == 10.0
