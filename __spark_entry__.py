@@ -4781,6 +4781,32 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gini_coefficient(ev, "event_type", "value")
 
 
+def q_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time distribution: per event type, exact
+    median / p90 / max of the INTEGER seconds until the same user's
+    next event (one user-keyed window lead, second-truncated gaps —
+    no float until the exact interpolated percentile both engines
+    share). The engagement-latency profile of a product funnel."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_next", F.lead("ts").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            "event_type",
+            (F.col("_next").cast("long") - F.col("ts").cast("long")).alias("gap_s"),
+        )
+    )
+    pct = F.expr("percentile(gap_s, array(0.5, 0.9))")
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        pct[0].alias("p50_s"),
+        pct[1].alias("p90_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4916,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "transitions": q_transitions,
         "gini": q_gini,
+        "dwell_times": q_dwell_times,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6839,6 +6866,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "dwell_times": """
+            WITH g AS (SELECT event_type,
+                              epoch_us(lead(ts) OVER w)//1000000
+                                - epoch_us(ts)//1000000 AS gap_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                   quantile_cont(gap_s, 0.5) AS p50_s,
+                   quantile_cont(gap_s, 0.9) AS p90_s,
+                   CAST(max(gap_s) AS BIGINT) AS max_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY 1
         """,
         "transitions": """
             WITH p AS (SELECT lag(event_type) OVER

@@ -120,6 +120,7 @@ HEADLINE = [
     "quantile_normalize",
     "transitions",
     "gini",
+    "dwell_times",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
