@@ -4807,6 +4807,20 @@ def q_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding class-separability audit
+    (similarity.label_separability): per label, mean member distance
+    to its own centroid vs distance to the nearest other centroid,
+    plus their ratio — the go/no-go check before trusting an embedding
+    table for clustering/dedup. Centroid means use the
+    float->double->decimal hop; every squared term round-9
+    decimal-accumulates, so both distances are engine-exact."""
+    from eclipse_spark.operators.similarity import label_separability
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_separability(emb, "label", "embedding", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4943,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "gini": q_gini,
         "dwell_times": q_dwell_times,
+        "label_separability": q_label_separability,
         # re-seats: r01-only evidence, oldest first, in the 12 slots
         # the 38 first-timers leave free
         "word_count": q_word_count,
@@ -6866,6 +6881,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "label_separability": """
+            WITH ex AS (
+              SELECT vec_id, label,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS pos,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            cent AS (
+              SELECT label, pos,
+                     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
+                          AS DOUBLE) / count(*) AS c
+              FROM ex GROUP BY 1, 2),
+            pair AS (
+              SELECT a.label AS la, b.label AS lb,
+                     round(sqrt(CAST(sum(CAST(round((a.c - b.c)
+                                                    * (a.c - b.c), 9)
+                                              AS DECIMAL(28,9)))
+                                     AS DOUBLE)), 9) AS dist
+              FROM cent a JOIN cent b
+                ON a.pos = b.pos AND a.label <> b.label
+              GROUP BY 1, 2),
+            nearest AS (
+              SELECT la AS label, lb AS nearest_label, dist AS inter_dist
+              FROM (SELECT la, lb, dist,
+                           row_number() OVER (PARTITION BY la
+                                              ORDER BY dist ASC, lb ASC)
+                             AS rn
+                    FROM pair) r WHERE rn = 1),
+            member AS (
+              SELECT e.vec_id, e.label,
+                     round(sqrt(CAST(sum(CAST(round(
+                         (CAST(e.x AS DOUBLE) - c.c)
+                         * (CAST(e.x AS DOUBLE) - c.c), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)), 9) AS d
+              FROM ex e JOIN cent c
+                ON c.label = e.label AND c.pos = e.pos
+              GROUP BY 1, 2),
+            intra AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(CAST(d AS DECIMAL(28,9))) AS DOUBLE)
+                       / count(*) AS im
+              FROM member GROUP BY 1)
+            SELECT i.label, i.n_vecs, round(i.im, 9) AS intra_mean,
+                   n.nearest_label, n.inter_dist,
+                   CASE WHEN i.im > 0
+                        THEN round(n.inter_dist / i.im, 9) END
+                     AS separation
+            FROM intra i JOIN nearest n USING (label)
         """,
         "dwell_times": """
             WITH g AS (SELECT event_type,

@@ -121,6 +121,7 @@ HEADLINE = [
     "transitions",
     "gini",
     "dwell_times",
+    "label_separability",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -684,3 +684,96 @@ def allpairs_cosine(
             F.col("overlap") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")), 9
         ).alias("cos_sim"),
     )
+
+
+def label_separability(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space class-separability audit: per label, the mean
+    member distance to its own centroid (intra) vs the distance to the
+    NEAREST other centroid (inter), and their ratio — the go/no-go
+    check on an embedding table before trusting it for clustering /
+    dedup / retrieval ("are the classes actually separated, or is the
+    space mush?"). ratio > 1 means the nearest foreign centroid sits
+    beyond the class's own spread.
+
+    Exactness discipline: centroid means use the float -> double ->
+    decimal(18,9) hop (see the centroids query — the direct
+    float->decimal cast rounds differently across engines); every
+    squared term is round-9 decimal-accumulated so per-vector and
+    per-pair distances are partition-order- and engine-exact; the two
+    final divisions are single fixed-order float ops.
+
+    Scale shape: one (label, pos) centroid aggregate; members join
+    their OWN label's centroid on (label, pos) — at L labels and D
+    dims the centroid table is L*D rows, broadcast; the pairwise
+    centroid matrix is L^2 rows (labels are few — this is a
+    class-level audit, not ANN). No driver collect, no UDF."""
+    ex = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+    )
+    cent = ex.groupBy("_l", "_p").agg(
+        (
+            F.sum(F.col("_x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("_c")
+    )
+    # pairwise centroid distances, both directions for the per-label min
+    ca = cent.select(F.col("_l").alias("la"), "_p", F.col("_c").alias("cva"))
+    cb = cent.select(F.col("_l").alias("lb"), "_p", F.col("_c").alias("cvb"))
+    pair = (
+        ca.join(cb, "_p")
+        .filter(F.col("la") != F.col("lb"))
+        .withColumn(
+            "_t",
+            F.round((F.col("cva") - F.col("cvb")) * (F.col("cva") - F.col("cvb")), 9)
+            .cast("decimal(28,9)"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.round(F.sqrt(F.sum("_t").cast("double")), 9).alias("dist"))
+    )
+    wnear = Window.partitionBy("la").orderBy(F.asc("dist"), F.asc("lb"))
+    nearest = (
+        pair.withColumn("_rn", F.row_number().over(wnear))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("la").alias("_l"),
+            F.col("lb").alias("nearest_label"),
+            F.col("dist").alias("inter_dist"),
+        )
+    )
+    member = (
+        ex.join(F.broadcast(cent), ["_l", "_p"])
+        .withColumn(
+            "_t",
+            F.round(
+                (F.col("_x").cast("double") - F.col("_c"))
+                * (F.col("_x").cast("double") - F.col("_c")),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy("_vid", "_l")
+        .agg(F.round(F.sqrt(F.sum("_t").cast("double")), 9).alias("_d"))
+    )
+    intra = member.groupBy("_l").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.col("_d").cast("decimal(28,9)")).cast("double") / F.count("*")
+        ).alias("intra_mean"),
+    )
+    return intra.join(nearest, "_l").select(
+        F.col("_l").alias(label_col),
+        "n_vecs",
+        F.round(F.col("intra_mean"), 9).alias("intra_mean"),
+        "nearest_label",
+        "inter_dist",
+        F.when(
+            F.col("intra_mean") > 0,
+            F.round(F.col("inter_dist") / F.col("intra_mean"), 9),
+        ).alias("separation"),
+    )

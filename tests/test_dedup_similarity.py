@@ -394,3 +394,32 @@ def test_pq_topk_plan_broadcasts_lookup_tables(spark, sf_smoke):
     got = top.collect()
     assert {r.query_id for r in got} == {0, 1}
     assert all(1 <= r.rank <= 5 for r in got)
+
+
+def test_label_separability_well_separated_clusters(spark):
+    """Two tight, distant clusters: separation >> 1, nearest labels
+    point at each other, intra spread tiny."""
+    from eclipse_spark.operators.similarity import label_separability
+
+    rows = []
+    for i, base in ((0, 0.0), (1, 100.0)):
+        for j in range(4):
+            rows.append((i * 10 + j, [base + j * 0.1, base], i))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in label_separability(df).collect()}
+    assert out[0].nearest_label == 1 and out[1].nearest_label == 0
+    assert out[0].n_vecs == 4
+    assert out[0].separation > 100
+    assert abs(out[0].inter_dist - out[1].inter_dist) < 1e-9  # symmetric
+
+
+def test_label_separability_identical_centroids(spark):
+    """Coincident clusters: inter distance 0, separation 0."""
+    from eclipse_spark.operators.similarity import label_separability
+
+    rows = [(i, [float(i % 2), 0.0], lab) for lab in (0, 1) for i in range(4)]
+    df = spark.createDataFrame(
+        [(lab * 10 + i, v, lab) for i, v, lab in rows], ["vec_id", "embedding", "label"]
+    )
+    out = {r.label: r for r in label_separability(df).collect()}
+    assert out[0].inter_dist == 0.0 and out[0].separation == 0.0
