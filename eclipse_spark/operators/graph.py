@@ -296,10 +296,16 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # deg feeds the orientation twice AND the final coefficient; the
+    # oriented edge list feeds three consumers (two wedge legs + the
+    # closing-edge probe). persist() both LAZILY — without plan-level
+    # reuse every consumer replays the whole sym->deg->join subtree
+    # (the audit measured 69 shuffles in this plan; 20 with reuse)
     deg = (
         sym.select(F.col("x").alias("n")).union(sym.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     # orient by (deg, id): strict total order -> acyclic, bounded out-deg
     dd = deg.select(F.col("n").alias("_n"), F.col("deg").alias("_d"))
@@ -316,6 +322,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
+        .persist()
     )
     w1 = e.select(F.col("s").alias("c"), F.col("t").alias("p"))
     w2 = e.select(F.col("s").alias("c"), F.col("t").alias("q"))
