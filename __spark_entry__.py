@@ -4857,8 +4857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     KS/rolling-distinct/IVM batch + streaming IVM/OLS/clustering-
     coefficient/repetition-cleaner/negative-sampling/temporal-join/
     curation-pipeline/stream-enrich/minmax-IVM/quantile-normalize
-    wave — ~31 first-timers, all locally oracle-green), then the
-    r01-only re-seats (word_count,
+    wave — ~31 first-timers, all locally oracle-green), with the 12
+    strongest late additions grouped just ahead of the r01-only
+    re-seats (word_count,
     inverted_index, aggregation, the TPC-H singles, window/set/scalar
     suites). Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01/r03/r04.json) and every query
@@ -4932,34 +4933,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_funcs": q_bitwise_funcs,
         "struct_funcs": q_struct_funcs,
         "url_funcs": q_url_funcs,
-        "fuzzy_join": q_fuzzy_join,
-        "apss_cosine": q_apss_cosine,
         "activity_islands": q_activity_islands,
         "interpolate": q_interpolate,
-        "attribution": q_attribution,
-        "frequent_pairs": q_frequent_pairs,
-        "er_resolve": q_er_resolve,
-        "chi_square": q_chi_square,
         "winsorize": q_winsorize,
-        "ks_drift": q_ks_drift,
         "rolling_distinct": q_rolling_distinct,
-        "mv_refresh": q_mv_refresh,
-        "events_stream_ivm": q_events_stream_ivm,
         "linreg": q_linreg,
         "clustering_coeff": q_clustering_coeff,
         "collapse_lines": q_collapse_lines,
         "negative_sampling": q_negative_sampling,
-        "temporal_join": q_temporal_join,
-        "curation_pipeline": q_curation_pipeline,
         "events_stream_enrich": q_events_stream_enrich,
-        "mv_refresh_minmax": q_mv_refresh_minmax,
         "quantile_normalize": q_quantile_normalize,
         "transitions": q_transitions,
         "gini": q_gini,
         "dwell_times": q_dwell_times,
         "label_separability": q_label_separability,
-        # re-seats: r01-only evidence, oldest first, in the 12 slots
-        # the 38 first-timers leave free
+        # the strongest 12 late-round-5 additions, ordered first in
+        # the round-6 rotation queue (first-ever driver evidence
+        # outranks re-seating already-green r01 rows)
+        "curation_pipeline": q_curation_pipeline,
+        "mv_refresh": q_mv_refresh,
+        "mv_refresh_minmax": q_mv_refresh_minmax,
+        "events_stream_ivm": q_events_stream_ivm,
+        "fuzzy_join": q_fuzzy_join,
+        "er_resolve": q_er_resolve,
+        "apss_cosine": q_apss_cosine,
+        "chi_square": q_chi_square,
+        "ks_drift": q_ks_drift,
+        "temporal_join": q_temporal_join,
+        "attribution": q_attribution,
+        "frequent_pairs": q_frequent_pairs,
+        # r01-only evidence re-seats, oldest first
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
         "aggregation": q_aggregation,
@@ -4972,7 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
-        # ===== positions 51+: driver-green in r01/r03/r04 =====
+        # remaining late-round-5 first-timers (locally oracle-green)
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
