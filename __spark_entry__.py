@@ -4821,6 +4821,22 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_separability(emb, "label", "embedding", "vec_id")
 
 
+def q_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global dense indexing (relational.dense_index): the
+    two-pass zipWithIndex — range partitioning + a P-row broadcast
+    offset table + per-partition row_number — so NO single executor
+    ever holds the global sort. The index is invariant to where the
+    range sampler places partition boundaries (total order includes
+    the unique doc_id tiebreak); the oracle is the plain global
+    row_number the operator avoids at scale."""
+    from eclipse_spark.operators.relational import dense_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return dense_index(docs, ["n_chars", "doc_id"]).select(
+        "doc_id", "n_chars", "idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4947,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "dwell_times": q_dwell_times,
         "label_separability": q_label_separability,
+        "dense_index": q_dense_index,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -6884,6 +6901,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "dense_index": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT) AS idx
+            FROM documents
         """,
         "label_separability": """
             WITH ex AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "gini",
     "dwell_times",
     "label_separability",
+    "dense_index",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -440,3 +440,44 @@ def temporal_join(
             for a in attrs
         ],
     )
+
+
+def dense_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous global index 0..n-1 by ``order_cols`` order WITHOUT a
+    single-partition global sort — the scalable zipWithIndex: range
+    partitioning puts each partition's keys strictly before the
+    next's, a P-row offset table (per-partition counts, cumulative
+    over the tiny partition-id window) broadcasts back, and
+    row_number runs WITHIN each partition in parallel. The classic
+    two-pass dense-ranking shape: at 100 TB the heaviest step is the
+    range shuffle, never a one-executor sort.
+
+    ``order_cols`` must be a total order (include a unique tiebreak) —
+    equal keys land in one range partition, so the assignment is
+    well-defined, and the resulting index is INVARIANT to how the
+    sampler happens to place partition boundaries. This is the
+    at-scale replacement for the global-window indexing documented as
+    a bottleneck in text.negative_samples / equidepth_histogram."""
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # P rows only — the tiny table is the single-partition window
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_pid", "_off")
+    win = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.row_number().over(win) - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )

@@ -444,3 +444,21 @@ def test_temporal_join_interval_semantics(spark):
         100: None, 101: "bronze", 102: "bronze", 103: "gold",
         104: "gold", 105: "silver", 106: None,
     }
+
+
+def test_dense_index_contiguous_ordered_deterministic(spark, sf_smoke):
+    """Two-pass range-partitioned indexing: contiguous 0..n-1, follows
+    the requested total order, identical across runs (invariant to
+    range-sampler boundary placement), and the plan's only total-order
+    step is over the P-row offset table, never the data."""
+    from eclipse_spark.operators.relational import dense_index
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = dense_index(docs, ["n_chars", "doc_id"], num_partitions=4)
+    rows = sorted(out.collect(), key=lambda r: r.idx)
+    assert [r.idx for r in rows] == list(range(len(rows)))
+    keys = [(r.n_chars, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    again = {r.doc_id: r.idx for r in
+             dense_index(docs, ["n_chars", "doc_id"], num_partitions=4).collect()}
+    assert again == {r.doc_id: r.idx for r in rows}
