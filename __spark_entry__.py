@@ -4821,6 +4821,18 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_separability(emb, "label", "embedding", "vec_id")
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (similarity.lsh_topk_multiprobe): queries
+    probe their bucket plus every Hamming-1 neighbor — the recall
+    upgrade that costs planes extra lookups per QUERY instead of
+    coarser corpus-wide buckets. Deterministic (portable codegen
+    sketch), so the oracle replays probes, dedupe, and rank exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk_multiprobe(queries_df, emb, k=10, planes=6)
+    return out.select("query_id", "match_id", "rank")
+
+
 def q_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable global dense indexing (relational.dense_index): the
     two-pass zipWithIndex — range partitioning + a P-row broadcast
@@ -4964,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_times": q_dwell_times,
         "label_separability": q_label_separability,
         "dense_index": q_dense_index,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -5524,6 +5537,40 @@ def _oracle_ann_lsh(k: int = 10, planes: int = 6, seed: int = 7) -> str:
             s AS (SELECT query_id, match_id,
                          list_cosine_similarity(qv, cv) AS cos
                   FROM q JOIN c USING (bucket) WHERE query_id <> match_id)
+            SELECT query_id, match_id, rank FROM (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, match_id) AS rank
+              FROM s) t
+            WHERE rank <= {k}
+        """
+
+
+def _oracle_ann_lsh_multiprobe(k: int = 10, planes: int = 6, seed: int = 7) -> str:
+    """Replay of similarity.lsh_topk_multiprobe: the query side probes
+    its own bucket plus every Hamming-1 neighbor (xor one bit);
+    candidates dedupe before the cosine rank."""
+    bucket = _sql_sign_bucket("embedding", planes, seed, _emb_dim())
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p}::BIGINT)" for p in range(planes)]
+    )
+    return f"""
+            WITH sk AS (SELECT vec_id, embedding, {bucket} AS bucket
+                        FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                  FROM sk WHERE vec_id < 5),
+            probes AS (SELECT query_id, qv,
+                              unnest([{probe_list}]) AS bucket
+                       FROM q),
+            cand AS (SELECT DISTINCT query_id, match_id
+                     FROM probes JOIN (SELECT vec_id AS match_id, bucket
+                                       FROM sk) c USING (bucket)
+                     WHERE query_id <> match_id),
+            s AS (SELECT cand.query_id, cand.match_id,
+                         list_cosine_similarity(qq.embedding, cc.embedding)
+                           AS cos
+                  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+                            JOIN embeddings cc ON cc.vec_id = cand.match_id)
             SELECT query_id, match_id, rank FROM (
               SELECT query_id, match_id,
                      row_number() OVER (PARTITION BY query_id
@@ -7564,6 +7611,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _oracle_doc_fingerprint(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "ann_lsh": _oracle_ann_lsh(),
+        "ann_lsh_multiprobe": _oracle_ann_lsh_multiprobe(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
                  c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),

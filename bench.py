@@ -123,6 +123,7 @@ HEADLINE = [
     "dwell_times",
     "label_separability",
     "dense_index",
+    "ann_lsh_multiprobe",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

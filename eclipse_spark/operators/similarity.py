@@ -777,3 +777,48 @@ def label_separability(
             F.round(F.col("inter_dist") / F.col("intra_mean"), 9),
         ).alias("separation"),
     )
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 10,
+    seed: int = 7,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: besides its own sign-sketch bucket, each
+    QUERY probes every Hamming-1 neighbor bucket (flip one of
+    ``planes`` bits) — the standard recall upgrade that costs
+    ``planes`` extra lookups per query instead of halving ``planes``
+    (which would double every bucket's size corpus-wide). The probe
+    explode happens on the small query side only; the corpus is
+    sketched once and joined on the bucket key exactly as the
+    single-probe tier. Candidates dedupe on (query, match) before the
+    cosine rank. Deterministic end-to-end (the sketch is the portable
+    codegen one), so the full SQL oracle replays it."""
+    q = sign_sketch_df(queries, q_id, q_vec, planes, seed, "query_id", "qv")
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+            )
+        ).alias("bucket"),
+    )
+    c = sign_sketch_df(corpus, c_id, c_vec, planes, seed, "match_id", "cv")
+    cand = (
+        probes.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.select(
+        "query_id", "match_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

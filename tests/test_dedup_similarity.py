@@ -423,3 +423,27 @@ def test_label_separability_identical_centroids(spark):
     )
     out = {r.label: r for r in label_separability(df).collect()}
     assert out[0].inter_dist == 0.0 and out[0].separation == 0.0
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_smoke):
+    """Hamming-1 probing can only ADD candidates: every single-probe
+    result pair appears in the multiprobe candidate set, and recall vs
+    brute force is >= the single-probe tier's."""
+    from eclipse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qs = emb.filter("vec_id < 5")
+    truth = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(qs, emb, k=10).collect()
+    }
+    single = {(r.query_id, r.match_id) for r in lsh_topk(qs, emb, k=10, planes=6).collect()}
+    multi = {
+        (r.query_id, r.match_id)
+        for r in lsh_topk_multiprobe(qs, emb, k=10, planes=6).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
