@@ -4849,6 +4849,87 @@ def q_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution through the Catalog (get_evolved):
+    batch 1 lands (o_orderkey, o_orderstatus), batch 2 appends a
+    WIDENED schema adding o_totalprice; the mergeSchema read unions
+    the footers so batch-1 rows surface NULL price. The plain get()
+    deliberately stays on the single-footer fast path — full-footer
+    merges over 10^6 files are an opt-in planning cost. Output: per
+    status, rows with/without the evolved column + its decimal sum."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_schema_evo_")
+    try:
+        cat = Catalog(spark, work)
+        cat.write("evo_orders", v1)
+        cat.write("evo_orders", v2)
+        out = (
+            cat.get_evolved("evo_orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.count("o_totalprice").cast("long").alias("n_with_price"),
+                _dsum("o_totalprice", "sum_price"),
+            )
+        )
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse: orphan counts
+    per foreign-key relationship (orders→customer, lineitem→orders,
+    lineitem→part, lineitem→supplier, customer→nation) via left-anti
+    joins — the cross-TABLE data-quality gate profile/constraints
+    (single-table) can't express. Each anti-join broadcasts the
+    distinct parent keys where small; at 100 TB the orphan scan is one
+    shuffle per relationship, all map-side pre-filtered."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    def orphans(child, fk, parent, pk, rel):
+        n = (
+            child.join(
+                parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit(rel).alias("relationship"),
+                F.col("n").cast("long").alias("n_orphans"),
+            )
+        )
+        return n
+
+    checks = [
+        orphans(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(lineitem, "l_partkey", part, "p_partkey", "lineitem->part"),
+        orphans(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"),
+        orphans(customer, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4977,6 +5058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separability": q_label_separability,
         "dense_index": q_dense_index,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "schema_evolution": q_schema_evolution,
+        "referential_integrity": q_referential_integrity,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -6948,6 +7031,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "schema_evolution": """
+            WITH evo AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(NULL AS DOUBLE) AS o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 1)
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM evo GROUP BY 1
+        """,
+        "referential_integrity": """
+            SELECT 'orders->customer' AS relationship,
+                   CAST(count(*) AS BIGINT) AS n_orphans
+            FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem->part',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+            UNION ALL
+            SELECT 'customer->nation',
+                   CAST(count(*) AS BIGINT)
+            FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
         """,
         "dense_index": """
             SELECT doc_id, n_chars,

@@ -124,6 +124,8 @@ HEADLINE = [
     "label_separability",
     "dense_index",
     "ann_lsh_multiprobe",
+    "schema_evolution",
+    "referential_integrity",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

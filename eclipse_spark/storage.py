@@ -396,6 +396,18 @@ class Catalog:
             )
         return self.spark.read.parquet(p)
 
+    def get_evolved(self, name: str) -> DataFrame:
+        """Read a table whose appended batches carry DIFFERENT (widened)
+        schemas — parquet schema evolution: ``mergeSchema`` unions all
+        footers' fields, and rows from files missing a column surface
+        NULL there. The plain :meth:`get` deliberately stays on the
+        fast path (one footer read determines the schema; at 100 TB a
+        full-footer merge over 10^6 files is an expensive planning
+        step you opt INTO when the table actually evolved)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.path_of(name)
+        )
+
     def ls(self) -> list[str]:
         """``mrls`` analogue."""
         return sorted(

@@ -257,3 +257,16 @@ def test_vacuum_prunes_old_snapshots(spark, tmp_path):
     assert cat.get("t", version=3).count() == 3  # survivor still readable
     assert cat.vacuum(keep=0) == 1  # all-tables, drop everything retained
     assert cat.history("t") == []
+
+
+def test_get_evolved_merges_widened_schema(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = spark.createDataFrame([(1, "a")], ["k", "s"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["k", "s", "x"])
+    cat.write("t", v1)
+    cat.write("t", v2)
+    rows = {r.k: r for r in cat.get_evolved("t").collect()}
+    assert set(cat.get_evolved("t").columns) == {"k", "s", "x"}
+    assert rows[1].x is None and rows[2].x == 9.5
