@@ -4966,7 +4966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     KS/rolling-distinct/IVM batch + streaming IVM/OLS/clustering-
     coefficient/repetition-cleaner/negative-sampling/temporal-join/
     curation-pipeline/stream-enrich/minmax-IVM/quantile-normalize
-    wave — ~31 first-timers, all locally oracle-green), with the 12
+    wave, plus transitions/gini/dwell-times/label-separability/
+    dense-index/multi-probe-LSH/schema-evolution/referential-integrity
+    — ~40 first-timers, all locally oracle-green), with the 12
     strongest late additions grouped just ahead of the r01-only
     re-seats (word_count,
     inverted_index, aggregation, the TPC-H singles, window/set/scalar
