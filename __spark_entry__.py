@@ -4930,6 +4930,22 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling
+    (relational.pps_systematic_sample): 100 orders drawn proportional
+    to price, entirely in integer arithmetic on the cumulative-cents
+    line — no rand(), deterministic across engines/partitionings, hit
+    counts sum to exactly n; heavy orders legitimately win multiple
+    hits."""
+    orders = _t(spark, sf_dir, "orders")
+    from eclipse_spark.operators.relational import pps_systematic_sample
+
+    out = pps_systematic_sample(
+        orders, "o_totalprice", n_samples=100, order_cols=["o_orderkey"]
+    )
+    return out.select("o_orderkey", "o_orderstatus", "weight_scaled", "n_hits")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5062,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "schema_evolution": q_schema_evolution,
         "referential_integrity": q_referential_integrity,
+        "pps_sample": q_pps_sample,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7033,6 +7050,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "pps_sample": """
+            WITH b AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                                         * 100) AS BIGINT) AS weight_scaled
+                       FROM orders),
+            c AS (SELECT *,
+                         sum(weight_scaled) OVER (ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+                         sum(weight_scaled) OVER () AS W
+                  FROM b)
+            SELECT o_orderkey, o_orderstatus, weight_scaled,
+                   CAST((cw * 100) // W
+                        - ((cw - weight_scaled) * 100) // W AS BIGINT)
+                     AS n_hits
+            FROM c
+            WHERE (cw * 100) // W - ((cw - weight_scaled) * 100) // W >= 1
         """,
         "schema_evolution": """
             WITH evo AS (

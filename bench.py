@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "schema_evolution",
     "referential_integrity",
+    "pps_sample",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -481,3 +481,48 @@ def dense_index(
         .withColumn(out_col, (F.row_number().over(win) - 1 + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_samples: int,
+    order_cols: Sequence[str],
+    weight_scale: int = 100,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling, exactly
+    and deterministically: scale weights to integers (default cents),
+    lay items on the cumulative-weight line in ``order_cols`` order,
+    and select every item whose interval contains a grid point
+    ``k*W/n`` (k = 1..n) — the survey-statistics PPS design, with the
+    grid-point count per item computed as
+    ``floor(cw*n/W) - floor(cw_prev*n/W)`` in pure integer division
+    (no float, no rand(); same corpus + order -> same sample in any
+    engine, and items heavier than the stride win multiple hits,
+    exactly as PPS prescribes). Output: the selected rows plus
+    ``weight_scaled`` and ``n_hits`` (>= 1); hit counts sum to n.
+
+    Plan: one decimal-exact cumulative window over the total order
+    (at 100 TB lift it to the two-pass per-partition-offset shape of
+    :func:`dense_index`) + a broadcast 1-row total. Integer headroom:
+    ``W * n`` must fit a long (~9e18); lift to decimal(38,0) beyond."""
+    cols = [F.col(c) for c in order_cols]
+    w_int = F.round(
+        F.col(weight_col).cast("decimal(18,2)") * F.lit(weight_scale)
+    ).cast("long")
+    base = df.withColumn("weight_scaled", w_int)
+    tot = base.agg(F.sum("weight_scaled").alias("_W"))
+    win = Window.orderBy(*cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = base.withColumn("_cw", F.sum("weight_scaled").over(win)).crossJoin(
+        F.broadcast(tot)
+    )
+    n = F.lit(int(n_samples))
+    hits = F.expr(f"_cw * {int(n_samples)} div _W") - F.expr(
+        f"(_cw - weight_scaled) * {int(n_samples)} div _W"
+    )
+    _ = n
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") >= 1)
+        .drop("_cw", "_W")
+    )

@@ -462,3 +462,22 @@ def test_dense_index_contiguous_ordered_deterministic(spark, sf_smoke):
     again = {r.doc_id: r.idx for r in
              dense_index(docs, ["n_chars", "doc_id"], num_partitions=4).collect()}
     assert again == {r.doc_id: r.idx for r in rows}
+
+
+def test_pps_sample_invariants(spark):
+    """Hit counts sum to exactly n; an item heavier than the stride
+    gets multiple hits; zero-weight rows never selected; deterministic."""
+    from eclipse_spark.operators.relational import pps_systematic_sample
+
+    rows = [(1, 10.0), (2, 0.0), (3, 70.0), (4, 10.0), (5, 10.0)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = pps_systematic_sample(df, "w", n_samples=10, order_cols=["k"]).collect()
+    hits = {r.k: r.n_hits for r in out}
+    assert sum(hits.values()) == 10
+    assert 2 not in hits                       # zero weight
+    assert hits[3] == 7                        # 70% of mass -> 7 of 10 hits
+    again = {
+        r.k: r.n_hits
+        for r in pps_systematic_sample(df, "w", 10, ["k"]).collect()
+    }
+    assert again == hits
