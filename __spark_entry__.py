@@ -4946,6 +4946,48 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderstatus", "weight_scaled", "n_hits")
 
 
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured S-curve of the banded MinHash design
+    (dedup.lsh_recall_curve, portable hash family): exact
+    shingle-Jaccard deciles vs the fraction of each decile the 8x4
+    banding captured. The synthetic corpus has ~no NATURAL 5-gram
+    overlap (the decontaminate query hit the same wall), so each
+    sampled doc gets a deterministic PREFIX VARIANT keeping
+    30..90% of its tokens (fraction keyed off doc_id % 7, pure
+    integer arithmetic) — original/variant pairs then sweep the
+    Jaccard spectrum and the curve has mass in every decile band the
+    corpus can express. Ground truth is pair-quadratic in the
+    co-shingle neighborhood — an audit on a sample, not a production
+    stage. The oracle replays corpus construction, truth, AND
+    candidates bit-for-bit: 'measure, don't guess' as a standing
+    driver row."""
+    from eclipse_spark.operators.text import tokens as _tok
+
+    sub0 = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    with_toks = sub0.select("doc_id", _tok(F.col("text")).alias("toks"))
+    variants = with_toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                1,
+                F.expr(
+                    "greatest(1, size(toks) * (30 + 10 * (doc_id % 7)) div 100)"
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = sub0.unionByName(variants)
+    return dedup.lsh_recall_curve(
+        corpus, num_hashes=32, bands=8, shingle_k=5, portable=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5079,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "referential_integrity": q_referential_integrity,
         "pps_sample": q_pps_sample,
+        "lsh_s_curve": q_lsh_s_curve,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7051,6 +7094,44 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM events GROUP BY 1
         """,
+        "lsh_s_curve": """
+            WITH sub0 AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 5 = 0),
+            var AS (SELECT doc_id + 100000 AS doc_id,
+                           array_to_string(
+                             toks[1:CAST(greatest(1,
+                               (len(toks) * (30 + 10 * (doc_id % 7))) // 100)
+                               AS BIGINT)], ' ') AS text
+                    FROM (SELECT doc_id, {TOKENS} AS toks FROM sub0) tv),
+            sub AS (SELECT doc_id, text FROM sub0
+                    UNION ALL SELECT doc_id, text FROM var),
+            sh AS (SELECT id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 4, 1) + 1),
+                     i -> array_to_string(toks[i:i+4], ' ')))) AS s
+                   FROM (SELECT doc_id AS id, {TOKENS} AS toks
+                         FROM sub) t),
+            sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+            ov AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                   GROUP BY 1, 2),
+            truth AS (SELECT ov.id_a, ov.id_b,
+                             (10 * c) // (x.n + y.n - c) AS bin
+                      FROM ov JOIN sz x ON ov.id_a = x.id
+                              JOIN sz y ON ov.id_b = y.id),
+            sig AS {SIG},
+            band AS ({BAND}),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM band a JOIN band b USING (band, bh)
+                     WHERE a.id < b.id)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(cand.id_a) AS BIGINT) AS n_candidates,
+                   round(CAST(count(cand.id_a) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 9) AS capture_rate
+            FROM truth LEFT JOIN cand USING (id_a, id_b)
+            GROUP BY 1
+        """.replace("{TOKENS}", TOKENS_SQL)
+           .replace("{SIG}", _sql_minhash_sig("sub", 32, 5))
+           .replace("{BAND}", _sql_minhash_band_rows("sig", 32, 8)),
         "pps_sample": """
             WITH b AS (SELECT o_orderkey, o_orderstatus,
                               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))

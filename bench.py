@@ -127,6 +127,7 @@ HEADLINE = [
     "schema_evolution",
     "referential_integrity",
     "pps_sample",
+    "lsh_s_curve",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

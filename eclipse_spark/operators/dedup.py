@@ -1039,3 +1039,77 @@ def minhash_estimate_pairs(
             (eq.cast("double") / num_hashes).alias("est_jaccard"),
         )
     )
+
+
+def lsh_recall_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    n_bins: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """The measured S-curve of the banded MinHash design: bucket every
+    overlapping pair by its EXACT shingle-Jaccard decile and report
+    what fraction of each decile the LSH candidate generation
+    captured — the "did (bands, rows) actually give the recall the
+    theory promises at our threshold" audit, run on data instead of
+    the 1-(1-j^r)^b formula. Deciles are integer-exact
+    (``(n_bins*c) div (|A|+|B|-c)``); capture rates are one division
+    each.
+
+    The ground truth enumerates pairs that share >= 1 shingle via the
+    shingle join — quadratic in the co-shingle neighborhood, so run
+    this audit on a SAMPLE of the corpus (the operator is a design
+    check, not a production stage; pairs with zero overlap are
+    structurally invisible to MinHash and excluded from the curve).
+    Returns (bin, n_pairs, n_candidates, capture_rate)."""
+    from eclipse_spark.operators.text import tokens, word_shingles_raw
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles_raw(tokens(F.col(text_col)), shingle_k))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    ov = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        ov.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("bin", F.expr(f"{int(n_bins)} * c div (na + nb - c)"))
+    )
+    cands = minhash_lsh_candidates(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        portable=portable,
+    ).withColumn("_is_cand", F.lit(1))
+    joined = truth.join(cands, ["id_a", "id_b"], "left")
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_is_cand"), F.lit(0))).cast("long").alias(
+                "n_candidates"
+            ),
+        )
+        .withColumn(
+            "capture_rate",
+            F.round(
+                F.col("n_candidates").cast("double") / F.col("n_pairs").cast("double"),
+                9,
+            ),
+        )
+    )

@@ -447,3 +447,25 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_smoke):
         for r in lsh_topk_multiprobe(qs, emb, k=10, planes=6).collect()
     }
     assert len(multi & truth) >= len(single & truth)
+
+
+def test_lsh_recall_curve_shape(spark, sf_correct):
+    """The measured curve must behave like an S-curve for 8x4 banding
+    (threshold ~(1/8)^(1/4) ~ 0.59): no capture well below threshold,
+    full capture well above, and every count consistent."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    rows = {r.bin: r for r in queries()["lsh_s_curve"](spark, sf_correct).collect()}
+    assert rows, "variant corpus must produce overlapping pairs"
+    for b, r in rows.items():
+        assert 0 <= r.n_candidates <= r.n_pairs
+        assert abs(r.capture_rate - round(r.n_candidates / r.n_pairs, 9)) < 1e-12
+    low = [r for b, r in rows.items() if b <= 1]
+    high = [r for b, r in rows.items() if b >= 8]
+    if low:
+        assert sum(r.n_candidates for r in low) == 0
+    if high:
+        assert all(r.capture_rate == 1.0 for r in high)
