@@ -59,6 +59,11 @@ def test_oracle_parity(spark, sf_correct, name):
     duck_pdf = _normalize(con.sql(ORACLES[name]).df())
     con.close()
 
+    # vacuity guard: an oracle that returns ZERO rows makes the whole
+    # compare pass trivially (caught live: the first lsh_s_curve corpus
+    # had no shingle overlap at all — 0 == 0 green, checking nothing).
+    # Every registered oracle is required to produce evidence.
+    assert len(duck_pdf) > 0, f"{name}: oracle returned no rows — vacuous check"
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != {len(duck_pdf)}"
     )
