@@ -4988,6 +4988,94 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit/bounce analytics: sessionize on a 30-minute
+    gap (the session_paths machinery), then per event type count how
+    often it OPENS a session, CLOSES one, or is a single-event
+    bounce — the landing/exit-page report of product analytics. One
+    user-keyed window pass for sessionization, one (user, session)
+    aggregate whose entry/exit picks are min/max over (ts, event_id)
+    structs (row-local), one per-type count."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sessed = ev.withColumn("_new", new_sess).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_sess = sessed.groupBy("user_id", "_sess").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
+        F.count("*").alias("_n"),
+    )
+    marked = per_sess.select(
+        F.col("_first.event_type").alias("entry_type"),
+        F.col("_last.event_type").alias("exit_type"),
+        (F.col("_n") == 1).alias("is_bounce"),
+    )
+    entries = marked.groupBy(F.col("entry_type").alias("event_type")).agg(
+        F.count("*").alias("n_entries"),
+        F.sum(F.when(F.col("is_bounce"), 1).otherwise(0)).alias("n_bounces"),
+    )
+    exits = marked.groupBy(F.col("exit_type").alias("event_type")).agg(
+        F.count("*").alias("n_exits")
+    )
+    return (
+        entries.join(exits, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_entries", F.lit(0)).cast("long").alias("n_entries"),
+            F.coalesce("n_exits", F.lit(0)).cast("long").alias("n_exits"),
+            F.coalesce("n_bounces", F.lit(0)).cast("long").alias("n_bounces"),
+        )
+    )
+
+
+def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot lifecycle latency: per order, integer
+    days from order date to FIRST and LAST line shipment, rolled up
+    per priority with exact interpolated medians/p90s — the
+    fulfillment-latency report of a warehouse fact table. One
+    order-keyed aggregate + one small rollup; day arithmetic is pure
+    integer (datediff), percentiles the exact engine-shared kind."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("d_first"),
+            F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("d_last"),
+        )
+    )
+    p = F.expr("percentile(d_first, array(0.5, 0.9))")
+    pl = F.expr("percentile(d_last, array(0.5, 0.9))")
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        p[0].alias("p50_days_first_ship"),
+        p[1].alias("p90_days_first_ship"),
+        pl[0].alias("p50_days_complete"),
+        pl[1].alias("p90_days_complete"),
+        F.max("d_last").cast("long").alias("max_days_complete"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5122,6 +5210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "pps_sample": q_pps_sample,
         "lsh_s_curve": q_lsh_s_curve,
+        "entry_exit": q_entry_exit,
+        "order_lifecycle": q_order_lifecycle,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7093,6 +7183,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "entry_exit": """
+            WITH w1 AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts)//1000000
+                                  - epoch_us(lag(ts) OVER w)//1000000 > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessed AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW) AS sess
+              FROM w1),
+            per_sess AS (
+              SELECT user_id, sess,
+                     min(struct_pack(ts := ts, event_id := event_id,
+                                     event_type := event_type)) AS f,
+                     max(struct_pack(ts := ts, event_id := event_id,
+                                     event_type := event_type)) AS l,
+                     count(*) AS n
+              FROM sessed GROUP BY 1, 2),
+            marked AS (SELECT f.event_type AS entry_type,
+                              l.event_type AS exit_type,
+                              n = 1 AS is_bounce
+                       FROM per_sess),
+            e AS (SELECT entry_type AS event_type, count(*) AS n_entries,
+                         sum(CASE WHEN is_bounce THEN 1 ELSE 0 END)
+                           AS n_bounces
+                  FROM marked GROUP BY 1),
+            x AS (SELECT exit_type AS event_type, count(*) AS n_exits
+                  FROM marked GROUP BY 1)
+            SELECT COALESCE(e.event_type, x.event_type) AS event_type,
+                   CAST(COALESCE(e.n_entries, 0) AS BIGINT) AS n_entries,
+                   CAST(COALESCE(x.n_exits, 0) AS BIGINT) AS n_exits,
+                   CAST(COALESCE(e.n_bounces, 0) AS BIGINT) AS n_bounces
+            FROM e FULL OUTER JOIN x ON e.event_type = x.event_type
+        """,
+        "order_lifecycle": """
+            WITH po AS (
+              SELECT o.o_orderpriority,
+                     date_diff('day', o.o_orderdate, min(l.l_shipdate))
+                       AS d_first,
+                     date_diff('day', o.o_orderdate, max(l.l_shipdate))
+                       AS d_last
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY l.l_orderkey, o.o_orderpriority, o.o_orderdate)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                   quantile_cont(d_first, 0.5) AS p50_days_first_ship,
+                   quantile_cont(d_first, 0.9) AS p90_days_first_ship,
+                   quantile_cont(d_last, 0.5) AS p50_days_complete,
+                   quantile_cont(d_last, 0.9) AS p90_days_complete,
+                   CAST(max(d_last) AS BIGINT) AS max_days_complete
+            FROM po GROUP BY 1
         """,
         "lsh_s_curve": """
             WITH sub0 AS (SELECT doc_id, text FROM documents

@@ -128,6 +128,8 @@ HEADLINE = [
     "referential_integrity",
     "pps_sample",
     "lsh_s_curve",
+    "entry_exit",
+    "order_lifecycle",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

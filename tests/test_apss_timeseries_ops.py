@@ -119,3 +119,30 @@ def test_last_touch_attribution_basic(spark):
     assert out["(direct)"].n_conversions == 2
     assert out["(direct)"].revenue == 60.0
     assert "view" not in out
+
+
+def test_entry_exit_bounce_semantics(spark, sf_smoke):
+    """Totals must tie out: entries == exits == total sessions, and a
+    bounce counts toward both its entry and exit type."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    rows = queries()["entry_exit"](spark, sf_smoke).collect()
+    assert sum(r.n_entries for r in rows) == sum(r.n_exits for r in rows)
+    assert all(r.n_bounces <= r.n_entries for r in rows)
+    assert sum(r.n_entries for r in rows) > 0
+
+
+def test_order_lifecycle_sane(spark, sf_smoke):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    rows = queries()["order_lifecycle"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days_first_ship <= r.p50_days_complete
+        assert r.p90_days_complete <= r.max_days_complete
