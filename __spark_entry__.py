@@ -5076,6 +5076,51 @@ def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, integer recency
+    (days from last purchase to the corpus horizon), frequency
+    (purchase count), decimal monetary sum — each scored 1-5 by ntile
+    with full (metric, user_id) tie-breaks so bucket membership is
+    engine-exact — then segment counts and per-segment decimal
+    revenue. The classic marketing cut, computed deterministically.
+    Scale note: the three ntiles run over the per-USER aggregate (one
+    row per user), not the event stream; the global sort is sized by
+    users, and the equidepth_histogram caveat applies beyond ~1e8."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("_h"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_mon"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.col("_h"), F.col("_last")).alias("recency"),
+            "frequency",
+            F.col("_mon").alias("monetary"),
+        )
+    )
+    r_s = F.ntile(5).over(Window.orderBy(F.desc("recency"), F.asc("user_id")))
+    f_s = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m_s = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    scored = per_user.select(
+        "user_id",
+        "monetary",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("monetary").cast("double").alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5212,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_s_curve": q_lsh_s_curve,
         "entry_exit": q_entry_exit,
         "order_lifecycle": q_order_lifecycle,
+        "rfm_segments": q_rfm_segments,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7183,6 +7229,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "rfm_segments": """
+            WITH h AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+            pu AS (SELECT user_id,
+                          date_diff('day', max(CAST(ts AS DATE)),
+                                    (SELECT horizon FROM h)) AS recency,
+                          count(*) AS frequency,
+                          sum(CAST(value AS DECIMAL(18,2))) AS monetary
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY 1),
+            s AS (SELECT user_id, monetary,
+                         ntile(5) OVER (ORDER BY recency DESC, user_id)
+                           AS r_score,
+                         ntile(5) OVER (ORDER BY frequency ASC, user_id)
+                           AS f_score,
+                         ntile(5) OVER (ORDER BY monetary ASC, user_id)
+                           AS m_score
+                  FROM pu)
+            SELECT r_score, f_score, m_score,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(monetary) AS DOUBLE) AS revenue
+            FROM s GROUP BY 1, 2, 3
         """,
         "entry_exit": """
             WITH w1 AS (

@@ -130,6 +130,7 @@ HEADLINE = [
     "lsh_s_curve",
     "entry_exit",
     "order_lifecycle",
+    "rfm_segments",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
