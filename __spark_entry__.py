@@ -5121,6 +5121,41 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    WEEK, purchase revenue accumulated per (cohort, week offset) with
+    a decimal running sum — the LTV companion to the retention matrix
+    (retention counts who came back; LTV sums what they spent, and
+    the cumulative decimal ride makes the curve engine-exact). Per-
+    user cohort via one min-window, one (cohort, offset) aggregate,
+    one cohort-partitioned running-sum window."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort", F.min(F.to_date("ts")).over(w))
+    weekly = (
+        cohorted.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            (F.datediff(F.to_date("ts"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_rev"))
+    )
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_day",
+        "week_n",
+        F.col("_rev").cast("double").alias("week_revenue"),
+        F.sum("_rev").over(wc).cast("double").alias("cum_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5258,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entry_exit": q_entry_exit,
         "order_lifecycle": q_order_lifecycle,
         "rfm_segments": q_rfm_segments,
+        "cohort_ltv": q_cohort_ltv,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7229,6 +7265,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "cohort_ltv": """
+            WITH cohorted AS (
+              SELECT event_type, value, CAST(ts AS DATE) AS d,
+                     min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                       AS cohort
+              FROM events),
+            weekly AS (
+              SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                     date_diff('day', cohort, d) // 7 AS week_n,
+                     sum(CAST(value AS DECIMAL(18,2))) AS rev
+              FROM cohorted WHERE event_type = 'purchase'
+              GROUP BY 1, 2)
+            SELECT cohort_day, CAST(week_n AS BIGINT) AS week_n,
+                   CAST(rev AS DOUBLE) AS week_revenue,
+                   CAST(sum(rev) OVER (PARTITION BY cohort_day
+                                       ORDER BY week_n
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS DOUBLE)
+                     AS cum_revenue
+            FROM weekly
         """,
         "rfm_segments": """
             WITH h AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),

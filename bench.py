@@ -131,6 +131,7 @@ HEADLINE = [
     "entry_exit",
     "order_lifecycle",
     "rfm_segments",
+    "cohort_ltv",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
