@@ -5156,6 +5156,48 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: a user counts as NEW on their
+    first-activity day (min-window cohort), returning on every other
+    active day — the acquisition/retention headline. Distinct
+    (user, day) pairs, one user-keyed window, one day aggregate."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id")
+    j = ud.withColumn("cohort", F.min("d").over(w))
+    return j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("d") == F.col("cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("d") != F.col("cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning"),
+    )
+
+
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness, exactly: per day, exact distinct actives
+    (DAU) and exact trailing-30-day distinct actives (MAU) — a direct
+    reuse of timeseries.rolling_distinct at day grain (dense day grid,
+    per-frame flatten+array_distinct) — plus their single-division
+    ratio. The engagement metric HLL usually approximates, exact."""
+    from eclipse_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir)
+    rd = timeseries.rolling_distinct(ev, "ts", "user_id", window=30, step="day")
+    return rd.select(
+        F.date_format("t", "yyyy-MM-dd").alias("day"),
+        F.col("step_distinct").alias("dau"),
+        F.col("rolling_distinct").alias("mau"),
+        F.round(
+            F.col("step_distinct").cast("double")
+            / F.col("rolling_distinct").cast("double"),
+            9,
+        ).alias("stickiness"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5294,6 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lifecycle": q_order_lifecycle,
         "rfm_segments": q_rfm_segments,
         "cohort_ltv": q_cohort_ltv,
+        "new_vs_returning": q_new_vs_returning,
+        "dau_mau": q_dau_mau,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7265,6 +7309,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "new_vs_returning": """
+            WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                        FROM events),
+            j AS (SELECT d, min(d) OVER (PARTITION BY user_id) AS cohort
+                  FROM ud)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN d = cohort THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN d <> cohort THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
+            FROM j GROUP BY 1
+        """,
+        "dau_mau": """
+            WITH e AS (SELECT date_trunc('day', ts) AS h, user_id
+                       FROM events),
+            span AS (SELECT min(h) AS t0, max(h) AS t1 FROM e),
+            grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY))
+                       AS t FROM span),
+            sd AS (SELECT h, count(DISTINCT user_id) AS dau
+                   FROM e GROUP BY 1)
+            SELECT strftime(g.t, '%Y-%m-%d') AS day,
+                   CAST(COALESCE(sd.dau, 0) AS BIGINT) AS dau,
+                   CAST((SELECT count(DISTINCT e2.user_id) FROM e e2
+                         WHERE e2.h <= g.t
+                           AND e2.h >= g.t - INTERVAL 29 DAY) AS BIGINT)
+                     AS mau,
+                   round(CAST(COALESCE(sd.dau, 0) AS DOUBLE)
+                         / CAST((SELECT count(DISTINCT e2.user_id) FROM e e2
+                                 WHERE e2.h <= g.t
+                                   AND e2.h >= g.t - INTERVAL 29 DAY)
+                                AS DOUBLE), 9) AS stickiness
+            FROM grid g LEFT JOIN sd ON sd.h = g.t
         """,
         "cohort_ltv": """
             WITH cohorted AS (

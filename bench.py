@@ -132,6 +132,8 @@ HEADLINE = [
     "order_lifecycle",
     "rfm_segments",
     "cohort_ltv",
+    "new_vs_returning",
+    "dau_mau",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
