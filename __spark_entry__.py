@@ -5198,6 +5198,62 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type
+    (timeseries.time_weighted_avg): each observed value holds until
+    the next observation, so the mean weights by holding seconds —
+    the correct summary for sampled state. Integer second intervals ×
+    decimal values, one final division round-9."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    from eclipse_spark.operators import timeseries
+
+    return timeseries.time_weighted_avg(ev, "event_type", "ts", "value")
+
+
+def q_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse reconciliation: recompute each order's revenue from
+    its lines (decimal sum of extendedprice*(1-discount)*(1+tax),
+    every product rounded to cents before accumulating) and compare
+    to the stored o_totalprice — per status: orders, lines-derived
+    totals, exact decimal |delta| sums and the worst case. The
+    cross-fact consistency audit every finance pipeline runs; all
+    arithmetic decimal so the reported deltas are engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+                * (F.lit(1).cast("decimal(18,6)") + F.col("l_tax").cast("decimal(18,6)")),
+                2,
+            ).cast("decimal(18,2)")
+        ).alias("derived_total")
+    )
+    j = orders.join(derived, F.col("o_orderkey") == F.col("l_orderkey"), "left").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("stored"),
+        F.coalesce(F.col("derived_total"), F.lit(0).cast("decimal(18,2)")).alias(
+            "derived"
+        ),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.abs(F.col("stored") - F.col("derived")))
+        .cast("double")
+        .alias("sum_abs_delta"),
+        F.max(F.abs(F.col("stored") - F.col("derived")))
+        .cast("double")
+        .alias("max_abs_delta"),
+        F.sum(
+            F.when(F.col("stored") != F.col("derived"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5338,6 +5394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "new_vs_returning": q_new_vs_returning,
         "dau_mau": q_dau_mau,
+        "time_weighted_avg": q_time_weighted_avg,
+        "price_reconciliation": q_price_reconciliation,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7309,6 +7367,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "time_weighted_avg": """
+            WITH iv AS (
+              SELECT event_type AS k,
+                     CAST(value AS DECIMAL(18,2)) AS v,
+                     epoch_us(lead(ts) OVER w)//1000000
+                       - epoch_us(ts)//1000000 AS dt
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+            SELECT k AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(dt) AS BIGINT) AS total_seconds,
+                   CASE WHEN sum(dt) > 0
+                        THEN round(CAST(sum(v * dt) AS DOUBLE)
+                                   / CAST(sum(dt) AS DOUBLE), 9)
+                   END AS twa
+            FROM iv WHERE dt IS NOT NULL
+            GROUP BY 1
+        """,
+        "price_reconciliation": """
+            WITH d AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(
+                       CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,6))), 2)
+                       AS DECIMAL(18,2))) AS derived_total
+              FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderstatus,
+                         CAST(o.o_totalprice AS DECIMAL(18,2)) AS stored,
+                         COALESCE(d.derived_total,
+                                  CAST(0 AS DECIMAL(18,2))) AS derived
+                  FROM orders o LEFT JOIN d ON d.l_orderkey = o.o_orderkey)
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(abs(stored - derived)) AS DOUBLE)
+                     AS sum_abs_delta,
+                   CAST(max(abs(stored - derived)) AS DOUBLE)
+                     AS max_abs_delta,
+                   CAST(sum(CASE WHEN stored <> derived THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mismatched
+            FROM j GROUP BY 1
         """,
         "new_vs_returning": """
             WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

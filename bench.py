@@ -134,6 +134,8 @@ HEADLINE = [
     "cohort_ltv",
     "new_vs_returning",
     "dau_mau",
+    "time_weighted_avg",
+    "price_reconciliation",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -28,6 +28,7 @@ __all__ = [
     "quantile_normalize",
     "transition_matrix",
     "gini_coefficient",
+    "time_weighted_avg",
 ]
 
 
@@ -679,4 +680,52 @@ def gini_coefficient(
         F.col("n").cast("long").alias("n"),
         F.col("sx").cast("double").alias("total"),
         gini.alias("gini"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average over irregular observations: each value
+    holds until the next observation, so the mean is
+    ``sum(v_i * dt_i) / sum(dt_i)`` — the correct summary for sampled
+    state (a sensor reading 99% of the time at 10 and briefly at 1000
+    should NOT average like equal-weight points). Per key: one window
+    lead for the holding interval (integer seconds), decimal-exact
+    weighted sums, one final division. The last observation of a key
+    has no interval and drops out (standard left-closed convention).
+    Returns (key, n_intervals, total_seconds, twa)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    iv = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).cast("timestamp").alias("_t"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .withColumn("_next", F.lead("_t").over(Window.partitionBy("_k").orderBy("_t")))
+        .filter(F.col("_next").isNotNull())
+        .withColumn(
+            "_dt", (F.col("_next").cast("long") - F.col("_t").cast("long"))
+        )
+    )
+    _ = w
+    g = iv.groupBy("_k").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("_dt").cast("long").alias("total_seconds"),
+        F.sum(F.col("_v") * F.col("_dt")).alias("_wsum"),
+    )
+    return g.select(
+        F.col("_k").alias(key_col),
+        "n_intervals",
+        "total_seconds",
+        F.when(
+            F.col("total_seconds") > 0,
+            F.round(
+                F.col("_wsum").cast("double") / F.col("total_seconds").cast("double"),
+                9,
+            ),
+        ).alias("twa"),
     )

@@ -82,3 +82,26 @@ def test_rolling_corr_known_series(spark):
     assert all(
         r.corr is None for r in ts.rolling_corr(df2, "t", "x", "y", window=3).collect()
     )
+
+
+def test_time_weighted_avg_holding_semantics(spark):
+    """A value held 9x longer weighs 9x: series 10 (90s) -> 100 (10s)
+    -> end marker gives twa = (10*90 + 100*10) / 100 = 19."""
+    from datetime import datetime, timedelta
+
+    from eclipse_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", t0, 10.0),
+            ("a", t0 + timedelta(seconds=90), 100.0),
+            ("a", t0 + timedelta(seconds=100), 0.0),  # terminal marker
+            ("b", t0, 5.0),                            # single obs -> drops
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {r.k: r for r in time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert out["a"].n_intervals == 2 and out["a"].total_seconds == 100
+    assert out["a"].twa == 19.0
+    assert "b" not in out
