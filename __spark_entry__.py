@@ -5254,6 +5254,92 @@ def q_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration audit: how many parts carry 80% of line
+    revenue. Parts ranked by decimal revenue (ties broken by key), a
+    cumulative decimal sum, and the 80% cut tested in INTEGER cents
+    (``cum*10 <= total*8`` — no float threshold; the crossing part
+    counts in). One row: part count, parts to 80%, total cents. The
+    concentration headline of any revenue/token-mass accounting;
+    gini gives the curve's area, this gives the actionable cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_r")
+    )
+    cents = rev.select(
+        "l_partkey", (F.col("_r") * 100).cast("long").alias("_c")
+    )
+    w = Window.orderBy(F.desc("_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cents.withColumn("_cum", F.sum("_c").over(w)).crossJoin(
+        F.broadcast(cents.agg(F.sum("_c").alias("_tot")))
+    )
+    flagged = cum.withColumn(
+        "_in80", (F.col("_cum") * 10 <= F.col("_tot") * 8).cast("int")
+    )
+    # the cut includes the first part that CROSSES 80%: parts strictly
+    # inside + 1 (unless the first part alone exceeds 80%)
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.least(F.sum("_in80") + 1, F.count("*")).cast("long").alias("n_parts_to_80"),
+        F.first("_tot").cast("long").alias("total_cents"),
+    )
+
+
+def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week rank movers: part revenue ranked inside each of
+    the two halves of the order-date range (deterministic midpoint
+    from min/max dates), then the rank delta per part present in both
+    — the 'top movers' report. Two partitioned window ranks on one
+    derived column, one self-join on the part key; the halving
+    boundary is pure date arithmetic so both engines split
+    identically. Top 20 movers by |delta| (ties by part)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("_d0"), F.max("o_orderdate").alias("_d1")
+    )
+    halved = j.crossJoin(F.broadcast(bounds)).withColumn(
+        "half",
+        F.when(
+            F.datediff(F.col("o_orderdate"), F.col("_d0")) * 2
+            <= F.datediff(F.col("_d1"), F.col("_d0")),
+            F.lit("H1"),
+        ).otherwise(F.lit("H2")),
+    )
+    rev = halved.groupBy("half", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_r")
+    )
+    wr = Window.partitionBy("half").orderBy(F.desc("_r"), F.asc("l_partkey"))
+    ranked = rev.withColumn("rnk", F.row_number().over(wr))
+    h1 = ranked.filter(F.col("half") == "H1").select(
+        "l_partkey", F.col("rnk").alias("rank_h1")
+    )
+    h2 = ranked.filter(F.col("half") == "H2").select(
+        "l_partkey", F.col("rnk").alias("rank_h2")
+    )
+    movers = h1.join(h2, "l_partkey").withColumn(
+        "rank_delta", F.col("rank_h1") - F.col("rank_h2")
+    )
+    return (
+        movers.orderBy(
+            F.desc(F.abs(F.col("rank_delta"))), F.asc("l_partkey")
+        )
+        .limit(20)
+        .select(
+            "l_partkey",
+            F.col("rank_h1").cast("long").alias("rank_h1"),
+            F.col("rank_h2").cast("long").alias("rank_h2"),
+            F.col("rank_delta").cast("long").alias("rank_delta"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5396,6 +5482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau": q_dau_mau,
         "time_weighted_avg": q_time_weighted_avg,
         "price_reconciliation": q_price_reconciliation,
+        "pareto_80_20": q_pareto_80_20,
+        "rank_movers": q_rank_movers,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7367,6 +7455,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "pareto_80_20": """
+            WITH rev AS (SELECT l_partkey,
+                                CAST(sum(CAST(l_extendedprice
+                                              AS DECIMAL(18,2))) * 100
+                                     AS BIGINT) AS c
+                         FROM lineitem GROUP BY 1),
+            cum AS (SELECT l_partkey, c,
+                           sum(c) OVER (ORDER BY c DESC, l_partkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS cm,
+                           sum(c) OVER () AS tot
+                    FROM rev)
+            SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(least(sum(CASE WHEN cm * 10 <= tot * 8
+                                       THEN 1 ELSE 0 END) + 1,
+                              count(*)) AS BIGINT) AS n_parts_to_80,
+                   CAST(min(tot) AS BIGINT) AS total_cents
+            FROM cum
+        """,
+        "rank_movers": """
+            WITH b AS (SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1
+                       FROM orders),
+            h AS (SELECT l.l_partkey, l.l_extendedprice,
+                         CASE WHEN date_diff('day', b.d0, o.o_orderdate) * 2
+                                   <= date_diff('day', b.d0, b.d1)
+                              THEN 'H1' ELSE 'H2' END AS half
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey, b),
+            rev AS (SELECT half, l_partkey,
+                           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+                    FROM h GROUP BY 1, 2),
+            rk AS (SELECT half, l_partkey,
+                          row_number() OVER (PARTITION BY half
+                                             ORDER BY r DESC, l_partkey)
+                            AS rnk
+                   FROM rev)
+            SELECT h1.l_partkey,
+                   CAST(h1.rnk AS BIGINT) AS rank_h1,
+                   CAST(h2.rnk AS BIGINT) AS rank_h2,
+                   CAST(h1.rnk - h2.rnk AS BIGINT) AS rank_delta
+            FROM (SELECT * FROM rk WHERE half = 'H1') h1
+            JOIN (SELECT * FROM rk WHERE half = 'H2') h2
+              USING (l_partkey)
+            ORDER BY abs(h1.rnk - h2.rnk) DESC, l_partkey
+            LIMIT 20
         """,
         "time_weighted_avg": """
             WITH iv AS (

@@ -136,6 +136,8 @@ HEADLINE = [
     "dau_mau",
     "time_weighted_avg",
     "price_reconciliation",
+    "pareto_80_20",
+    "rank_movers",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
