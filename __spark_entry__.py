@@ -5340,6 +5340,23 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap with decimal value sums — the
+    seasonality fingerprint behind staffing/capacity decisions. Day
+    names as strings ('Mon'...) so the label space is engine-neutral
+    (integer day-of-week conventions differ across engines: Spark
+    counts Sunday=1, DuckDB Sunday=0 — a classic silent-off-by-one)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format("ts", "E").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        _dsum("value", "sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5484,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_reconciliation": q_price_reconciliation,
         "pareto_80_20": q_pareto_80_20,
         "rank_movers": q_rank_movers,
+        "activity_heatmap": q_activity_heatmap,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7455,6 +7473,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "activity_heatmap": """
+            SELECT strftime(ts, '%a') AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "pareto_80_20": """
             WITH rev AS (SELECT l_partkey,

@@ -138,6 +138,7 @@ HEADLINE = [
     "price_reconciliation",
     "pareto_80_20",
     "rank_movers",
+    "activity_heatmap",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
