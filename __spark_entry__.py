@@ -5395,7 +5395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     curation-pipeline/stream-enrich/minmax-IVM/quantile-normalize
     wave, plus transitions/gini/dwell-times/label-separability/
     dense-index/multi-probe-LSH/schema-evolution/referential-integrity
-    — ~40 first-timers, all locally oracle-green), with the 12
+    plus the closing analytics wave (entry/exit, order lifecycle,
+    RFM, cohort LTV, new-vs-returning, DAU/MAU, TWA, reconciliation,
+    Pareto cut, rank movers, heatmap, PPS sampling, S-curve, dense
+    index, multiprobe LSH, schema evolution, referential integrity)
+    — ~55 first-timers, all locally oracle-green), with the 12
     strongest late additions grouped just ahead of the r01-only
     re-seats (word_count,
     inverted_index, aggregation, the TPC-H singles, window/set/scalar
