@@ -5357,6 +5357,57 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part:
+    HHI = sum(share_i^2) computed as ``sum(c_i^2) / sum(c_i)^2`` on
+    integer cents — one float division per part, everything else
+    exact integers (share-based formulations square a float per
+    supplier and drift). Parts with >= 2 suppliers, top 25 most
+    CONTESTED (lowest HHI, full tie-breaks) — the procurement-risk
+    screen read in reverse."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("_c")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+    )
+    hhi = per_part.filter(F.col("n_suppliers") >= 2).select(
+        "l_partkey",
+        "n_suppliers",
+        F.round(
+            F.col("_sq").cast("double")
+            / (F.col("_s").cast("double") * F.col("_s").cast("double")),
+            9,
+        ).alias("hhi"),
+    )
+    return hhi.orderBy(F.asc("hhi"), F.asc("l_partkey")).limit(25)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the planted-duplicate
+    corpus (dedup.exact_dup_groups -> histogram of cluster sizes):
+    the dedup AUDIT summary an operator reads before deleting
+    anything — how much of the corpus sits in clusters of 2, of 3, …
+    and how many rows dedup would remove (sum over clusters of
+    size-1). Cluster membership is the oracle-checked exact-dedup
+    grouping; this rolls it up."""
+    docs = _docs_with_dups(spark, sf_dir)
+    groups = dedup.exact_dup_groups(docs)
+    return (
+        groups.groupBy(F.col("n_dups").cast("long").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .withColumn(
+            "rows_removed_by_dedup",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5506,6 +5557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_80_20": q_pareto_80_20,
         "rank_movers": q_rank_movers,
         "activity_heatmap": q_activity_heatmap,
+        "hhi_concentration": q_hhi_concentration,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7477,6 +7530,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "hhi_concentration": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               CAST(sum(CAST(l_extendedprice
+                                             AS DECIMAL(18,2))) * 100
+                                    AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1, 2),
+            pp AS (SELECT l_partkey, count(*) AS n_suppliers,
+                          sum(c) AS s, sum(c * c) AS sq
+                   FROM ps GROUP BY 1)
+            SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+                   round(CAST(sq AS DOUBLE)
+                         / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9)
+                     AS hhi
+            FROM pp WHERE n_suppliers >= 2
+            ORDER BY hhi ASC, l_partkey LIMIT 25
+        """,
+        "dup_cluster_sizes": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 5 = 0),
+            g AS (SELECT count(*) AS n FROM d
+                  GROUP BY regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g')
+                  HAVING count(*) > 1)
+            SELECT CAST(n AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST((n - 1) * count(*) AS BIGINT)
+                     AS rows_removed_by_dedup
+            FROM g GROUP BY n
         """,
         "activity_heatmap": """
             SELECT strftime(ts, '%a') AS dow,

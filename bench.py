@@ -139,6 +139,8 @@ HEADLINE = [
     "pareto_80_20",
     "rank_movers",
     "activity_heatmap",
+    "hhi_concentration",
+    "dup_cluster_sizes",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
