@@ -5408,6 +5408,31 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency: integer days between each user's
+    consecutive purchases (one user-keyed window lead over purchases
+    only), summarized with exact interpolated quartiles — the
+    retention-cadence metric behind replenishment and win-back
+    timing. Single row: n_intervals, p25/p50/p75 days, max."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_next", F.lead(F.to_date("ts")).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.datediff(F.col("_next"), F.to_date("ts")).alias("gap_days"))
+    )
+    p = F.expr("percentile(gap_days, array(0.25, 0.5, 0.75))")
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        p[0].alias("p25_days"),
+        p[1].alias("p50_days"),
+        p[2].alias("p75_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5559,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": q_activity_heatmap,
         "hhi_concentration": q_hhi_concentration,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "repurchase_interval": q_repurchase_interval,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7530,6 +7556,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "repurchase_interval": """
+            WITH g AS (
+              SELECT date_diff('day', CAST(ts AS DATE),
+                               CAST(lead(ts) OVER w AS DATE)) AS gap_days
+              FROM events WHERE event_type = 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+                   quantile_cont(gap_days, 0.25) AS p25_days,
+                   quantile_cont(gap_days, 0.5) AS p50_days,
+                   quantile_cont(gap_days, 0.75) AS p75_days,
+                   CAST(max(gap_days) AS BIGINT) AS max_days
+            FROM g WHERE gap_days IS NOT NULL
         """,
         "hhi_concentration": """
             WITH ps AS (SELECT l_partkey, l_suppkey,

@@ -141,6 +141,7 @@ HEADLINE = [
     "activity_heatmap",
     "hhi_concentration",
     "dup_cluster_sizes",
+    "repurchase_interval",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
