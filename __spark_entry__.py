@@ -5433,6 +5433,38 @@ def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-generality composition: the market-basket miner
+    (basket.frequent_pairs) applied to SESSIONS as baskets and event
+    types as items — which behaviors co-occur inside one visit, with
+    lift against independence. Reuses the 30-minute sessionization
+    window; the Apriori prune and lazy broadcast total ride along
+    unchanged — the same operator serves retail baskets and
+    behavioral sessions."""
+    from eclipse_spark.operators.basket import frequent_pairs
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sessed = ev.withColumn("_new", new_sess).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    baskets = sessed.select(
+        F.concat_ws(":", F.col("user_id"), F.col("_sess")).alias("basket_id"),
+        "event_type",
+    )
+    return frequent_pairs(baskets, "basket_id", "event_type", min_support=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5585,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "repurchase_interval": q_repurchase_interval,
+        "session_baskets": q_session_baskets,
         # the strongest 12 late-round-5 additions, ordered first in
         # the round-6 rotation queue (first-ever driver evidence
         # outranks re-seating already-green r01 rows)
@@ -7556,6 +7589,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS total_value
             FROM events GROUP BY 1
+        """,
+        "session_baskets": """
+            WITH w1 AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts)//1000000
+                                  - epoch_us(lag(ts) OVER w)//1000000 > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessed AS (
+              SELECT user_id, event_type,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS sess
+              FROM w1),
+            bi AS (SELECT DISTINCT user_id::VARCHAR || ':' || sess::VARCHAR
+                            AS basket, event_type AS item
+                   FROM sessed),
+            nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+            isup AS (SELECT item, count(*) AS support_i FROM bi GROUP BY 1),
+            p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS support
+                  FROM bi a JOIN bi b
+                    ON a.basket = b.basket AND a.item < b.item
+                  GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT p.ia AS item_a, p.ib AS item_b,
+                   CAST(p.support AS BIGINT) AS support,
+                   CAST(sa.support_i AS BIGINT) AS support_a,
+                   CAST(sb.support_i AS BIGINT) AS support_b,
+                   round(CAST(p.support * nb.n_baskets AS DOUBLE)
+                         / CAST(sa.support_i * sb.support_i AS DOUBLE), 9)
+                     AS lift
+            FROM p JOIN isup sa ON p.ia = sa.item
+                   JOIN isup sb ON p.ib = sb.item, nb
         """,
         "repurchase_interval": """
             WITH g AS (

@@ -142,6 +142,7 @@ HEADLINE = [
     "hhi_concentration",
     "dup_cluster_sizes",
     "repurchase_interval",
+    "session_baskets",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
