@@ -735,3 +735,55 @@ def test_attribution_equals_bruteforce(spark, events):
         want_n[ch] += 1
         want_v[ch] += Decimal(str(val))
     assert got == {c: (want_n[c], want_v[c]) for c in want_n}
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+    n=st.sampled_from([1, 5, 10]),
+)
+def test_pps_sample_hits_sum_to_n(spark, weights, n):
+    """PPS systematic sampling: hit counts sum to exactly n whenever
+    any weight is positive; zero-weight rows never win; an item with
+    share s gets floor/ceil(s*n) hits (systematic spacing)."""
+    from fractions import Fraction
+
+    from eclipse_spark.operators.relational import pps_systematic_sample
+
+    if sum(weights) == 0:
+        return
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(weights)], ["k", "w"]
+    )
+    out = {r.k: r.n_hits for r in pps_systematic_sample(df, "w", n, ["k"]).collect()}
+    assert sum(out.values()) == n
+    total = sum(weights)
+    for k, v in enumerate(weights):
+        hits = out.get(k, 0)
+        share = Fraction(v, total) * n
+        assert share.__floor__() <= hits <= -((-share).__floor__())
+        if v == 0:
+            assert hits == 0
+
+
+@SETTINGS
+@given(rows=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 7)),
+                     min_size=1, max_size=20))
+def test_dense_index_equals_row_number(spark, rows):
+    """The two-pass range-partitioned index must equal a plain global
+    row_number over the same total order, for any input."""
+    from eclipse_spark.operators.relational import dense_index
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["uid", "a", "b"])
+    got = {
+        r.uid: r.idx
+        for r in dense_index(df, ["a", "b", "uid"], num_partitions=3).collect()
+    }
+    want = {
+        uid: rank
+        for rank, (a, b, uid) in enumerate(
+            sorted((a, b, uid) for uid, a, b in data)
+        )
+    }
+    assert got == want
