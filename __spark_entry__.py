@@ -7590,9 +7590,14 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                                   AND CURRENT ROW) AS sess
               FROM w1),
-            bi AS (SELECT DISTINCT user_id::VARCHAR || ':' || sess::VARCHAR
-                            AS basket, event_type AS item
-                   FROM sessed),
+            bi0 AS (SELECT DISTINCT user_id::VARCHAR || ':' || sess::VARCHAR
+                             AS basket, event_type AS item
+                    FROM sessed),
+            -- mirror the operator's max_basket_items=1000 exclusion
+            bi AS (SELECT basket, item FROM (
+                     SELECT basket, item,
+                            count(*) OVER (PARTITION BY basket) AS _n
+                     FROM bi0) t WHERE _n <= 1000),
             nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
             isup AS (SELECT item, count(*) AS support_i FROM bi GROUP BY 1),
             p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS support
@@ -7902,7 +7907,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
                    GROUP BY 1, 2),
             truth AS (SELECT ov.id_a, ov.id_b,
-                             (10 * c) // (x.n + y.n - c) AS bin
+                             least(9, (10 * c) // (x.n + y.n - c)) AS bin
                       FROM ov JOIN sz x ON ov.id_a = x.id
                               JOIN sz y ON ov.id_b = y.id),
             sig AS {SIG},
@@ -8186,9 +8191,14 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN sd ON sd.h = g.t
         """,
         "frequent_pairs": """
-            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
-                                        l_partkey AS item
-                        FROM lineitem),
+            WITH bi0 AS (SELECT DISTINCT l_orderkey AS basket,
+                                         l_partkey AS item
+                         FROM lineitem),
+            -- mirror the operator's max_basket_items=1000 exclusion
+            bi AS (SELECT basket, item FROM (
+                     SELECT basket, item,
+                            count(*) OVER (PARTITION BY basket) AS _n
+                     FROM bi0) t WHERE _n <= 1000),
             nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
             isup AS (SELECT item, count(*) AS support_i FROM bi GROUP BY 1),
             p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS support

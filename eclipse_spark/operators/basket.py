@@ -8,9 +8,10 @@ APRIORI PRUNE: a pair can only reach ``min_support`` if BOTH items do
 frequent items BEFORE the quadratic-per-basket pair explode. At
 100 TB the pair join shuffles only (basket, frequent-item) rows on the
 basket key, and giant baskets (the skew hazard — one 10k-item basket
-makes 50M pairs) are dropped with an explicit, logged-in-plan cap
-rather than silently OOMing an executor; the standard upgrade beyond
-pairs is the same loop k times (k-itemsets), each round re-pruned.
+makes 50M pairs) are excluded from the whole analysis by an explicit,
+in-plan cap rather than silently OOMing an executor; the standard
+upgrade beyond pairs is the same loop k times (k-itemsets), each
+round re-pruned.
 """
 
 from __future__ import annotations
@@ -34,28 +35,37 @@ def frequent_pairs(
     (item basket counts), ``lift`` = support*n_baskets /
     (support_a*support_b), round-9.
 
-    Plan: distinct (basket, item) -> item-support aggregate ->
-    semi-join to frequent items (Apriori prune) -> per-basket size cap
-    -> self-join on basket with item_a < item_b -> pair aggregate ->
-    broadcast-joined item supports. Lift's numerator/denominator stay
-    integer until one double division, so the value is engine-exact
-    under round-9."""
-    bi = df.select(
+    Baskets with more than ``max_basket_items`` distinct items are
+    EXCLUDED FROM THE ANALYSIS ENTIRELY, up front: supports,
+    ``n_baskets``, and pair counts all come from the same capped
+    corpus, so lift stays internally consistent when the cap fires
+    (round-5 version capped only the pair-explode side, making lift's
+    numerator and denominator disagree about the corpus). Callers who
+    need the drop surfaced can diff ``count_distinct(basket)`` against
+    the returned analysis or set ``max_basket_items`` high.
+
+    Plan: distinct (basket, item) -> per-basket size window -> cap
+    filter -> item-support aggregate -> semi-join to frequent items
+    (Apriori prune) -> self-join on basket with item_a < item_b ->
+    pair aggregate -> broadcast-joined item supports. Lift's
+    numerator/denominator stay integer until one double division, so
+    the value is engine-exact under round-9."""
+    bi0 = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
+    bi = (
+        bi0.withColumn("_n", F.count("*").over(Window.partitionBy("basket")))
+        .filter(F.col("_n") <= max_basket_items)
+        .drop("_n")
+    )
     # lift's n_baskets constant stays a lazy 1-row broadcast (no eager
     # driver count; construction runs no job)
     nb = bi.agg(F.count_distinct("basket").alias("n_baskets"))
     isup = bi.groupBy("item").agg(F.count("*").alias("support_i"))
     frequent = isup.filter(F.col("support_i") >= min_support)
     pruned = bi.join(frequent.select("item"), "item", "left_semi")
-    capped = (
-        pruned.withColumn("_n", F.count("*").over(Window.partitionBy("basket")))
-        .filter(F.col("_n") <= max_basket_items)
-        .drop("_n")
-    )
-    a = capped.select("basket", F.col("item").alias("item_a"))
-    b = capped.select("basket", F.col("item").alias("item_b"))
+    a = pruned.select("basket", F.col("item").alias("item_a"))
+    b = pruned.select("basket", F.col("item").alias("item_b"))
     pairs = (
         a.join(b, "basket")
         .filter(F.col("item_a") < F.col("item_b"))

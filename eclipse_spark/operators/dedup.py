@@ -1057,8 +1057,10 @@ def lsh_recall_curve(
     captured — the "did (bands, rows) actually give the recall the
     theory promises at our threshold" audit, run on data instead of
     the 1-(1-j^r)^b formula. Deciles are integer-exact
-    (``(n_bins*c) div (|A|+|B|-c)``); capture rates are one division
-    each.
+    (``(n_bins*c) div (|A|+|B|-c)``, clamped to ``n_bins - 1`` so
+    exact-duplicate pairs with J = 1 fold into the TOP decile instead
+    of spilling into an 11th out-of-range bucket); capture rates are
+    one division each.
 
     The ground truth enumerates pairs that share >= 1 shingle via the
     shingle join — quadratic in the co-shingle neighborhood, so run
@@ -1085,7 +1087,12 @@ def lsh_recall_curve(
     truth = (
         ov.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn("bin", F.expr(f"{int(n_bins)} * c div (na + nb - c)"))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"least({int(n_bins) - 1}, {int(n_bins)} * c div (na + nb - c))"
+            ),
+        )
     )
     cands = minhash_lsh_candidates(
         df,

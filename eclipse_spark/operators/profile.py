@@ -178,18 +178,41 @@ def check_constraints(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
     return wide.select(F.explode(F.array(*entries)).alias("_v")).select("_v.*")
 
 
+def _dec_floor_div(num: str, den: str) -> str:
+    """Exact ``floor(num / den)`` over non-negative DECIMAL(38,0) SQL
+    expressions. Spark's ``div`` operator casts decimal quotients to
+    BIGINT (silently wrapping past 2^63), so it's unusable here;
+    instead subtract the exact remainder (decimal ``%`` IS exact) and
+    divide — the division is then exact by construction, and the
+    decimal(38,6) result carries the integer quotient with zero
+    fractional digits, so no engine rounding can fire. Callers
+    guarantee the QUOTIENT is small (<= ~1e10) even when num/den are
+    astronomically large — that is the whole trick: only the
+    intermediates need 38-digit headroom."""
+    return (
+        f"CAST((({num}) - (({num}) % ({den}))) / ({den}) AS DECIMAL(38,0))"
+    )
+
+
 def _scaled_floor_div(num: str, den: str) -> Column:
-    """``floor(num * 10^9 / den)`` over BIGINT SQL expressions WITHOUT
-    the 10^9 blow-up overflowing: three-stage long division
-    (q1 = num div den; then two remainder-refinement steps at 10^4 and
-    10^5). Every intermediate stays under ~1e17 for den <= ~9e13 —
-    and both engines' integer div/mod agree exactly on non-negative
-    operands, which is the whole point: no float enters the per-cell
-    arithmetic at all."""
-    q1 = F.expr(f"({num}) div ({den})")
-    q2 = F.expr(f"(({num}) % ({den})) * 10000 div ({den})")
-    q3 = F.expr(f"((({num}) % ({den})) * 10000 % ({den})) * 100000 div ({den})")
-    return q1 * F.lit(1000000000) + q2 * F.lit(100000) + q3
+    """``floor(num * 10^9 / den)`` over non-negative DECIMAL(38,0) SQL
+    expressions WITHOUT the 10^9 blow-up overflowing 38 digits:
+    three-stage long division (q1 = num div den; then two
+    remainder-refinement steps at 10^4 and 10^5, each on a remainder
+    < den). Safe for num < 10^38 / 1 and den < 10^34 (the 10^4
+    remainder scale-up is the binding constraint); the returned
+    quotient is exact floor division — identical in any engine on
+    non-negative operands, no float anywhere. Result surfaced as
+    BIGINT (callers guarantee the scaled quotient fits: for
+    chi-square, q <= n * 10^9)."""
+    q1 = _dec_floor_div(num, den)
+    r1 = f"(({num}) % ({den}))"
+    q2 = _dec_floor_div(f"{r1} * 10000", den)
+    r2 = f"({r1} * 10000 % ({den}))"
+    q3 = _dec_floor_div(f"{r2} * 100000", den)
+    return F.expr(
+        f"CAST({q1} * 1000000000 + {q2} * 100000 + {q3} AS BIGINT)"
+    )
 
 
 def chi_square(
@@ -219,31 +242,59 @@ def chi_square(
     exactly e, folded in analytically as ``n - sum_present(e)`` — no
     dense cell grid, so a sparse 10^6 x 10^6 table costs only its
     non-zero cells. Scale: three aggregates over (a), (b), (a,b) keys,
-    all map-side partials; marginals broadcast. BIGINT headroom: safe
-    for ra*rb*n up to ~9e13 (beyond that, lift the same formula to
-    decimal(38,0))."""
+    all map-side partials; marginals broadcast.
+
+    Headroom: all per-cell intermediates run in DECIMAL(38,0) — the
+    worst case is ``(o*n - ca*cb)^2 <= n^4``, so the statistic is
+    exact for n up to ~3e9 rows regardless of how concentrated the
+    marginals are (the round-5 BIGINT version wrapped silently past
+    ``ca*cb*n ~ 9e13``, i.e. n ~ 5e4 with concentrated marginals).
+    Past 3e9 rows Spark's non-ANSI decimal overflow would return
+    NULL, not a wrong number — and the ``assert_true`` guard on n
+    fails the job loudly before that can happen."""
     base = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
     obs = base.groupBy("_a", "_b").agg(F.count("*").alias("o"))
     ra = base.groupBy("_a").agg(F.count("*").alias("ca"))
     rb = base.groupBy("_b").agg(F.count("*").alias("cb"))
-    n = base.agg(F.count("*").alias("n"))
+    n = base.agg(
+        F.count("*").alias("n"),
+        F.assert_true(
+            F.count("*") <= F.lit(3_000_000_000),
+            F.lit("chi_square: n > 3e9 exceeds decimal(38,0) headroom "
+                  "for (o*n - ca*cb)^2; pre-aggregate or segment"),
+        ).alias("_guard"),
+    )
     cells = (
         obs.join(F.broadcast(ra), "_a")
         .join(F.broadcast(rb), "_b")
         .crossJoin(F.broadcast(n))
-        .withColumn("num", F.expr("(o * n - ca * cb) * (o * n - ca * cb)"))
-        .withColumn("den", F.expr("ca * cb * n"))
+        .withColumn("_od", F.expr("CAST(o AS DECIMAL(38,0))"))
+        .withColumn("_cad", F.expr("CAST(ca AS DECIMAL(38,0))"))
+        .withColumn("_cbd", F.expr("CAST(cb AS DECIMAL(38,0))"))
+        .withColumn("_nd", F.expr("CAST(n AS DECIMAL(38,0))"))
+        .withColumn(
+            "num",
+            F.expr(
+                "(_od * _nd - _cad * _cbd) * (_od * _nd - _cad * _cbd)"
+            ),
+        )
+        .withColumn("den", F.expr("_cad * _cbd * _nd"))
         .withColumn("q", _scaled_floor_div("num", "den"))
-        .withColumn("esc", _scaled_floor_div("ca * cb", "n"))
+        .withColumn("esc", _scaled_floor_div("_cad * _cbd", "_nd"))
     )
+    # accumulate the scaled per-cell quotients in decimal(38,0): the
+    # per-cell q fits BIGINT (q <= n * 1e9) but the SUM is bounded only
+    # by n * (min(n_a, n_b) - 1) * 1e9, which can pass 2^63
     agg = cells.agg(
-        F.sum("q").alias("sq"),
-        F.sum("esc").alias("sesc"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        F.sum(F.col("esc").cast("decimal(38,0)")).alias("sesc"),
         F.first("n").alias("n"),
         F.count_distinct("_a").alias("n_a"),
         F.count_distinct("_b").alias("n_b"),
     )
-    scaled = F.col("sq") + (F.col("n") * F.lit(1000000000) - F.col("sesc"))
+    scaled = F.col("sq") + (
+        F.col("n").cast("decimal(38,0)") * F.lit(1000000000) - F.col("sesc")
+    )
     return agg.select(
         (scaled.cast("double") / F.lit(1000000000.0)).alias("chi2"),
         scaled.cast("long").alias("chi2_scaled"),

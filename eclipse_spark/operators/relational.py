@@ -462,11 +462,23 @@ def dense_index(
     well-defined, and the resulting index is INVARIANT to how the
     sampler happens to place partition boundaries. This is the
     at-scale replacement for the global-window indexing documented as
-    a bottleneck in text.negative_samples / equidepth_histogram."""
+    a bottleneck in text.negative_samples / equidepth_histogram.
+
+    The ranged DataFrame feeds TWO subtrees (the per-pid offset table
+    and the final row_number join), and its ``_pid`` values depend on
+    the range sampler's boundary draw — so it is lazily ``persist()``ed
+    to pin ONE materialization of the range shuffle. Without it,
+    correctness would rest on Catalyst exchange reuse: if the two
+    executions re-sampled different boundaries (reuse disabled, AQE
+    re-plan, executor-loss recompute), offsets would join against
+    mismatched _pid values and indices would duplicate/skip. Same
+    multi-consumer discipline as graph.clustering_coefficient."""
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     woff = Window.orderBy("_pid").rowsBetween(

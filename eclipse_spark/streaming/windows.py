@@ -240,6 +240,82 @@ def merge_stream_to_catalog(
     return q
 
 
+def _ivm_sidecar_path(catalog, table: str) -> str:
+    import os
+
+    return os.path.join(catalog.root, f"{table}.ivm_batch.json")
+
+
+def apply_ivm_batch(
+    catalog,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> bool:
+    """Fold ONE insert-only micro-batch into a Catalog-stored aggregate
+    view, exactly once. Returns True if the batch was applied, False if
+    it was recognized as a replay and skipped.
+
+    Idempotence protocol (write-ahead intent): a sidecar JSON next to
+    the table records ``{"last_batch": B, "expected_version": V}``
+    where V is the catalog version the table WILL have once batch B's
+    put commits. The sidecar is written atomically (tmp + rename)
+    BEFORE the put, so on a checkpoint replay of batch_id <= B:
+
+    - if the table's current version >= V, batch B's put committed —
+      the replay is a duplicate delivery and is SKIPPED;
+    - if the current version < V (crash after intent, before commit),
+      the batch was never folded in — it is re-applied.
+
+    Either way a re-delivered in-flight batch cannot double-add, and an
+    interrupted one cannot be lost — the failure mode the round-5
+    ADVICE flagged for durable checkpoints on this additive sink."""
+    import json as _json
+    import os
+
+    from eclipse_spark.operators.ivm import aggregate_view, incremental_refresh
+
+    if batch_df.isEmpty():
+        return False
+    side = _ivm_sidecar_path(catalog, table)
+    last_batch, expected_version = -1, 0
+    try:
+        with open(side) as fh:
+            st = _json.load(fh)
+        last_batch = int(st["last_batch"])
+        expected_version = int(st["expected_version"])
+    except (OSError, ValueError, KeyError):
+        pass
+    cur_version = catalog.info(table).version
+    if batch_id <= last_batch and not (
+        batch_id == last_batch and cur_version < expected_version
+    ):
+        return False  # replayed batch whose put already committed
+    changes = batch_df.withColumn("change_type", F.lit("insert"))
+    if catalog.exists(table):
+        view = catalog.get(table)
+        refreshed = incremental_refresh(
+            view, changes, keys=keys, sum_cols=sum_cols, count_col=count_col
+        )
+    else:
+        refreshed = aggregate_view(
+            batch_df, keys=keys, sum_cols=sum_cols, count_col=count_col
+        )
+    tmp = side + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(
+            {"last_batch": int(batch_id), "expected_version": cur_version + 1},
+            fh,
+        )
+    os.replace(tmp, side)
+    catalog.put(table, refreshed)
+    return True
+
+
 def ivm_stream_to_catalog(
     df: DataFrame,
     catalog,
@@ -262,15 +338,17 @@ def ivm_stream_to_catalog(
     Update-mode stateful aggregate upstream and replaces rows); here
     deltas ADD, so the decimal arithmetic makes the drained view
     bit-exact equal to a batch aggregate of all input — the driver
-    query's oracle. Batch replay after a failure would double-add
-    (additive sinks are not naturally idempotent); production hardens
-    this by recording the applied batch_id in the table's manifest and
-    skipping replays — noted here rather than implemented since the
-    Catalog manifest records one writer at a time."""
-    from pyspark.sql import functions as F
+    query's oracle.
 
-    from eclipse_spark.operators.ivm import incremental_refresh
-
+    EXACTLY-ONCE across checkpoint restarts: additive sinks are not
+    naturally idempotent (a replayed in-flight batch would double-add
+    into the view), so each apply runs the write-ahead-intent protocol
+    of :func:`apply_ivm_batch` — the sidecar records (batch_id,
+    expected catalog version) BEFORE the put, and a replayed batch_id
+    is skipped unless the catalog version proves the put never
+    committed. Restarting from a durable checkpoint is therefore safe:
+    re-delivered batches are detected and dropped, interrupted ones
+    re-applied."""
     if catalog.retain_versions <= 0:
         raise ValueError(
             "ivm_stream_to_catalog: catalog needs retain_versions >= 1 "
@@ -279,21 +357,15 @@ def ivm_stream_to_catalog(
         )
 
     def _apply(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        changes = batch_df.withColumn("change_type", F.lit("insert"))
-        if catalog.exists(table):
-            view = catalog.get(table)
-            refreshed = incremental_refresh(
-                view, changes, keys=keys, sum_cols=sum_cols, count_col=count_col
-            )
-        else:
-            from eclipse_spark.operators.ivm import aggregate_view
-
-            refreshed = aggregate_view(
-                batch_df, keys=keys, sum_cols=sum_cols, count_col=count_col
-            )
-        catalog.put(table, refreshed)
+        apply_ivm_batch(
+            catalog,
+            table,
+            batch_df,
+            batch_id,
+            keys=keys,
+            sum_cols=sum_cols,
+            count_col=count_col,
+        )
 
     q = (
         df.writeStream.outputMode("append")

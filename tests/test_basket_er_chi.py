@@ -6,6 +6,8 @@ from __future__ import annotations
 import itertools
 import math
 
+from pyspark.sql import functions as F
+
 from eclipse_spark.operators.basket import frequent_pairs
 from eclipse_spark.operators.linkage import resolve_entities
 from eclipse_spark.operators.profile import chi_square
@@ -48,6 +50,31 @@ def test_frequent_pairs_basket_cap_drops_megabasket(spark):
     assert len(uncapped) == 15 + 1
 
 
+def test_frequent_pairs_cap_keeps_lift_consistent(spark):
+    """When the cap fires, supports / n_baskets / pair counts must all
+    describe the same (capped) corpus — lift recomputed from the row's
+    own columns over the capped basket count must equal the reported
+    lift (the round-5 version mixed capped pair counts with uncapped
+    marginals)."""
+    # mega-basket 99 shares items with the small baskets, so uncapped
+    # marginals would differ from capped ones
+    rows = [(99, f"i{k}") for k in range(4)] + [(99, "a"), (99, "b")]
+    rows += [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "i0")]
+    df = spark.createDataFrame(rows, ["bid", "item"])
+    out = frequent_pairs(
+        df, "bid", "item", min_support=2, max_basket_items=4
+    ).collect()
+    # capped corpus = baskets 1,2,3 (3 baskets); a:3 b:2 i0:1
+    n_capped = 3
+    for r in out:
+        assert abs(
+            r.lift
+            - round(r.support * n_capped / (r.support_a * r.support_b), 9)
+        ) < 1e-12
+    ab = {(r.item_a, r.item_b): r for r in out}[("a", "b")]
+    assert ab.support == 2 and ab.support_a == 3 and ab.support_b == 2
+
+
 def test_resolve_entities_typo_chain(spark):
     # chain: ring ~ rang ~ rung (pairwise ring~rung lev=2 > k=1) must
     # still land in ONE entity; isolated word stays a singleton
@@ -81,6 +108,40 @@ def test_chi_square_against_reference(spark):
     assert r.chi2_scaled == math.floor(r.chi2 * 1e9 + 0.5) or abs(
         r.chi2_scaled / 1e9 - expected
     ) < 1e-8
+
+
+def test_chi_square_bigint_overflow_regime(spark):
+    """Regime where the round-5 BIGINT arithmetic silently wrapped:
+    n = 120k with concentrated marginals makes (o*n - ca*cb)^2 ~ 1.4e20
+    >> 2^63. The decimal(38,0) path must return the exact statistic."""
+    from fractions import Fraction
+
+    counts = {
+        ("x", "u"): 110_000,
+        ("x", "v"): 4_000,
+        ("y", "u"): 5_000,
+        ("y", "v"): 1_000,
+    }
+    df = spark.range(120_000).select(
+        F.when(F.col("id") < 114_000, "x").otherwise("y").alias("a"),
+        F.when(
+            (F.col("id") < 110_000)
+            | ((F.col("id") >= 114_000) & (F.col("id") < 119_000)),
+            "u",
+        )
+        .otherwise("v")
+        .alias("b"),
+    )
+    [r] = chi_square(df, "a", "b").collect()
+    n = sum(counts.values())
+    ra = {"x": 114_000, "y": 6_000}
+    rb = {"u": 115_000, "v": 5_000}
+    exact = sum(
+        (o - Fraction(ra[a] * rb[b], n)) ** 2 / Fraction(ra[a] * rb[b], n)
+        for (a, b), o in counts.items()
+    )
+    assert abs(r.chi2 - float(exact)) < 1e-6
+    assert r.chi2 > 0 and r.n == n
 
 
 def test_chi_square_absent_cells_fold_in(spark):

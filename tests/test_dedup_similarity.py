@@ -461,6 +461,8 @@ def test_lsh_recall_curve_shape(spark, sf_correct):
     rows = {r.bin: r for r in queries()["lsh_s_curve"](spark, sf_correct).collect()}
     assert rows, "variant corpus must produce overlapping pairs"
     for b, r in rows.items():
+        # J = 1 pairs clamp into the top decile: bins are 0..9, never 10
+        assert 0 <= b <= 9
         assert 0 <= r.n_candidates <= r.n_pairs
         assert abs(r.capture_rate - round(r.n_candidates / r.n_pairs, 9)) < 1e-12
     low = [r for b, r in rows.items() if b <= 1]
@@ -469,3 +471,18 @@ def test_lsh_recall_curve_shape(spark, sf_correct):
         assert sum(r.n_candidates for r in low) == 0
     if high:
         assert all(r.capture_rate == 1.0 for r in high)
+
+
+def test_lsh_recall_curve_exact_dup_folds_into_top_decile(spark):
+    """A Jaccard-1.0 pair (identical text) must land in bin n_bins-1,
+    not an out-of-range 11th bucket (ADVICE r5: floor(n_bins * J) at
+    J = 1 spilled to bin == n_bins)."""
+    from eclipse_spark.operators.dedup import lsh_recall_curve
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    rows = lsh_recall_curve(df, portable=True).collect()
+    assert [r.bin for r in rows] == [9]
+    assert rows[0].n_pairs == 1

@@ -166,6 +166,52 @@ def test_ivm_stream_matches_batch_aggregate(spark, events_small, tmp_path):
     assert cat.info("tv").version >= 2  # 4 files -> >= 2 incremental applies
 
 
+def test_ivm_batch_apply_is_exactly_once(spark, tmp_path):
+    """The write-ahead-intent sidecar makes the additive IVM sink
+    idempotent: a re-delivered batch_id whose put committed is
+    skipped; one whose put never committed (crash between intent and
+    commit) is re-applied. ADVICE r5 item 5."""
+    import json
+
+    from eclipse_spark.storage import Catalog
+    from eclipse_spark.streaming.windows import (
+        _ivm_sidecar_path,
+        apply_ivm_batch,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)],
+                               ["event_type", "value"])
+    b1 = spark.createDataFrame([("a", 10.0)], ["event_type", "value"])
+    kw = dict(keys=["event_type"], sum_cols={"value": "total"})
+
+    assert apply_ivm_batch(cat, "tv", b0, 0, **kw) is True
+    assert apply_ivm_batch(cat, "tv", b1, 1, **kw) is True
+    snap = {r.event_type: (r.n_rows, str(r.total))
+            for r in cat.get("tv").collect()}
+
+    # duplicate delivery of the committed batch 1 -> skipped, view unchanged
+    assert apply_ivm_batch(cat, "tv", b1, 1, **kw) is False
+    assert {r.event_type: (r.n_rows, str(r.total))
+            for r in cat.get("tv").collect()} == snap
+
+    # stale batch id (0) replayed -> also skipped
+    assert apply_ivm_batch(cat, "tv", b0, 0, **kw) is False
+    assert {r.event_type: (r.n_rows, str(r.total))
+            for r in cat.get("tv").collect()} == snap
+
+    # crash window: intent for batch 2 recorded but put never committed
+    side = _ivm_sidecar_path(cat, "tv")
+    cur = cat.info("tv").version
+    with open(side, "w") as fh:
+        json.dump({"last_batch": 2, "expected_version": cur + 1}, fh)
+    b2 = spark.createDataFrame([("b", 7.0)], ["event_type", "value"])
+    assert apply_ivm_batch(cat, "tv", b2, 2, **kw) is True  # re-applied
+    got = {r.event_type: (r.n_rows, str(r.total))
+           for r in cat.get("tv").collect()}
+    assert got["b"][0] == snap["b"][0] + 1
+
+
 def test_ivm_stream_requires_versioned_catalog(spark, events_small, tmp_path):
     from eclipse_spark.storage import Catalog
 
