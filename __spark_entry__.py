@@ -2151,6 +2151,53 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEAT_NAMES = [
+    "mean_r", "mean_g", "mean_b", "mean_all",
+    "std_all", "aspect", "w_scaled", "h_scaled",
+]
+
+
+def _feat_cols():
+    return [
+        F.round(F.element_at("features", i + 1), 6).alias(nm)
+        for i, nm in enumerate(_FEAT_NAMES)
+    ]
+
+
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decoding, end-to-end and oracle-checked: a synthetic
+    BMP per doc_id (multimodal.encode_pattern_bmp — dimensions and
+    pixel values are pure integer formulas of the id), decoded by the
+    vendored dependency-free BMP codec (multimodal.bmp_decode, no PIL
+    needed), features via the integer-exact recipe
+    (multimodal._pixel_features). The oracle recomputes every feature
+    from the pixel FORMULA without touching bytes — so a hash match
+    proves the engine actually parsed BMP headers, row padding,
+    bottom-up BGR rows, and recovered every pixel. Upgrades the media
+    component from stub-only (r04 media_decode) to real decode.
+    Reference capability analogue: opaque user map code over binary
+    records (src/mapreduce/dht/mapreduce.hh:905-942)."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    bmps = multimodal.encode_pattern_bmp(ids, id_col="id")
+    feats = multimodal.decode_features(bmps, fake=False)
+    return feats.select("id", *_feat_cols())
+
+
+def q_media_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode -> nearest-neighbor resize -> re-encode -> decode
+    again, all through the vendored BMP codec: pattern BMPs resize to
+    12x10 with integer index sampling (src = dst*src_dim div dst_dim),
+    and the resized image's integer-exact features must match the
+    oracle's replay of the SAMPLED pixel formula. Catches header
+    re-encode bugs, row-padding mistakes, and off-by-one sampling —
+    the full binary round trip, no image library anywhere."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    bmps = multimodal.encode_pattern_bmp(ids, id_col="id")
+    small = multimodal.resize_media(bmps, width=12, height=10, fake=False)
+    feats = multimodal.decode_features(small, fake=False)
+    return feats.select("id", *_feat_cols())
+
+
 # ---------------------------------------------------------------------------
 # MapReduce surface (SURVEY §2.2) through the Pipeline API
 # ---------------------------------------------------------------------------
@@ -5559,14 +5606,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "repurchase_interval": q_repurchase_interval,
-        # positions 51-56: the residual never-windowed 6 — head of the
-        # round-7 rotation queue (VERDICT r5 task 6)
+        # positions 51-58: the residual never-windowed 6 plus the two
+        # round-6 real-BMP-decode additions — head of the round-7
+        # rotation queue (VERDICT r5 tasks 3 and 6)
         "source_xml": q_source_xml,
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
         "bitwise_funcs": q_bitwise_funcs,
         "struct_funcs": q_struct_funcs,
         "url_funcs": q_url_funcs,
+        "media_decode_bmp": q_media_decode_bmp,
+        "media_resize_bmp": q_media_resize_bmp,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9287,6 +9337,63 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "media_decode_bmp": """
+            WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                                 8 + doc_id % 7 AS h
+                          FROM documents),
+            px AS (SELECT id, w, h, c.c AS c,
+                          (3*x.x + 7*y.y + 11*c.c + id) % 256 AS v
+                   FROM dims
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) x
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c),
+            agg AS (SELECT id, w, h,
+                           sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS sr,
+                           sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS sg,
+                           sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS sb,
+                           sum(v) AS s, sum(v*v) AS q
+                    FROM px GROUP BY 1, 2, 3)
+            SELECT id,
+                   round(CAST(sr AS DOUBLE) / (w*h*255), 6) AS mean_r,
+                   round(CAST(sg AS DOUBLE) / (w*h*255), 6) AS mean_g,
+                   round(CAST(sb AS DOUBLE) / (w*h*255), 6) AS mean_b,
+                   round(CAST(s AS DOUBLE) / (3*w*h*255), 6) AS mean_all,
+                   round(sqrt(CAST(3*w*h*q - s*s AS DOUBLE))
+                         / (3*w*h*255), 6) AS std_all,
+                   round(CAST(w AS DOUBLE) / h, 6) AS aspect,
+                   round(w / 1000.0, 6) AS w_scaled,
+                   round(h / 1000.0, 6) AS h_scaled
+            FROM agg
+        """,
+        "media_resize_bmp": """
+            WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w0,
+                                 8 + doc_id % 7 AS h0
+                          FROM documents),
+            px AS (SELECT id, c.c AS c,
+                          (3*((x.x*w0)//12) + 7*((y.y*h0)//10)
+                           + 11*c.c + id) % 256 AS v
+                   FROM dims
+                   CROSS JOIN (SELECT unnest(range(0, 12)) AS x) x
+                   CROSS JOIN (SELECT unnest(range(0, 10)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c),
+            agg AS (SELECT id,
+                           sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS sr,
+                           sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS sg,
+                           sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS sb,
+                           sum(v) AS s, sum(v*v) AS q
+                    FROM px GROUP BY 1)
+            SELECT id,
+                   round(CAST(sr AS DOUBLE) / (120*255), 6) AS mean_r,
+                   round(CAST(sg AS DOUBLE) / (120*255), 6) AS mean_g,
+                   round(CAST(sb AS DOUBLE) / (120*255), 6) AS mean_b,
+                   round(CAST(s AS DOUBLE) / (360*255), 6) AS mean_all,
+                   round(sqrt(CAST(360*q - s*s AS DOUBLE))
+                         / (360*255), 6) AS std_all,
+                   round(CAST(12 AS DOUBLE) / 10, 6) AS aspect,
+                   round(12 / 1000.0, 6) AS w_scaled,
+                   round(10 / 1000.0, 6) AS h_scaled
+            FROM agg
         """,
         # no oracle (genuinely approximate): approx_distinct (HLL),
         # approx_quantiles (mergeable sketch), ann_ivf (approximate by

@@ -149,6 +149,9 @@ HEADLINE = [
     "dup_cluster_sizes",
     "repurchase_interval",
     "session_baskets",
+    # round 6 additions: real BMP decode / resize (vendored codec)
+    "media_decode_bmp",
+    "media_resize_bmp",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

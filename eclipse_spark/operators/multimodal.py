@@ -2,11 +2,21 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extract run as Arrow-batched pandas stages
-over ``mapInPandas``. The decode kernels themselves are STUBBED (the
-image/audio libraries are not in this container): ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder exercises the full Spark-side plumbing —
-schema, batching, partition sizing — which IS real and tested.
+over ``mapInPandas``.
+
+The REAL decode path is a vendored, dependency-free BMP codec
+(:func:`bmp_decode` / :func:`bmp_encode`, ~80 LoC of struct+numpy —
+24/32-bit uncompressed BI_RGB, bottom-up and top-down): actual pixel
+decoding with zero native libraries, so the kernel runs — and is
+driver-checkable — in this container. PIL, when importable, handles
+every other format (JPEG/PNG/...) on the same code path; payloads that
+are neither BMP nor PIL-decodable fail loudly. A deterministic
+``fake=True`` stub remains for plumbing-only tests. Feature extraction
+is integer-sum based (:func:`_pixel_features`): every statistic derives
+from exact integer sums over the uint8 pixel array with one IEEE
+division each, so any decoder producing the same pixels produces
+bit-identical features — and a SQL oracle can recompute them without
+ever touching bytes.
 
 Scale notes: binary payloads are heavy — operators never shuffle the
 bytes; metadata-only projections go first (column pruning drops the
@@ -17,8 +27,10 @@ bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +59,96 @@ def with_content_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     )
 
 
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BI_RGB BMP. Pure struct+numpy — no image library. Rows
+    are BGR, padded to 4-byte multiples, bottom row first (the BMP
+    default)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("bmp_encode expects an (H, W, 3) uint8 array")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # RGB -> BGR, bottom-up, per-row padding
+    bgr = arr[::-1, :, ::-1]
+    rows = bytearray()
+    zeros = b"\x00" * pad
+    for r in range(h):
+        rows += bgr[r].tobytes() + zeros
+    pixel_data = bytes(rows)
+    file_size = 14 + 40 + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed BI_RGB BMP (24- or 32-bit,
+    BITMAPINFOHEADER or larger, bottom-up or top-down) to
+    ``(width, height, (H, W, 3) uint8 RGB array)``. Pure struct+numpy.
+    Raises ValueError on anything that isn't such a BMP — callers fall
+    back to PIL (if present) or fail loudly; nothing silently degrades
+    to a stub."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    bytes_pp = bpp // 8
+    row_bytes = (w * bytes_pp + 3) & ~3
+    need = data_offset + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = rows[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def _pixel_features(arr: np.ndarray, w: int, h: int) -> list[float]:
+    """8 engine-exact features from an (H, W, 3) uint8 array: mean
+    R/G/B and global mean on the 0..1 scale, global std, aspect, and
+    w/h scaled by 1000. Every value is one IEEE double op over EXACT
+    integer sums (std = sqrt(3n*q - s^2)/(3n*255) — the variance
+    numerator stays integer), so any decoder yielding the same pixels
+    yields bit-identical features, and a SQL oracle can recompute them
+    from a pixel formula without constructing bytes."""
+    a = arr.astype(np.int64)
+    n = w * h
+    sr, sg, sb = int(a[..., 0].sum()), int(a[..., 1].sum()), int(a[..., 2].sum())
+    s = sr + sg + sb
+    q = int((a * a).sum())
+    denom = n * 255
+    denom3 = 3 * n * 255
+    return [
+        sr / denom,
+        sg / denom,
+        sb / denom,
+        s / denom3,
+        float(np.sqrt(float(3 * n * q - s * s))) / denom3,
+        w / h,
+        w / 1000.0,
+        h / 1000.0,
+    ]
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for an image decoder: 8 floats derived
     from the content hash. Lets the pipeline be end-to-end testable
@@ -66,23 +168,34 @@ def _pil_image_module():
 
 
 def _pil_decode(image_mod, payload: bytes) -> list[float]:
-    """Real image kernel (runs only when PIL is installed): decode,
-    normalize to RGB, downsample to 8x8, emit 8 floats (mean R/G/B,
-    global mean/std, aspect, and original dims scaled). Same 8-float
-    shape as the stub so the schema is identical either way."""
+    """PIL branch of the real kernel (non-BMP formats, when PIL is
+    installed): decode, normalize to RGB, then the SAME integer-exact
+    :func:`_pixel_features` recipe as the vendored BMP branch — a BMP
+    decoded by either branch yields bit-identical features."""
     import io
-
-    import numpy as np
 
     img = image_mod.open(io.BytesIO(payload)).convert("RGB")
     w, h = img.size
-    a = np.asarray(img.resize((8, 8)), dtype="float64") / 255.0
-    mr, mg, mb = a[..., 0].mean(), a[..., 1].mean(), a[..., 2].mean()
-    return [
-        float(mr), float(mg), float(mb),
-        float(a.mean()), float(a.std()),
-        float(w) / max(h, 1), float(w) / 1000.0, float(h) / 1000.0,
-    ]
+    return _pixel_features(np.asarray(img, dtype=np.uint8), w, h)
+
+
+def _real_decode(image_mod, payload: bytes) -> list[float]:
+    """Real decode kernel: vendored BMP codec for BMP payloads (always
+    available, deterministic), PIL for everything else when installed;
+    loud failure otherwise — never a silent stub."""
+    if payload[:2] == b"BM":
+        try:
+            w, h, arr = bmp_decode(payload)
+            return _pixel_features(arr, w, h)
+        except ValueError:
+            if image_mod is None:
+                raise
+    if image_mod is None:
+        raise ValueError(
+            "decode: payload is not an uncompressed BMP and PIL is not "
+            "installed; no real decoder available for this format"
+        )
+    return _pil_decode(image_mod, payload)
 
 
 def decode_features(
@@ -92,33 +205,23 @@ def decode_features(
     fake: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract as a mapInPandas stage:
-    (id, features array<double>). ``fake=True`` always uses the
-    deterministic stub (oracle-checkable). ``fake=False`` probe-imports
-    PIL per executor batch and runs the real 8x8 RGB kernel when
-    present; without PIL it raises at plan-build time — the operator
-    signature, output schema, and Arrow batching are identical in every
-    mode."""
-    if not fake and _pil_image_module() is None:
-        raise NotImplementedError(
-            "real media decode requires PIL (not in this container); "
-            "use fake=True to exercise the pipeline with the deterministic stub"
-        )
+    (id, features array<double>). ``fake=False`` (the default) runs
+    REAL pixel decoding: the vendored BMP codec for BMP payloads
+    (dependency-free — actually executes in this container), PIL for
+    other formats when installed, a loud per-payload error otherwise.
+    ``fake=True`` uses the deterministic hash stub (plumbing tests).
+    Operator signature, output schema, and Arrow batching are identical
+    in every mode."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # probed on the executor too — fns must not capture module objects
+        # probed on the executor — fns must not capture module objects
         image_mod = None if fake else _pil_image_module()
-        if not fake and image_mod is None:
-            # a driver with PIL but executors without must FAIL, not
-            # silently emit stub features for some partitions
-            raise RuntimeError(
-                "decode_features(fake=False): PIL missing on this executor"
-            )
 
         def one(b) -> list[float]:
             payload = bytes(b) if b is not None else b""
-            if image_mod is None:
+            if fake:
                 return _fake_decode(payload)
-            return _pil_decode(image_mod, payload)
+            return _real_decode(image_mod, payload)
 
         for pdf in batches:
             yield pd.DataFrame({"id": pdf[id_col], "features": pdf[bytes_col].map(one)})
@@ -137,36 +240,42 @@ def resize_media(
     """Resize stage (bytes -> bytes), completing the decode /
     feature-extract / RESIZE / frame-sample set: an Arrow-batched
     mapInPandas kernel emitting (id, bytes, width, height) with the
-    payload re-encoded at the target size. ``fake=True`` runs the
-    deterministic stub — the output payload is the content's sha256
-    digest tiled to exactly width*height*3 bytes, so downstream code
-    sees correctly-sized buffers and an external oracle can recompute
-    the payload from the digest. ``fake=False`` probe-imports PIL and
-    re-encodes a real ``resize((width, height))`` as PNG; without PIL
-    it raises at plan-build time. Binary payloads stay inside the
-    map stage — nothing here shuffles bytes."""
-    if not fake and _pil_image_module() is None:
-        raise NotImplementedError(
-            "real media resize requires PIL (not in this container); "
-            "use fake=True to exercise the pipeline with the deterministic stub"
-        )
+    payload re-encoded at the target size. ``fake=False`` (real path):
+    BMP payloads decode via the vendored codec, resize by
+    deterministic nearest-neighbor index sampling
+    (``src = dst * src_dim div dst_dim`` — pure integer, so any engine
+    replays it exactly), and re-encode as 24-bit BMP; non-BMP formats
+    go through PIL (PNG re-encode) when installed, else fail loudly
+    per payload. ``fake=True`` runs the deterministic stub — the
+    output payload is the content's sha256 digest tiled to exactly
+    width*height*3 bytes, so an external oracle can recompute it from
+    the digest. Binary payloads stay inside the map stage — nothing
+    here shuffles bytes."""
     n_out = width * height * 3
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = None if fake else _pil_image_module()
-        if not fake and image_mod is None:
-            # mixed driver/executor environments must fail loudly, not
-            # degrade to the deterministic stub per-partition
-            raise RuntimeError(
-                "resize_media(fake=False): PIL missing on this executor"
-            )
 
         def one(b) -> bytes:
             payload = bytes(b) if b is not None else b""
-            if image_mod is None:
+            if fake:
                 digest = hashlib.sha256(payload).digest()
                 reps = -(-n_out // len(digest))
                 return (digest * reps)[:n_out]
+            if payload[:2] == b"BM":
+                try:
+                    w0, h0, arr = bmp_decode(payload)
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    return bmp_encode(np.ascontiguousarray(arr[ys][:, xs]))
+                except ValueError:
+                    if image_mod is None:
+                        raise
+            if image_mod is None:
+                raise ValueError(
+                    "resize: payload is not an uncompressed BMP and PIL "
+                    "is not installed; no real decoder for this format"
+                )
             import io
 
             img = image_mod.open(io.BytesIO(payload)).convert("RGB")
@@ -187,6 +296,38 @@ def resize_media(
     return df.select(id_col, bytes_col).mapInPandas(
         _run, schema="id long, bytes binary, width int, height int"
     )
+
+
+def encode_pattern_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic synthetic image corpus: one real 24-bit BMP per
+    id — dimensions ``(8 + id % 9) x (8 + id % 7)`` and pixel value
+    ``(3x + 7y + 11c + id) % 256`` at column x, row y, channel c. The
+    formula is trivially replayable in SQL (pure non-negative integer
+    arithmetic), which is what makes END-TO-END decode checks possible:
+    an oracle computes the expected pixel statistics from the formula
+    while the engine must recover them by actually parsing the BMP
+    bytes this stage encodes. Arrow-batched mapInPandas; bytes are born
+    inside the stage, never shuffled in."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 9, 8 + d % 7
+                xs = np.arange(w)
+                ys = np.arange(h)
+                cs = np.arange(3)
+                v = (
+                    3 * xs[None, :, None]
+                    + 7 * ys[:, None, None]
+                    + 11 * cs[None, None, :]
+                    + d
+                ) % 256
+                payloads.append(bmp_encode(v.astype(np.uint8)))
+            yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
+
+    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
 
 
 def frame_sample_plan(

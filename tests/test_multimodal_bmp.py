@@ -1,0 +1,146 @@
+"""Vendored BMP codec + real media decode/resize kernels (VERDICT r5
+task 3: promote the multimodal component from stub-only to real pixel
+decoding with zero native dependencies)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from eclipse_spark.operators.multimodal import (
+    _pixel_features,
+    bmp_decode,
+    bmp_encode,
+    decode_features,
+    encode_pattern_bmp,
+    read_binary_dir,
+    resize_media,
+)
+
+
+def _rand(h, w, seed):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def test_bmp_roundtrip_all_padding_widths():
+    # widths 1..8 cover every row-padding residue (w*3 mod 4)
+    for w in range(1, 9):
+        for h in (1, 3, 7):
+            arr = _rand(h, w, seed=w * 10 + h)
+            w2, h2, dec = bmp_decode(bmp_encode(arr))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(dec, arr)
+
+
+def test_bmp_decode_topdown_and_32bpp():
+    arr = _rand(2, 3, seed=9)
+    rows = b""
+    for y in range(2):
+        for x in range(3):
+            r, g, b = arr[y, x]
+            rows += bytes([b, g, r, 255])
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 3, -2, 1, 32, 0, len(rows), 0, 0, 0, 0
+    )
+    w2, h2, dec = bmp_decode(hdr + info + rows)
+    assert (w2, h2) == (3, 2)
+    assert np.array_equal(dec, arr)
+
+
+def test_bmp_decode_rejects_garbage():
+    for bad in (b"", b"BM", b"PNG\x00" * 20, b"BM" + b"\x00" * 60):
+        with pytest.raises(ValueError):
+            bmp_decode(bad)
+    # compressed / paletted BMPs are out of scope and must not
+    # silently mis-decode
+    arr = _rand(2, 2, seed=1)
+    enc = bytearray(bmp_encode(arr))
+    struct.pack_into("<I", enc, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(enc))
+
+
+def test_pixel_features_exact_integer_recipe():
+    arr = _rand(5, 9, seed=3)
+    f = _pixel_features(arr, 9, 5)
+    a = arr.astype(np.int64)
+    n = 45
+    s = int(a.sum())
+    q = int((a * a).sum())
+    assert f[0] == int(a[..., 0].sum()) / (n * 255)
+    assert f[3] == s / (3 * n * 255)
+    assert f[4] == math.sqrt(float(3 * n * q - s * s)) / (3 * n * 255)
+    assert f[5] == 9 / 5 and f[6] == 0.009 and f[7] == 0.005
+
+
+def test_decode_features_real_path_parses_actual_bmps(spark):
+    ids = spark.range(0, 40).selectExpr("id")
+    feats = {
+        r.id: r.features
+        for r in decode_features(
+            encode_pattern_bmp(ids), fake=False
+        ).collect()
+    }
+    assert len(feats) == 40
+    for d in (0, 7, 13, 39):
+        w, h = 8 + d % 9, 8 + d % 7
+        xs, ys, cs = np.arange(w), np.arange(h), np.arange(3)
+        v = (
+            3 * xs[None, :, None]
+            + 7 * ys[:, None, None]
+            + 11 * cs[None, None, :]
+            + d
+        ) % 256
+        expect = _pixel_features(v.astype(np.uint8), w, h)
+        assert feats[d] == expect
+
+
+def test_decode_features_real_path_fails_loudly_on_non_bmp(spark):
+    # PIL is absent in this container: a non-BMP payload must raise,
+    # never silently emit stub features
+    df = spark.createDataFrame([(1, bytearray(b"not an image"))],
+                               "id long, bytes binary")
+    with pytest.raises(Exception, match="not an uncompressed BMP"):
+        decode_features(df, fake=False).collect()
+
+
+def test_resize_media_real_path_roundtrips(spark):
+    ids = spark.range(0, 12).selectExpr("id")
+    bmps = encode_pattern_bmp(ids)
+    out = {
+        r.id: r
+        for r in resize_media(bmps, width=12, height=10, fake=False).collect()
+    }
+    assert len(out) == 12
+    for d in (0, 5, 11):
+        w2, h2, arr = bmp_decode(bytes(out[d].bytes))
+        assert (w2, h2) == (12, 10)
+        w0, h0 = 8 + d % 9, 8 + d % 7
+        for yo, xo in ((0, 0), (9, 11), (4, 6)):
+            sx, sy = (xo * w0) // 12, (yo * h0) // 10
+            for c in range(3):
+                assert arr[yo, xo, c] == (3 * sx + 7 * sy + 11 * c + d) % 256
+
+
+def test_binary_file_source_roundtrips_bmp_fixtures(spark, tmp_path):
+    """BMP fixtures written to disk, ingested via the binaryFile
+    source, and really decoded — the full media ingest path."""
+    fix = tmp_path / "bmps"
+    fix.mkdir()
+    expected = {}
+    for d in range(6):
+        arr = _rand(4 + d, 5 + d, seed=d)
+        (fix / f"img_{d}.bmp").write_bytes(bmp_encode(arr))
+        expected[d] = _pixel_features(arr, 5 + d, 4 + d)
+    df = read_binary_dir(spark, str(fix)).selectExpr(
+        "CAST(regexp_extract(path, 'img_(\\\\d+)', 1) AS LONG) AS id",
+        "content AS bytes",
+    )
+    got = {r.id: r.features for r in decode_features(df, fake=False).collect()}
+    assert got == expected

@@ -70,26 +70,34 @@ def test_content_meta(media_df):
     assert len(rows[1]["content_hash"]) == 64
 
 
-def test_decode_features_real_kernel_or_raise(media_df, spark):
-    """fake=False probe-imports PIL: without it the plan-build raises;
-    with it the real 8x8 RGB kernel runs and keeps the 8-float schema."""
-    if multimodal._pil_image_module() is None:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_features(media_df, fake=False)
-        return
-    import io
+def test_decode_features_real_kernel_bmp_without_pil(spark):
+    """fake=False runs REAL decoding with no image library: the
+    vendored BMP codec handles BMP payloads; a solid-red BMP must
+    yield high mean_r / zero mean_g."""
+    import numpy as np
 
-    from PIL import Image
+    from eclipse_spark.operators.multimodal import bmp_encode
 
-    buf = io.BytesIO()
-    Image.new("RGB", (16, 12), (255, 0, 0)).save(buf, format="PNG")
+    arr = np.zeros((12, 16, 3), dtype=np.uint8)
+    arr[..., 0] = 255
     df = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), (16, 12, "image/png"))],
+        [(1, "image", bytearray(bmp_encode(arr)), (16, 12, "image/bmp"))],
         multimodal.MEDIA_SCHEMA,
     )
     feats = multimodal.decode_features(df, fake=False).collect()[0]["features"]
     assert len(feats) == 8
-    assert feats[0] > 0.9 and feats[1] < 0.1  # solid red: R high, G low
+    assert feats[0] == 1.0 and feats[1] == 0.0  # solid red
+    assert feats[5] == 16 / 12  # aspect from real header parse
+
+
+def test_decode_features_real_kernel_non_bmp_without_pil_raises(media_df):
+    """Non-BMP payloads with PIL absent must fail loudly at execution
+    (never silently emit stub features). With PIL installed the same
+    payloads go through the PIL branch instead."""
+    if multimodal._pil_image_module() is not None:
+        pytest.skip("PIL present: non-BMP payloads decode for real")
+    with pytest.raises(Exception, match="not an uncompressed BMP"):
+        multimodal.decode_features(media_df, fake=False).collect()
 
 
 def test_decode_features_fake_is_deterministic(media_df):
@@ -114,24 +122,23 @@ def test_resize_media_stub_payload_exact(media_df):
         assert (out[i]["width"], out[i]["height"]) == (4, 2)
 
 
-def test_resize_media_real_kernel_or_raise(media_df, spark):
-    if multimodal._pil_image_module() is None:
-        with pytest.raises(NotImplementedError):
-            multimodal.resize_media(media_df, fake=False)
-        return
-    import io
+def test_resize_media_real_kernel_bmp_without_pil(spark):
+    """Real resize path with no image library: BMP in, nearest-neighbor
+    sampled BMP out at the target dimensions."""
+    import numpy as np
 
-    from PIL import Image
+    from eclipse_spark.operators.multimodal import bmp_decode, bmp_encode
 
-    buf = io.BytesIO()
-    Image.new("RGB", (16, 12), (0, 255, 0)).save(buf, format="PNG")
+    arr = np.zeros((12, 16, 3), dtype=np.uint8)
+    arr[..., 1] = 200
     df = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), (16, 12, "image/png"))],
+        [(1, "image", bytearray(bmp_encode(arr)), (16, 12, "image/bmp"))],
         multimodal.MEDIA_SCHEMA,
     )
     row = multimodal.resize_media(df, width=8, height=8, fake=False).collect()[0]
-    img = Image.open(io.BytesIO(bytes(row["bytes"])))
-    assert img.size == (8, 8)
+    w2, h2, dec = bmp_decode(bytes(row["bytes"]))
+    assert (w2, h2) == (8, 8)
+    assert (dec[..., 1] == 200).all() and (dec[..., 0] == 0).all()
 
 
 def test_frame_sample_plan(media_df):
