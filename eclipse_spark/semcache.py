@@ -21,6 +21,17 @@ engine code. This module is that code:
 - miss -> compute, materialize, register; LRU-evict over budget like
   ``cache.hh:72-94`` (evict unlocked tail until the new entry fits).
 
+Concurrency (N sessions sharing one cache root, like Orthrus' N
+per-node caches over one DHT): hits never rewrite the manifest —
+recency lives in per-entry TOUCH FILES (``<fp>.touch`` mtime), so the
+hot path is one utime, not a whole-manifest rewrite whose
+write-and-rename would drop a concurrent session's fresh registration
+(round-5 defect). Structural writes (register/evict/invalidate) MERGE
+with the on-disk manifest before the atomic rename: another session's
+entries survive, resurrection of entries a peer evicted is prevented
+by an existence check on the entry's parquet path. Entry byte-sizes
+are deterministic per fingerprint, so merge conflicts are benign.
+
 At 100 TB the cache directory lives on shared storage (S3/HDFS) so a
 hit is a parquet scan — still a win when the cached subtree contains
 shuffles or Python UDF stages.
@@ -71,23 +82,58 @@ class SemanticCache:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, self._MANIFEST)
 
-    def _load_manifest(self) -> None:
+    def _read_disk_manifest(self) -> dict[str, dict]:
         try:
             with open(self._manifest_path()) as f:
-                self._entries = json.load(f)
+                return json.load(f)
         except (OSError, ValueError):
-            self._entries = {}
+            return {}
+
+    def _load_manifest(self) -> None:
+        self._entries = self._read_disk_manifest()
 
     def _save_manifest(self) -> None:
-        # Write-and-rename so a concurrent session reading the manifest
-        # never observes a torn file.
-        tmp = self._manifest_path() + ".tmp"
+        """Structural write (register / evict / invalidate): MERGE with
+        the current on-disk manifest so a concurrent session's
+        registrations are never dropped, then write-and-rename so a
+        reader never observes a torn file. Our removals win via the
+        existence check (an entry whose parquet dir is gone — evicted
+        by us or a peer — is not resurrected); our upserts win on
+        conflict, which is benign because the only mutable field,
+        recency, lives in touch files, not here."""
+        disk = self._read_disk_manifest()
+        merged = {
+            fp: e
+            for fp, e in disk.items()
+            if fp in self._entries or os.path.exists(self._entry_path(fp))
+        }
+        merged.update(self._entries)
+        self._entries = merged
+        tmp = self._manifest_path() + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(self._entries, f)
+            json.dump(merged, f)
         os.replace(tmp, self._manifest_path())
 
     def _entry_path(self, fp: str) -> str:
         return os.path.join(self.root, f"{fp}.parquet")
+
+    # -- recency: per-entry touch files (no manifest write per hit) -----
+    def _touch_path(self, fp: str) -> str:
+        return os.path.join(self.root, f"{fp}.touch")
+
+    def _touch(self, fp: str) -> None:
+        p = self._touch_path(fp)
+        try:
+            os.utime(p)
+        except OSError:
+            with open(p, "a"):
+                pass
+
+    def _last_access(self, fp: str) -> float:
+        try:
+            return os.path.getmtime(self._touch_path(fp))
+        except OSError:
+            return float(self._entries.get(fp, {}).get("last_access", 0.0))
 
     @staticmethod
     def _dir_bytes(path: str) -> int:
@@ -102,12 +148,15 @@ class SemanticCache:
         """Icache-hit path: return the materialized result, or None."""
         entry = self._entries.get(fingerprint)
         path = self._entry_path(fingerprint)
+        if entry is None and os.path.exists(path):
+            # registered by a concurrent session after our last load
+            self._load_manifest()
+            entry = self._entries.get(fingerprint)
         if entry is None or not os.path.exists(path):
             self.stats.misses += 1
             return None
-        entry["last_access"] = time.time()  # move-to-front (cache.hh:52-60)
-        self._save_manifest()
-        self.stats.hits += 1
+        self._touch(fingerprint)  # move-to-front (cache.hh:52-60) — one
+        self.stats.hits += 1      # utime, NO whole-manifest rewrite
         self._pinned.add(fingerprint)  # see _pinned: lazy reads must survive
         return self.spark.read.parquet(path)
 
@@ -121,7 +170,9 @@ class SemanticCache:
             "bytes": self._dir_bytes(path),
             "last_access": time.time(),
         }
-        self._evict(keep=fingerprint)
+        self._touch(fingerprint)
+        self._save_manifest()  # merge-write BEFORE evicting: the LRU
+        self._evict(keep=fingerprint)  # scan must see peers' entries
         self._save_manifest()
         return self.spark.read.parquet(path)
 
@@ -138,16 +189,21 @@ class SemanticCache:
         total = sum(e["bytes"] for e in self._entries.values())
         if total <= self.budget_bytes:
             return
-        # Oldest-access first; the just-written entry and every entry
-        # handed out this session are locked, like Eclipse skipping
-        # locked entries at the LRU tail (cache.hh:78-86).
-        for fp, _e in sorted(self._entries.items(), key=lambda kv: kv[1]["last_access"]):
+        # Oldest-access first (touch-file mtime = cross-session
+        # recency); the just-written entry and every entry handed out
+        # this session are locked, like Eclipse skipping locked entries
+        # at the LRU tail (cache.hh:78-86).
+        for fp in sorted(self._entries, key=self._last_access):
             if total <= self.budget_bytes:
                 break
             if fp == keep or fp in self._pinned:
                 continue
             total -= self._entries[fp]["bytes"]
             shutil.rmtree(self._entry_path(fp), ignore_errors=True)
+            try:
+                os.remove(self._touch_path(fp))
+            except OSError:
+                pass
             del self._entries[fp]
             self.stats.evictions += 1
 
@@ -155,6 +211,10 @@ class SemanticCache:
         targets = [fingerprint] if fingerprint else list(self._entries)
         for fp in targets:
             shutil.rmtree(self._entry_path(fp), ignore_errors=True)
+            try:
+                os.remove(self._touch_path(fp))
+            except OSError:
+                pass
             self._entries.pop(fp, None)
             self._pinned.discard(fp)
         self._save_manifest()

@@ -82,3 +82,41 @@ def test_invalidate(spark, tmp_path):
     assert cache.lookup("fp_x") is not None
     cache.invalidate("fp_x")
     assert cache.lookup("fp_x") is None
+
+
+def test_two_sessions_share_root_without_losing_registrations(spark, tmp_path):
+    """VERDICT r5 task 4: hits must not rewrite the manifest (the old
+    write-and-rename was last-writer-wins and could drop a concurrent
+    session's fresh registration). Two SemanticCache instances on one
+    root: each registers its own entry, each hammers hits on its own —
+    a fresh third instance must see BOTH."""
+    root = str(tmp_path / "shared")
+    a = SemanticCache(spark, root)
+    b = SemanticCache(spark, root)
+    a.materialize("fp_a", spark.range(3))
+    b.materialize("fp_b", spark.range(4))  # b merges: must not drop fp_a
+    # hits on stale in-memory views must not clobber the other session
+    for _ in range(3):
+        assert a.lookup("fp_a") is not None
+        assert b.lookup("fp_b") is not None
+    # a's view predates fp_b's registration; a structural write from a
+    # (a third entry) must still preserve fp_b via the merge
+    a.materialize("fp_c", spark.range(5))
+    fresh = SemanticCache(spark, root)
+    assert fresh.lookup("fp_a") is not None
+    assert fresh.lookup("fp_b") is not None
+    assert fresh.lookup("fp_c") is not None
+    assert fresh.stats.misses == 0
+
+
+def test_cross_session_hit_after_peer_registration(spark, tmp_path):
+    """A session constructed BEFORE a peer registered an entry must
+    still hit on it (manifest reloaded when the parquet exists but the
+    in-memory view doesn't know it)."""
+    root = str(tmp_path / "shared2")
+    early = SemanticCache(spark, root)
+    late = SemanticCache(spark, root)
+    late.materialize("fp_z", spark.range(7))
+    got = early.lookup("fp_z")
+    assert got is not None and got.count() == 7
+    assert early.stats.hits == 1

@@ -1,0 +1,110 @@
+"""sf-scaling probe (VERDICT r5 task 5): run the heaviest headline
+queries at sf0.1 AND at the derived 10x scale-up
+(tools/make_scaled_sf.py -> benchdata/sf1) and record the time ratio
+per query in bench_scaling.json (merged into bench_full.json by
+bench.py). A ratio >> 10 on 10x data exposes a superlinear plan the
+sf0.1 bench cannot see — the apss candidate-volume caveat, LSH band
+skew, any accidental quadratic.
+
+Ratios are wall-clock min-of-2 after one warm run, same protocol as
+bench.py. Run: python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# the heaviest queries from BENCH r05/r06 plus every near-dup / ANN /
+# graph pipeline whose cost model could hide superlinearity
+PROBE = [
+    "apss_cosine",
+    "minhash_estimate",
+    "minhash_candidates",
+    "lsh_s_curve",
+    "semdedup",
+    "ann_pq",
+    "pq_encode",
+    "label_propagation",
+    "clustering_coeff",
+    "pagerank",
+    "triangle_count",
+    "data_profile",
+    "incremental_dedup",
+    "bpe_encode",
+]
+
+
+def _time(fn, spark, sf_dir) -> float:
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    small = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.path.join(REPO, "benchdata", "sf1")
+    if not os.path.exists(os.path.join(big, "lineitem.parquet")):
+        raise SystemExit("run tools/make_scaled_sf.py first")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("eclipse_spark_scale_probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    out: dict[str, dict] = {}
+    for name in PROBE:
+        fn = queries[name]
+        t_small = _time(fn, spark, small)
+        spark.catalog.clearCache()
+        t_big = _time(fn, spark, big)
+        spark.catalog.clearCache()
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(ratio, 2),
+        }
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x",
+              flush=True)
+    payload = {
+        "data_ratio": 10,
+        "note": "sf1 is the derived 10x replication of sf0.1 "
+                "(tools/make_scaled_sf.py); ratio ~<= 10 + shuffle "
+                "log-factors = linear-ish plan, >> 10 = superlinear",
+        "queries": out,
+        "max_ratio": max(v["ratio"] for v in out.values()),
+    }
+    with open(os.path.join(REPO, "bench_scaling.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps({"max_ratio": payload["max_ratio"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
