@@ -1934,6 +1934,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first OVERLAPPING repeated-substring removal
+    (text.exact_substring_dedup) — the Lee et al. 2022 ExactSubstr
+    rule as sliding 10-token-window hashing: windows repeated anywhere
+    in the corpus keep their globally-first occurrence, every other
+    occurrence's token range is cut, documents rebuilt in order. The
+    synthetic corpus' tiny vocabulary repeats 10-grams naturally
+    (~4.6% of tokens at sf0.01), so removal is non-degenerate. Oracle
+    replays tokenize -> overlapping windows -> portable hash count ->
+    first-occurrence election -> coverage -> rebuild, including the
+    reassembled text."""
+    return text.exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), k=10, min_occurrences=2, portable=True
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining source-mixture reweighting (text.mixture_sample):
     scale four sources to a 0.4/0.3/0.2/0.1 token mixture at the
@@ -5617,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": q_url_funcs,
         "media_decode_bmp": q_media_decode_bmp,
         "media_resize_bmp": q_media_resize_bmp,
+        "substring_dedup": q_substring_dedup,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9338,6 +9355,41 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
         """,
+        "substring_dedup": """
+            WITH tok AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+            win AS (SELECT doc_id,
+                           unnest(range(1, greatest(len(toks) - 9, 0) + 1))
+                             AS s,
+                           toks
+                    FROM tok),
+            wn AS (SELECT doc_id, s,
+                          array_to_string(toks[s:s+9], ' ') AS w
+                   FROM win),
+            hv AS (SELECT doc_id, s, {HEX15} AS h
+                   FROM (SELECT doc_id, s, md5(w) AS mh FROM wn) x),
+            duph AS (SELECT h FROM hv GROUP BY h HAVING count(*) >= 2),
+            dw AS (SELECT doc_id, s,
+                          row_number() OVER (PARTITION BY h
+                                             ORDER BY doc_id, s) AS rn
+                   FROM hv SEMI JOIN duph USING (h)),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10)) AS ti
+                    FROM dw WHERE rn >= 2),
+            tp AS (SELECT doc_id, r.i AS ti, toks[r.i] AS tk
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+            kept AS (SELECT tp.doc_id, tp.ti, tp.tk
+                     FROM tp ANTI JOIN cov USING (doc_id, ti)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(tk, ' ' ORDER BY ti) AS text,
+                               count(*) AS n_kept
+                        FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(r.text, '') AS text,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+        """.replace("{TOKENS}", TOKENS_SQL)
+           .replace("{HEX15}", _sql_hex15("mh", 0)),
         "media_decode_bmp": """
             WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
                                  8 + doc_id % 7 AS h

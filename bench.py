@@ -149,9 +149,11 @@ HEADLINE = [
     "dup_cluster_sizes",
     "repurchase_interval",
     "session_baskets",
-    # round 6 additions: real BMP decode / resize (vendored codec)
+    # round 6 additions: real BMP decode / resize (vendored codec),
+    # keep-first overlapping substring dedup (Lee et al. ExactSubstr)
     "media_decode_bmp",
     "media_resize_bmp",
+    "substring_dedup",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -574,6 +574,113 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_occurrences: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep-first OVERLAPPING repeated-substring removal — the
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) ExactSubstr rule re-expressed for Spark: any
+    ``k``-token window occurring >= ``min_occurrences`` times anywhere
+    in the corpus is a repeat; the globally FIRST occurrence (min
+    (id, position)) of each distinct window survives, every other
+    occurrence's token range is cut, and documents are rebuilt from
+    their surviving tokens in order. Complements :func:`span_dedup`
+    (non-overlapping C4 spans, drop-all): overlapping windows catch
+    repeats at ANY alignment — the suffix-array use case — and
+    keep-first preserves exactly one copy of shared content instead of
+    deleting it everywhere.
+
+    Scale shape (the suffix array itself is pointer-chasing and
+    cluster-hostile; sliding k-gram hashing is the distributable
+    equivalent): one overlapping-window explode (n-k+1 rows per doc —
+    same order as the corpus token count; only (id, start, 60-bit
+    hash) fixed-width rows shuffle, never window text), a map-side
+    combined hash-count aggregate, a semi-join back on the hash, ONE
+    row_number window per hash partition to elect first occurrences
+    (deterministic: (id, start) is unique), a x``k`` coverage explode
+    on LOSER windows only, and the (id)-keyed rebuild join. No
+    broadcast of anything corpus-sized.
+
+    ``portable=True`` hashes with the md5-derived 60-bit hash so an
+    external SQL oracle replays the pipeline exactly.
+
+    Returns (id_col, text, n_tokens, n_tokens_removed); empty/short
+    docs (< k tokens) pass through untouched."""
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).persist()  # two consumers: window explode + token rebuild
+    n_win = F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(0))
+    wins = base.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                n_win > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_p0", "_win"),
+    )
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        h = portable_hash60(F.md5("_win"), 0)
+    else:
+        h = F.xxhash64("_win")
+    hashed = wins.select(
+        "_id", (F.col("_p0") + 1).alias("_start"), h.alias("_h")
+    )
+    dup_hashes = (
+        hashed.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("_h")
+    )
+    dup_wins = hashed.join(dup_hashes, "_h", "left_semi")
+    first_w = Window.partitionBy("_h").orderBy("_id", "_start")
+    losers = dup_wins.withColumn(
+        "_rn", F.row_number().over(first_w)
+    ).filter(F.col("_rn") >= 2)
+    covered = losers.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + F.lit(k - 1))
+        ).alias("_ti"),
+    ).distinct()
+    toks_pos = base.select(
+        "_id", F.posexplode("_toks").alias("_t0", "_tok")
+    ).withColumn("_ti", F.col("_t0") + 1)
+    kept = toks_pos.join(covered, ["_id", "_ti"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ti", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    sizes = base.select("_id", F.size("_toks").alias("_n_toks"))
+    return (
+        sizes.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("_n_toks").cast("long").alias("n_tokens"),
+            (F.col("_n_toks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -165,6 +165,37 @@ def test_span_dedup_portable_matches_default(spark, sf_smoke):
     assert a == b
 
 
+def test_exact_substring_dedup_keep_first_overlapping(spark):
+    """Lee-et-al ExactSubstr semantics: the globally FIRST occurrence
+    of a repeated k-window survives; later occurrences are cut at ANY
+    alignment; short and empty docs pass through."""
+    from eclipse_spark.operators.text import exact_substring_dedup
+
+    shared = "a b c d e f g h i j"  # 10 tokens = one k=10 window
+    rows = [
+        (1, shared + " unique one two"),
+        (2, "xx yy " + shared + " zz"),  # repeat mid-doc, offset 2
+        (3, "totally different text here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=10).collect()}
+    assert out[1].n_tokens_removed == 0
+    assert out[1].text == shared + " unique one two"
+    assert out[2].text == "xx yy zz" and out[2].n_tokens_removed == 10
+    assert out[3].n_tokens_removed == 0
+    assert out[4].text == "" and out[4].n_tokens == 0
+
+
+def test_exact_substring_dedup_portable_matches_default(spark, sf_smoke):
+    from eclipse_spark.operators.text import exact_substring_dedup
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = exact_substring_dedup(docs, portable=False).orderBy("doc_id").collect()
+    b = exact_substring_dedup(docs, portable=True).orderBy("doc_id").collect()
+    assert a == b
+
+
 def test_mixture_sample_respects_weights_and_budget(spark, sf_smoke):
     """No source may exceed its keep threshold's implied share; the
     binding source (min tokens/weight) keeps everything (frac=1)."""
