@@ -287,6 +287,110 @@ def minhash_dedup(
 # -- connected components (cluster dedup) ----------------------------
 
 
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """(node, component) via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the at-scale upgrade over :func:`connected_components`' plain
+    min-label propagation: rounds needed drop from GRAPH DIAMETER to
+    O(log n), because each large-star hop re-attaches every node
+    directly to the smallest node of its neighborhood, halving path
+    lengths instead of walking them. Same output contract as
+    ``connected_components`` (component id = smallest node id), so the
+    two are interchangeable and cross-checked in tests.
+
+    Per round: large-star (symmetric neighbor view -> per-node min ->
+    re-emit (bigger-neighbor, min)) then small-star (edges oriented
+    large->small -> per-node min -> re-star), each ONE groupBy shuffle
+    + one key join, localCheckpoint'd so lineage stays flat.
+    Convergence detected by an O(1) checksum aggregate (count + two
+    weighted endpoint sums) — no per-round data collect. High-diameter
+    graphs (long chains — exactly where min-label propagation needs
+    diameter rounds) converge in a handful of rounds."""
+    E = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        E.select(F.col("u").alias("node"))
+        .union(E.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: attach every strictly-larger neighbor of u
+        # to m(u) = min(N(u) + {u})
+        sym = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient large->small, re-star each node onto
+        # its minimum neighbor
+        d = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            d.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("a"), F.col("m").alias("b")
+                        ),
+                        F.struct(
+                            F.col("u").alias("a"), F.col("m").alias("b")
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select(
+                F.greatest("_e.a", "_e.b").alias("u"),
+                F.least("_e.a", "_e.b").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            ss.agg(
+                F.count("*"), F.sum("u"), F.sum("v"), F.sum(F.col("u") * 3 + F.col("v"))
+            ).collect()[0]
+        )
+        E = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged E is a star forest: (child, root) with root = component
+    # min; roots and isolated nodes label themselves
+    mapping = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        all_nodes.join(mapping, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -308,9 +412,13 @@ def connected_components(
     near-dup clusters from LSH buckets are shallow (a handful of
     rounds). Convergence is detected with a monotone O(1) aggregate
     (labels only ever decrease, so the label sum strictly decreases
-    until the fixpoint) — no per-round data collect. For adversarial
-    high-diameter graphs the standard upgrade is large-star/small-star
-    (Kiveris et al.), same per-round join shape."""
+    until the fixpoint) — no per-round data collect. If the fixpoint
+    is NOT reached within ``max_iter`` rounds (diameter > max_iter,
+    e.g. a 30-node chain at the default 20), the operator RAISES
+    instead of silently returning partially-propagated labels (wrong
+    clusters would corrupt every downstream dedup decision); for
+    high-diameter graphs use :func:`connected_components_star`, which
+    converges in O(log n) rounds."""
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -321,6 +429,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -339,8 +448,15 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter or "
+            "use connected_components_star (O(log n) rounds)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

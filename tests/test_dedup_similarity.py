@@ -127,6 +127,53 @@ def test_connected_components_chain_and_cycle(spark):
     assert got == _uf_components(edges, nodes)
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star must produce the identical (node, min-id
+    component) map as union-find — including a diameter-99 chain that
+    min-label propagation cannot finish inside its default budget."""
+    import random as _random
+
+    cases = [
+        [(1, 2)],
+        [(i, i + 1) for i in range(1, 100)],  # diameter 99
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 10)],
+    ]
+    _random.seed(5)
+    cases.append(
+        list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (_random.randint(1, 200), _random.randint(1, 200))
+                    for _ in range(180)
+                )
+                if a != b
+            }
+        )
+    )
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components_star(df).collect()
+        }
+        nodes = {n for e in edges for n in e}
+        assert got == _uf_components(edges, nodes)
+
+
+def test_connected_components_raises_past_diameter_budget(spark):
+    """Silent partial propagation is banned: a diameter-29 chain at
+    max_iter=20 must raise (pointing at the star variant), never
+    return wrong clusters."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="connected_components_star"):
+        dedup.connected_components(df, max_iter=20).collect()
+
+
 def test_near_dedup_cc_collapses_chains(spark):
     """Transitive chain a~b, b~c (a never directly paired with c) must
     leave exactly one survivor — the pairwise-drop shape can't express
