@@ -4624,6 +4624,83 @@ def q_events_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def q_events_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF enrichment against an effective-dated dimension
+    — the temporal-join shape Structured Streaming cannot express with
+    built-in stream joins (no window functions over a stream): each
+    micro-batch runs relational.asof_join (backward) against a SPARSE
+    static rate table (only every third week carries a factor, so
+    matches genuinely look backward across weeks, not equi-join), the
+    adjusted revenue folds into a Catalog view through apply_ivm_batch
+    (the round-6 exactly-once write-ahead-intent sink), and the
+    drained view must equal the batch as-of join + aggregate — the
+    oracle. Composes: as-of in foreachBatch + idempotent additive
+    sink."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.operators.relational import asof_join
+    from eclipse_spark.storage import Catalog
+    from eclipse_spark.streaming.windows import apply_ivm_batch
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    week_no = F.expr("unix_timestamp(date_trunc('week', ts)) div 604800")
+    dim = (
+        ev.select(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).alias("eff_ts"),
+            (week_no % 7 + 1).cast("long").alias("factor"),
+        )
+        .filter(week_no % 3 == 0)
+        .distinct()
+    )
+    stream = _event_stream(spark, sf_dir).select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="eclipse_stream_asof_")
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"), retain_versions=1)
+
+        def _apply(bdf: DataFrame, bid: int) -> None:
+            j = asof_join(
+                bdf,
+                dim,
+                on=["event_type"],
+                left_ts="ts",
+                right_ts="eff_ts",
+                right_payload=["factor"],
+                direction="backward",
+            )
+            j = j.filter(F.col("asof_factor").isNotNull()).withColumn(
+                "adj", F.col("value") * F.col("asof_factor")
+            )
+            apply_ivm_batch(
+                cat,
+                "asof_view",
+                j.select("event_type", "adj"),
+                bid,
+                keys=["event_type"],
+                sum_cols={"adj": "sum_adj"},
+            )
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = cat.get("asof_view").select(
+            "event_type",
+            "n_rows",
+            F.col("sum_adj").cast("double").alias("sum_adj"),
+        )
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend fit (profile.linear_fit): hourly value sums
     regressed on the hour index with DECIMAL moment sums — engine-
@@ -5591,12 +5668,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DAU-MAU/TWA/reconciliation/Pareto/rank-movers/heatmap/HHI/
     dup-cluster-sizes/repurchase-interval).
 
-    Positions 51-60 are the round-7 rotation queue: the residual
+    Positions 51-61 are the round-7 rotation queue: the residual
     never-windowed 6 (XML source, text_normalize, equidepth_histogram,
-    bitwise/struct/url scalar suites) followed by the four round-6
+    bitwise/struct/url scalar suites) followed by the five round-6
     additions (real-BMP media_decode_bmp / media_resize_bmp, the
-    keep-first overlapping substring_dedup, and the large-star/
-    small-star cc_star) — with them green the registry is fully
+    keep-first overlapping substring_dedup, the large-star/small-star
+    cc_star, and the streaming as-of enrichment with exactly-once IVM
+    sink events_stream_asof) — with them green the registry is fully
     driver-evidenced. Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01..r05.json) and every query at
     every position stays locally oracle-checked by
@@ -5668,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_bmp": q_media_resize_bmp,
         "substring_dedup": q_substring_dedup,
         "cc_star": q_cc_star,
+        "events_stream_asof": q_events_stream_asof,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9412,6 +9491,29 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "events_stream_asof": """
+            WITH dim AS (
+              SELECT DISTINCT event_type,
+                     date_trunc('week', ts) AS eff_ts,
+                     (epoch_us(date_trunc('week', ts))//1000000 // 604800)
+                       % 7 + 1 AS factor
+              FROM events
+              WHERE (epoch_us(date_trunc('week', ts))//1000000 // 604800)
+                      % 3 = 0),
+            m AS (SELECT e.event_id, e.event_type, e.value,
+                         max(d.eff_ts) AS m_ts
+                  FROM events e
+                  JOIN dim d ON d.event_type = e.event_type
+                            AND d.eff_ts <= e.ts
+                  GROUP BY 1, 2, 3),
+            j AS (SELECT m.event_type, m.value * d.factor AS adj
+                  FROM m JOIN dim d ON d.event_type = m.event_type
+                                   AND d.eff_ts = m.m_ts)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(adj AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_adj
+            FROM j GROUP BY 1
         """,
         "substring_dedup": """
             WITH tok AS (SELECT doc_id, {TOKENS} AS toks FROM documents),

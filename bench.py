@@ -155,6 +155,7 @@ HEADLINE = [
     "media_resize_bmp",
     "substring_dedup",
     "cc_star",
+    "events_stream_asof",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
