@@ -2799,6 +2799,29 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges)
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted SSSP (graph.shortest_paths, distributed
+    Bellman-Ford: 4 relaxation rounds = exact min-weight distance over
+    paths of <= 4 edges) on a deterministic part-derived directed
+    graph (60 nodes, integer weights 1..7, min-weight per parallel
+    edge). The oracle replays it as a hop-bounded recursive walk
+    expansion + min aggregate — integer arithmetic end to end, no
+    tie-breaks needed."""
+    part = _t(spark, sf_dir, "part")
+    edges = (
+        part.select(
+            (F.col("p_partkey") % 60).alias("src"),
+            (F.expr("p_partkey div 60") % 60).alias("dst"),
+            (F.col("p_partkey") % 7 + 1).alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return graph.shortest_paths(edges, sources, max_hops=4)
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.;
     dedup.connected_components_star) over the SAME verified near-dup
@@ -5674,7 +5697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (real-BMP media_decode_bmp / media_resize_bmp, the
     keep-first overlapping substring_dedup, the large-star/small-star
     cc_star, and the streaming as-of enrichment with exactly-once IVM
-    sink events_stream_asof) — with them green the registry is fully
+    sink events_stream_asof, and the bounded-hop weighted SSSP
+    shortest_path) — with them green the registry is fully
     driver-evidenced. Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01..r05.json) and every query at
     every position stays locally oracle-checked by
@@ -5747,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "cc_star": q_cc_star,
         "events_stream_asof": q_events_stream_asof,
+        "shortest_path": q_shortest_path,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9491,6 +9516,23 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "shortest_path": """
+            WITH RECURSIVE e AS (
+              SELECT src, dst, min(w) AS w FROM (
+                SELECT p_partkey % 60 AS src,
+                       (p_partkey // 60) % 60 AS dst,
+                       p_partkey % 7 + 1 AS w
+                FROM part) t
+              WHERE src <> dst GROUP BY 1, 2),
+            walk(node, d, hops) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+              UNION ALL
+              SELECT e.dst, walk.d + e.w, walk.hops + 1
+              FROM walk JOIN e ON e.src = walk.node
+              WHERE walk.hops < 4)
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
         """,
         "events_stream_asof": """
             WITH dim AS (

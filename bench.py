@@ -156,6 +156,7 @@ HEADLINE = [
     "substring_dedup",
     "cc_star",
     "events_stream_asof",
+    "shortest_path",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -273,6 +273,51 @@ def bfs_distances(
     return dist
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop WEIGHTED single/multi-source shortest paths over a
+    directed edge list — distributed Bellman-Ford: ``max_hops``
+    relaxation rounds, each one (node)-keyed join pushing current
+    distances onto out-edges plus a min-agg merge. After round k the
+    table holds the exact minimum-weight distance over paths of <= k
+    edges, so the hop bound is a SEMANTIC contract (k-hop-bounded
+    distance), not an approximation artifact — and the natural one at
+    scale, where unbounded Bellman-Ford on a 10^11-edge graph is
+    |V| rounds of shuffle. Negative weights are fine (no negative-
+    cycle divergence inside a bounded run); integer weights keep min()
+    engine-exact with no tie-break. Complements :func:`bfs_distances`
+    (the unweighted hop-count special case). Unreached nodes are
+    absent (frontier-bounded result). Returns (node, dist).
+
+    Scale shape per round: edge list persisted once; distance table
+    re-derived via union + groupBy-min (map-side combined); rounds are
+    a fixed small constant — no driver-side convergence collect
+    needed."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("_w")
+    ).persist()
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for _ in range(max_hops):
+        relaxed = e.join(dist.withColumnRenamed("node", "a"), on="a").select(
+            F.col("b").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Per-node local clustering coefficient over an undirected edge
     list (columns ``a``, ``b``): triangles through the node divided by

@@ -414,6 +414,30 @@ def test_bfs_distances_path_graph(spark):
     assert got2 == {99: 0}
 
 
+def test_shortest_paths_weighted_relaxation(spark):
+    from eclipse_spark.operators import graph
+
+    # 1 -(5)-> 3 direct, but 1->2->3 costs 2+1=3: Bellman-Ford must
+    # prefer the longer-hop cheaper path; 4 hops reaches the chain end
+    edges = spark.createDataFrame(
+        [(1, 3, 5), (1, 2, 2), (2, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, srcs, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
+    # hop bound is a semantic contract: 2 hops can't see node 5, and
+    # node 3's best-within-2-hops is already the cheap path
+    got2 = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, srcs, max_hops=2).collect()
+    }
+    assert got2 == {1: 0, 2: 2, 3: 3, 4: 6}
+
+
 def test_temporal_join_interval_semantics(spark):
     """Facts pick the interval containing their ts: inclusive
     valid_from, exclusive valid_to, NULL attrs before the first
