@@ -3355,6 +3355,24 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(_t(spark, sf_dir, "embeddings"), m=8, ksub=16)
 
 
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 min-max quantization of the embedding corpus
+    (similarity.int8_quantize): the standard 4x compression stage
+    ahead of similarity search. Codes are pure integer floor division
+    over exact 1e-9-scaled BIGINTs (float->double->decimal(18,9) hop),
+    so the full code assignment is engine-exact; codes surface as a
+    canonical comma-joined string (cross-engine array stringification
+    differs) plus n_dims."""
+    out = similarity.int8_quantize(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+        "n_dims",
+    )
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-10 (similarity.pq_topk): queries
     precompute an m*ksub distance table (broadcast); candidate
@@ -5697,8 +5715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (real-BMP media_decode_bmp / media_resize_bmp, the
     keep-first overlapping substring_dedup, the large-star/small-star
     cc_star, and the streaming as-of enrichment with exactly-once IVM
-    sink events_stream_asof, and the bounded-hop weighted SSSP
-    shortest_path) — with them green the registry is fully
+    sink events_stream_asof, the bounded-hop weighted SSSP
+    shortest_path, and the engine-exact int8 embedding quantization
+    int8_quantize) — with them green the registry is fully
     driver-evidenced. Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01..r05.json) and every query at
     every position stays locally oracle-checked by
@@ -5772,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "events_stream_asof": q_events_stream_asof,
         "shortest_path": q_shortest_path,
+        "int8_quantize": q_int8_quantize,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9516,6 +9536,27 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "int8_quantize": """
+            WITH ex AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS pos,
+                     CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+                               AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+                       AS i
+              FROM embeddings),
+            rng AS (SELECT pos, min(i) AS lo, max(i) AS hi
+                    FROM ex GROUP BY 1),
+            coded AS (SELECT ex.vec_id, ex.pos,
+                             CASE WHEN hi = lo THEN 0
+                                  ELSE (i - lo) * 255 // (hi - lo)
+                             END AS code
+                      FROM ex JOIN rng USING (pos))
+            SELECT vec_id,
+                   array_to_string(list(code ORDER BY pos), ',') AS codes,
+                   CAST(count(*) AS BIGINT) AS n_dims
+            FROM coded GROUP BY 1
         """,
         "shortest_path": """
             WITH RECURSIVE e AS (

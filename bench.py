@@ -157,6 +157,7 @@ HEADLINE = [
     "cc_star",
     "events_stream_asof",
     "shortest_path",
+    "int8_quantize",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

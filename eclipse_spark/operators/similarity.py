@@ -535,6 +535,69 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
 
 
+def int8_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension INT8 (0..``levels``) min-max quantization of an
+    embedding corpus — the standard 4x vector-compression stage ahead
+    of similarity search (a 100 TB float32 corpus re-scans from a
+    ~25 TB int8 artifact; recall loss is the per-dim resolution,
+    1/255 of the dim's range). Returns ``(id_col, codes
+    array<bigint>, n_dims)`` plus nothing float: the per-dim scale
+    table needed for dequantize is re-derivable from the same
+    aggregate.
+
+    ENGINE-EXACT BY CONSTRUCTION: float codes via
+    ``floor((v - min) * levels / (max - min))`` would flip at IEEE
+    boundaries between engines. Instead each value takes the
+    float -> double -> decimal(18,9) hop (exact, see
+    embedding_centroids) and then scales to an exact BIGINT
+    ``i = v9 * 1e9``; per-dim min/max aggregate over the integers, and
+    the code is pure integer floor division
+    ``(i - imin) * levels div (imax - imin)`` — identical in any
+    engine, no float anywhere after the hop. Constant dimensions
+    (imax = imin) quantize to 0. The max value lands exactly on code
+    ``levels`` (the inclusive top level).
+
+    Scale shape: one positional explode, one (dim)-keyed aggregate
+    whose result is dim-count rows (broadcast back), one map-side
+    reassembly aggregate keyed on the vector id. Nothing corpus-sized
+    is ever broadcast or collected."""
+    ex = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(vec_col).alias("pos", "_x"),
+    ).withColumn(
+        "_i",
+        F.expr(
+            "CAST(CAST(CAST(_x AS DOUBLE) AS DECIMAL(18,9)) "
+            "* 1000000000 AS BIGINT)"
+        ),
+    )
+    rng = ex.groupBy("pos").agg(
+        F.min("_i").alias("_lo"), F.max("_i").alias("_hi")
+    )
+    coded = ex.join(F.broadcast(rng), "pos").withColumn(
+        "code",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
+            F.expr(f"(_i - _lo) * {int(levels)} div (_hi - _lo)")
+        ),
+    )
+    return (
+        coded.groupBy("_vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.count("*").cast("long").alias("n_dims"),
+        )
+        .select(F.col("_vid").alias(id_col), "codes", "n_dims")
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int = 16,

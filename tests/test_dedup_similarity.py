@@ -520,6 +520,32 @@ def test_lsh_recall_curve_shape(spark, sf_correct):
         assert all(r.capture_rate == 1.0 for r in high)
 
 
+def test_int8_quantize_invariants(spark):
+    """Per-dim min quantizes to 0, max to the top level (inclusive),
+    codes are monotone in the value, constant dims code to 0, and
+    dequantization error is bounded by one level's width."""
+    from eclipse_spark.operators.similarity import int8_quantize
+
+    vecs = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [0.5, 0.0, 5.0]),
+        (3, [1.0, 3.0, 5.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: list(r.codes) for r in int8_quantize(df).collect()}
+    # dim0 range [0,1]: 0 -> 0, 0.5 -> 127 (floor), 1 -> 255
+    assert [out[1][0], out[2][0], out[3][0]] == [0, 127, 255]
+    # dim1 range [-1,3]: -1 -> 0, 0 -> 63, 3 -> 255
+    assert [out[1][1], out[2][1], out[3][1]] == [0, 63, 255]
+    # dim2 constant: all 0
+    assert [out[k][2] for k in (1, 2, 3)] == [0, 0, 0]
+    # dequantize error bound: |v - (min + code*(max-min)/255)| <= range/255
+    for vid, vec in vecs:
+        code = out[vid][1]
+        deq = -1.0 + code * 4.0 / 255
+        assert abs(vec[1] - deq) <= 4.0 / 255 + 1e-12
+
+
 def test_lsh_recall_curve_exact_dup_folds_into_top_decile(spark):
     """A Jaccard-1.0 pair (identical text) must land in bin n_bins-1,
     not an out-of-range 11th bucket (ADVICE r5: floor(n_bins * J) at
