@@ -3373,6 +3373,18 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 search over the int8-compressed corpus
+    (similarity.int8_topk): integer dot products of quantized codes,
+    corpus-derived per-dim scales applied to the queries, ties to the
+    smaller match id. The approximate ranking is itself deterministic
+    BIGINT arithmetic, so the oracle reproduces the exact result —
+    the 4x-compressed-scan analogue of pq_topk's 32x ADC tier."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.int8_topk(queries, emb, k=10)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-10 (similarity.pq_topk): queries
     precompute an m*ksub distance table (broadcast); candidate
@@ -5717,8 +5729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cc_star, and the streaming as-of enrichment with exactly-once IVM
     sink events_stream_asof, the bounded-hop weighted SSSP
     shortest_path, and the engine-exact int8 embedding quantization
-    int8_quantize) — with them green the registry is fully
-    driver-evidenced. Everything rotated out retains its prior round's
+    + compressed-scan search pair int8_quantize / ann_int8) — with
+    them green the registry is fully driver-evidenced. Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01..r05.json) and every query at
     every position stays locally oracle-checked by
     tests/test_oracle_parity.py."""
@@ -5792,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_asof": q_events_stream_asof,
         "shortest_path": q_shortest_path,
         "int8_quantize": q_int8_quantize,
+        "ann_int8": q_ann_int8,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9536,6 +9549,43 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "ann_int8": """
+            WITH ex AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS pos,
+                     CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+                               AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+                       AS i
+              FROM embeddings),
+            sc AS (SELECT max(abs(i)) AS s FROM ex),
+            coded AS (SELECT ex.vec_id, ex.pos,
+                             CASE WHEN s = 0 THEN 0
+                                  ELSE greatest(-127, least(127,
+                                       (i + s) * 127 // s - 127))
+                             END AS code
+                      FROM ex, sc),
+            norms AS (SELECT vec_id AS match_id,
+                             sum(code * code) AS nc
+                      FROM coded GROUP BY 1),
+            dots AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                            sum(q.code * c.code) AS dot
+                     FROM coded q JOIN coded c USING (pos)
+                     WHERE q.vec_id < 5
+                     GROUP BY 1, 2),
+            scored AS (SELECT d.query_id, d.match_id, d.dot,
+                              CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nc AS DOUBLE))
+                                AS score
+                       FROM dots d JOIN norms n USING (match_id)
+                       WHERE n.nc > 0)
+            SELECT query_id, match_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, match_id)
+                        AS BIGINT) AS rank,
+                   CAST(dot AS BIGINT) AS dot
+            FROM scored
+            QUALIFY rank <= 10
         """,
         "int8_quantize": """
             WITH ex AS (

@@ -158,6 +158,7 @@ HEADLINE = [
     "events_stream_asof",
     "shortest_path",
     "int8_quantize",
+    "ann_int8",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -546,6 +546,28 @@ def test_int8_quantize_invariants(spark):
         assert abs(vec[1] - deq) <= 4.0 / 255 + 1e-12
 
 
+def test_int8_topk_recall_vs_exact(spark, sf_smoke):
+    """Searching the 4x-compressed codes must retain most of the exact
+    float top-10 (quantization at 1/255-per-dim resolution is a mild
+    perturbation), and self-match must rank first."""
+    from eclipse_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qs = emb.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(qs, emb, k=10).collect()
+    }
+    coded = int8_topk(qs, emb, k=10).collect()
+    got = {(r.query_id, r.match_id) for r in coded}
+    assert len(got & exact) >= 0.6 * len(exact)
+    firsts = {r.query_id: r.match_id for r in coded if r.rank == 1}
+    assert all(q == m for q, m in firsts.items())
+
+
 def test_lsh_recall_curve_exact_dup_folds_into_top_decile(spark):
     """A Jaccard-1.0 pair (identical text) must land in bin n_bins-1,
     not an out-of-range 11th bucket (ADVICE r5: floor(n_bins * J) at
