@@ -4754,6 +4754,52 @@ def q_events_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def q_storage_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content invariance across the Catalog's physical-layout verbs
+    (SURVEY §2.1 S-family as a standing driver row, not just unit
+    tests): the same orders rows written as (a) plain put, (b)
+    put_sorted range-partitioned row-group-stat layout, (c) put_zorder
+    Morton-curve layout over (o_orderkey, o_custkey), and (d) a
+    4-file compaction of (a) — each read back and aggregated. Layout
+    must NEVER change content: all four rows must carry the identical
+    count / distinct-key / decimal sum, which the oracle recomputes
+    once from the source table."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_layouts_")
+    try:
+        cat = Catalog(spark, work)
+        cat.put("plain", orders)
+        cat.put_sorted("sorted", orders, sort_by=["o_orderkey"], partitions=8)
+        cat.put_zorder("zorder", orders, cols=["o_orderkey", "o_custkey"])
+        cat.compact("plain", 4)
+
+        def _agg(name: str, label: str) -> DataFrame:
+            return cat.get(name).agg(
+                F.lit(label).alias("layout"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.count_distinct("o_orderkey").cast("long").alias("n_keys"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        out = (
+            _agg("plain", "compacted")
+            .unionByName(_agg("sorted", "sorted"))
+            .unionByName(_agg("zorder", "zorder"))
+        )
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend fit (profile.linear_fit): hourly value sums
     regressed on the hour index with DECIMAL moment sums — engine-
@@ -5729,7 +5775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cc_star, and the streaming as-of enrichment with exactly-once IVM
     sink events_stream_asof, the bounded-hop weighted SSSP
     shortest_path, and the engine-exact int8 embedding quantization
-    + compressed-scan search pair int8_quantize / ann_int8) — with
+    + compressed-scan search pair int8_quantize / ann_int8, and the
+    storage-layout content-invariance proof storage_layouts) — with
     them green the registry is fully driver-evidenced. Everything rotated out retains its prior round's
     driver-green row (CORRECTNESS_r01..r05.json) and every query at
     every position stays locally oracle-checked by
@@ -5805,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path": q_shortest_path,
         "int8_quantize": q_int8_quantize,
         "ann_int8": q_ann_int8,
+        "storage_layouts": q_storage_layouts,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
@@ -9549,6 +9597,17 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(hx, 13, 2))::INT / 255.0
                        + ('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS feat_sum
             FROM h
+        """,
+        "storage_layouts": """
+            WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                              CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                                AS n_keys,
+                              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS DOUBLE) AS sum_price
+                       FROM orders)
+            SELECT l.layout, a.n_rows, a.n_keys, a.sum_price
+            FROM (VALUES ('compacted'), ('sorted'), ('zorder'))
+                   AS l(layout), a
         """,
         "ann_int8": """
             WITH ex AS (

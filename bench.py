@@ -159,6 +159,7 @@ HEADLINE = [
     "shortest_path",
     "int8_quantize",
     "ann_int8",
+    "storage_layouts",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

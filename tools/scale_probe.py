@@ -41,6 +41,12 @@ PROBE = [
     "data_profile",
     "incremental_dedup",
     "bpe_encode",
+    # round-6 additions worth probing: overlapping-window dedup
+    # (token-count-linear explode), star CC (crossJoin audit corpus +
+    # O(log n) rounds), int8 compressed-scan search
+    "substring_dedup",
+    "cc_star",
+    "ann_int8",
 ]
 
 
