@@ -9724,8 +9724,14 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY h
                                              ORDER BY doc_id, s) AS rn
                    FROM hv SEMI JOIN duph USING (h)),
-            cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10)) AS ti
-                    FROM dw WHERE rn >= 2),
+            cov0 AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10))
+                       AS ti
+                     FROM dw WHERE rn >= 2),
+            wcov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10))
+                       AS ti
+                     FROM dw WHERE rn = 1),
+            cov AS (SELECT doc_id, ti
+                    FROM cov0 ANTI JOIN wcov USING (doc_id, ti)),
             tp AS (SELECT doc_id, r.i AS ti, toks[r.i] AS tk
                    FROM tok CROSS JOIN LATERAL
                      (SELECT unnest(range(1, len(toks) + 1)) AS i) r),

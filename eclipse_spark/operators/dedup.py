@@ -310,7 +310,15 @@ def connected_components_star(
     Convergence detected by an O(1) checksum aggregate (count + two
     weighted endpoint sums) — no per-round data collect. High-diameter
     graphs (long chains — exactly where min-label propagation needs
-    diameter rounds) converge in a handful of rounds."""
+    diameter rounds) converge in a handful of rounds.
+
+    If the checksum fixpoint is NOT reached within ``max_iter`` rounds
+    the operator RAISES instead of returning the partially-contracted
+    intermediate (a non-converged E is not yet a star forest, so its
+    labels can be inconsistent) — same "no silent partial propagation"
+    contract as :func:`connected_components`. The default budget of 12
+    rounds covers diameter ~ 2^11 via the halving property; raise
+    ``max_iter`` for pathologically long chains."""
     E = (
         edges.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -327,6 +335,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # ---- large-star: attach every strictly-larger neighbor of u
         # to m(u) = min(N(u) + {u})
@@ -378,8 +387,16 @@ def connected_components_star(
         )
         E = ss
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no checksum fixpoint within "
+            f"max_iter={max_iter} rounds — returning the partially-"
+            "contracted edge set would yield inconsistent component ids; "
+            "raise max_iter (rounds needed ~ log2(diameter))"
+        )
     # converged E is a star forest: (child, root) with root = component
     # min; roots and isolated nodes label themselves
     mapping = E.select(F.col("u").alias("node"), F.col("v").alias("component"))

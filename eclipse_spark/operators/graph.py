@@ -260,6 +260,7 @@ def bfs_distances(
     dist = sources.select(
         F.col(source_col).alias("node"), F.lit(0).cast("int").alias("dist")
     ).distinct()
+    prev_sig = None
     for _ in range(max_hops):
         frontier = (
             und.join(dist.withColumnRenamed("node", "a"), on="a")
@@ -269,7 +270,15 @@ def bfs_distances(
             dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)  # flat lineage per hop
         )
+        # O(1) fixpoint probe: a hop that changes nothing means BFS is
+        # done — later hops are no-ops, skip them
+        sig = tuple(dist.agg(F.count("*"), F.sum("dist")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    und.unpersist()
     return dist
 
 
@@ -296,25 +305,53 @@ def shortest_paths(
     (the unweighted hop-count special case). Unreached nodes are
     absent (frontier-bounded result). Returns (node, dist).
 
-    Scale shape per round: edge list persisted once; distance table
-    re-derived via union + groupBy-min (map-side combined); rounds are
-    a fixed small constant — no driver-side convergence collect
-    needed."""
+    Scale shape per round: edge list persisted once (and released
+    before return); distance table localCheckpoint'd per round so plan
+    depth stays flat at ANY ``max_hops`` (without it the union+join
+    lineage doubles per round and a ``max_hops=20`` run compiles an
+    exponential plan); an O(1) per-round checksum (count + order-free
+    hash sum) detects the Bellman-Ford fixpoint exactly — a round that
+    relaxes nothing means all later rounds are no-ops — so converged
+    graphs exit early with no per-round data collect.
+
+    Weight dtype contract: integral weights (byte/short/int/long) run
+    in exact long arithmetic; fractional weights (float/double/decimal)
+    keep the weight's own type end-to-end — no silent integer
+    truncation of fractional distances (min() on doubles is still
+    engine-deterministic; only the bit-pattern checksum is used for
+    convergence, never a float sum)."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("_w")
     ).persist()
+    integral = dict(e.dtypes)["_w"] in ("tinyint", "smallint", "int", "bigint")
+    dist_t = "long" if integral else dict(e.dtypes)["_w"]
     dist = sources.select(
-        F.col(source_col).alias("node"), F.lit(0).cast("long").alias("dist")
+        F.col(source_col).alias("node"), F.lit(0).cast(dist_t).alias("dist")
     ).distinct()
+    prev_sig = None
     for _ in range(max_hops):
         relaxed = e.join(dist.withColumnRenamed("node", "a"), on="a").select(
-            F.col("b").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+            F.col("b").alias("node"),
+            (F.col("dist") + F.col("_w")).cast(dist_t).alias("dist"),
         )
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").cast("long").alias("dist"))
+            .agg(F.min("dist").cast(dist_t).alias("dist"))
+            .localCheckpoint(eager=True)
         )
+        # hash sum accumulates in decimal(38,0): ANSI-safe (a long sum
+        # of 2^63-scale hashes overflows) and still order-free/exact
+        sig = tuple(
+            dist.agg(
+                F.count("*"),
+                F.sum(F.xxhash64("node", "dist").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    e.unpersist()
     return dist
 
 

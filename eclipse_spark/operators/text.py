@@ -589,7 +589,10 @@ def exact_substring_dedup(
     in the corpus is a repeat; the globally FIRST occurrence (min
     (id, position)) of each distinct window survives, every other
     occurrence's token range is cut, and documents are rebuilt from
-    their surviving tokens in order. Complements :func:`span_dedup`
+    their surviving tokens in order. Tokens inside ANY elected
+    first-occurrence window are protected from removal — without this,
+    overlapping duplicate windows (periodic text, repeat period < k)
+    would cut tokens inside the winner and destroy the kept copy. Complements :func:`span_dedup`
     (non-overlapping C4 spans, drop-all): overlapping windows catch
     repeats at ANY alignment — the suffix-array use case — and
     keep-first preserves exactly one copy of shared content instead of
@@ -644,15 +647,33 @@ def exact_substring_dedup(
     )
     dup_wins = hashed.join(dup_hashes, "_h", "left_semi")
     first_w = Window.partitionBy("_h").orderBy("_id", "_start")
-    losers = dup_wins.withColumn(
-        "_rn", F.row_number().over(first_w)
-    ).filter(F.col("_rn") >= 2)
-    covered = losers.select(
-        "_id",
-        F.explode(
-            F.sequence(F.col("_start"), F.col("_start") + F.lit(k - 1))
-        ).alias("_ti"),
-    ).distinct()
+    ranked = dup_wins.withColumn("_rn", F.row_number().over(first_w)).persist()
+    # Elected first occurrences (rank 1) are PROTECTED: when duplicate
+    # windows overlap (periodic/repetitive text, e.g. a run of one token
+    # with period < k), loser coverage ranges overlap the winner's token
+    # range and would otherwise destroy the very copy keep-first elects.
+    # Removal set = loser-covered tokens MINUS winner-covered tokens.
+    loser_cov = (
+        ranked.filter(F.col("_rn") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(k - 1))
+            ).alias("_ti"),
+        )
+        .distinct()
+    )
+    winner_cov = (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(k - 1))
+            ).alias("_ti"),
+        )
+        .distinct()
+    )
+    covered = loser_cov.join(winner_cov, ["_id", "_ti"], "left_anti")
     toks_pos = base.select(
         "_id", F.posexplode("_toks").alias("_t0", "_tok")
     ).withColumn("_ti", F.col("_t0") + 1)

@@ -174,6 +174,24 @@ def test_connected_components_raises_past_diameter_budget(spark):
         dedup.connected_components(df, max_iter=20).collect()
 
 
+def test_connected_components_star_raises_past_budget(spark):
+    """Same no-silent-partial contract as the min-label variant: a
+    chain whose diameter exceeds the halving reach of max_iter=1 must
+    raise, never return a partially-contracted (inconsistent) map —
+    and the same graph converges cleanly at the default budget."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(1, 30)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="no checksum fixpoint"):
+        dedup.connected_components_star(df, max_iter=1).collect()
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(df).collect()
+    }
+    assert set(got.values()) == {1}
+
+
 def test_near_dedup_cc_collapses_chains(spark):
     """Transitive chain a~b, b~c (a never directly paired with c) must
     leave exactly one survivor — the pairwise-drop shape can't express

@@ -438,6 +438,44 @@ def test_shortest_paths_weighted_relaxation(spark):
     assert got2 == {1: 0, 2: 2, 3: 3, 4: 6}
 
 
+def test_shortest_paths_float_weights_exact(spark):
+    """Fractional weights must flow through in the weight's own type —
+    the old per-round long cast silently floored every round."""
+    from eclipse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.25), (1, 3, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, srcs, max_hops=3).collect()
+    }
+    assert got == {1: 0.0, 2: 0.5, 3: 0.75}
+
+
+def test_shortest_paths_deep_hops_flat_plan(spark):
+    """max_hops=24 on a tiny converged graph must stay cheap: the
+    per-round localCheckpoint keeps plan depth flat and the checksum
+    fixpoint exits after ~3 productive rounds instead of running 24
+    exponentially-deeper plans (pre-fix this run never finished)."""
+    import time
+    from eclipse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src bigint, dst bigint, w bigint"
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    t0 = time.monotonic()
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, srcs, max_hops=24).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+    assert time.monotonic() - t0 < 60
+
+
 def test_temporal_join_interval_semantics(spark):
     """Facts pick the interval containing their ts: inclusive
     valid_from, exclusive valid_to, NULL attrs before the first

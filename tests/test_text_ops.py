@@ -187,6 +187,24 @@ def test_exact_substring_dedup_keep_first_overlapping(spark):
     assert out[4].text == "" and out[4].n_tokens == 0
 
 
+def test_exact_substring_dedup_winner_protected_periodic(spark):
+    """Overlapping duplicate windows (periodic text, repeat period < k)
+    must NOT cut tokens inside the elected first occurrence: the winner
+    window's token range is protected from loser coverage.  'a'*12 with
+    k=10 has identical windows at starts 1/2/3 — the winner (start 1)
+    keeps its full 10 tokens; only the loser-only tail (tokens 11, 12)
+    is cut.  A second doc repeating the same content is cut entirely
+    (no winner window lives there)."""
+    from eclipse_spark.operators.text import exact_substring_dedup
+
+    rows = [(5, " ".join(["a"] * 12)), (6, " ".join(["a"] * 11))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=10).collect()}
+    assert out[5].text == " ".join(["a"] * 10)
+    assert out[5].n_tokens_removed == 2
+    assert out[6].text == "" and out[6].n_tokens_removed == 11
+
+
 def test_exact_substring_dedup_portable_matches_default(spark, sf_smoke):
     from eclipse_spark.operators.text import exact_substring_dedup
 
