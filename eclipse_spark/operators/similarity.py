@@ -579,10 +579,18 @@ def int8_quantize(
     rng = ex.groupBy("pos").agg(
         F.min("_i").alias("_lo"), F.max("_i").alias("_hi")
     )
+    # the scaled numerator accumulates in DECIMAL(38,0): (_i - _lo) can
+    # reach ~2e18 and * levels would overflow int64 for |value| beyond
+    # ~3.6e7 (wraparound with ANSI off, error with ANSI on); the decimal
+    # product is exact at any representable magnitude and `div` on a
+    # non-negative decimal numerator floors identically in any engine
     coded = ex.join(F.broadcast(rng), "pos").withColumn(
         "code",
         F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
-            F.expr(f"(_i - _lo) * {int(levels)} div (_hi - _lo)")
+            F.expr(
+                f"(CAST(_i AS DECIMAL(38,0)) - _lo) * {int(levels)} "
+                "div (_hi - _lo)"
+            )
         ),
     )
     return (
@@ -646,8 +654,13 @@ def int8_topk(
         # non-negative-shifted floor division (Spark div truncates
         # toward zero on negatives; DuckDB // floors — shifting by S
         # keeps the operand non-negative so both agree), then clamp
-        # for query values outside the corpus range
-        raw = F.expr(f"({col} + _s) * 127 div _s - 127")
+        # for query values outside the corpus range; the shifted
+        # product runs in DECIMAL(38,0) so (|i| + S) * 127 cannot
+        # overflow int64 at large value magnitudes (it would beyond
+        # |value| ~ 7e7) — exact at any representable magnitude
+        raw = F.expr(
+            f"(CAST({col} AS DECIMAL(38,0)) + _s) * 127 div _s - 127"
+        )
         return F.when(F.col("_s") == 0, F.lit(0).cast("long")).otherwise(
             F.greatest(
                 F.lit(-127).cast("long"),

@@ -167,27 +167,74 @@ class Catalog:
         return self.put(name, self.get(name, version=version))
 
     # -- the mr* surface ------------------------------------------------
-    def put(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+    def put(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        marker: dict | None = None,
+    ) -> str:
         """``mrput`` analogue: materialize a DataFrame as a named table
         (overwrite). ``partition_by`` gives hive-style partition pruning
-        at scan time — the declarative replacement for DHT placement."""
+        at scan time — the declarative replacement for DHT placement.
+
+        ``marker``: small JSON committed ATOMICALLY with the data — it
+        is written as ``_commit.json`` INSIDE the staged directory
+        before the final rename, so the data and the marker become
+        visible in the same filesystem operation (underscore-prefixed
+        files are invisible to Spark's input discovery). Readers use
+        :meth:`read_marker`; idempotent writers (the streaming IVM
+        sink) key replay detection on it instead of the manifest
+        version, which is bumped in a separate, non-atomic step. A
+        marker put always stages through the tmp+rename path, even for
+        a first write."""
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         path = self.path_of(name)
-        tmp = path + ".tmp" if self.retain_versions > 0 and self.exists(name) else None
-        if tmp is not None:
+        stage = (self.retain_versions > 0 and self.exists(name)) or marker is not None
+        if stage:
             # write first, retire + rename after: the source `df` may
             # read from the current copy, and a crash mid-way must not
             # lose the only copy.
+            tmp = path + ".tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             writer.parquet(tmp)
+            if marker is not None:
+                with open(os.path.join(tmp, "_commit.json"), "w") as fh:
+                    json.dump(marker, fh)
             self._retire_current(name)
             os.rename(tmp, path)
         else:
             writer.parquet(path)
         self._bump(name)
         return path
+
+    def read_marker(self, name: str) -> dict | None:
+        """The ``_commit.json`` marker committed with the current table
+        data by ``put(..., marker=...)``, or None if absent."""
+        try:
+            with open(os.path.join(self.path_of(name), "_commit.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def recover(self, name: str) -> bool:
+        """Crash recovery for the staged-put window: if a put died
+        after :meth:`_retire_current` parked the current copy as the
+        newest ``.v<N>`` snapshot but before the staged data's rename,
+        the table path is missing while its data survives in the
+        snapshot. Restore the newest snapshot as the current copy
+        (rename back — versions/manifest untouched, since the crashed
+        put never bumped). Returns True when a restore happened; no-op
+        (False) when the table exists or has no snapshots."""
+        if self.exists(name):
+            return False
+        hist = self.history(name)
+        if not hist:
+            return False
+        os.rename(self._version_path(name, hist[-1]), self.path_of(name))
+        return True
 
     def compact(self, name: str, target_partitions: int) -> str:
         """Small-files compaction: rewrite a table at a chosen file

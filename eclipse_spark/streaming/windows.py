@@ -240,12 +240,6 @@ def merge_stream_to_catalog(
     return q
 
 
-def _ivm_sidecar_path(catalog, table: str) -> str:
-    import os
-
-    return os.path.join(catalog.root, f"{table}.ivm_batch.json")
-
-
 def apply_ivm_batch(
     catalog,
     table: str,
@@ -260,40 +254,43 @@ def apply_ivm_batch(
     view, exactly once. Returns True if the batch was applied, False if
     it was recognized as a replay and skipped.
 
-    Idempotence protocol (write-ahead intent): a sidecar JSON next to
-    the table records ``{"last_batch": B, "expected_version": V}``
-    where V is the catalog version the table WILL have once batch B's
-    put commits. The sidecar is written atomically (tmp + rename)
-    BEFORE the put, so on a checkpoint replay of batch_id <= B:
+    Idempotence protocol (atomic commit marker): the batch id is
+    committed IN THE SAME RENAME as the refreshed data —
+    ``Catalog.put(..., marker={"last_batch": B})`` stages the parquet
+    directory with a ``_commit.json`` inside it, so "data visible" and
+    "batch B recorded" are one filesystem operation with no window
+    between them (the earlier sidecar-next-to-the-table design had two:
+    a crash between the data rename and the manifest version bump
+    re-applied the batch, and a crash between retire and rename lost
+    the whole accumulated view on replay). On delivery of batch_id:
 
-    - if the table's current version >= V, batch B's put committed —
-      the replay is a duplicate delivery and is SKIPPED;
-    - if the current version < V (crash after intent, before commit),
-      the batch was never folded in — it is re-applied.
+    - recover first: if a previous put died between parking the old
+      copy as a snapshot and renaming the new data in, the table path
+      is missing — ``Catalog.recover`` restores the newest snapshot
+      (whose own marker is the last truly-committed batch);
+    - skip iff the current table's marker already records
+      ``last_batch >= batch_id`` — the replayed batch's put committed;
+    - otherwise apply and commit data+marker atomically.
 
-    Either way a re-delivered in-flight batch cannot double-add, and an
-    interrupted one cannot be lost — the failure mode the round-5
-    ADVICE flagged for durable checkpoints on this additive sink."""
-    import json as _json
-    import os
-
+    A re-delivered in-flight batch cannot double-add, an interrupted
+    one cannot be lost, and no crash point between the two steps of a
+    versioned put changes either answer. Requires a versioned catalog
+    (``retain_versions >= 1``) — the refresh reads the table it
+    overwrites, and recovery needs the retired snapshot."""
     from eclipse_spark.operators.ivm import aggregate_view, incremental_refresh
 
+    if catalog.retain_versions <= 0:
+        raise ValueError(
+            "apply_ivm_batch: catalog needs retain_versions >= 1 "
+            "(the refresh reads the table it overwrites, and crash "
+            "recovery restores the retired snapshot)"
+        )
     if batch_df.isEmpty():
         return False
-    side = _ivm_sidecar_path(catalog, table)
-    last_batch, expected_version = -1, 0
-    try:
-        with open(side) as fh:
-            st = _json.load(fh)
-        last_batch = int(st["last_batch"])
-        expected_version = int(st["expected_version"])
-    except (OSError, ValueError, KeyError):
-        pass
-    cur_version = catalog.info(table).version
-    if batch_id <= last_batch and not (
-        batch_id == last_batch and cur_version < expected_version
-    ):
+    catalog.recover(table)
+    mk = catalog.read_marker(table)
+    applied = int(mk.get("last_batch", -1)) if mk else -1
+    if batch_id <= applied:
         return False  # replayed batch whose put already committed
     changes = batch_df.withColumn("change_type", F.lit("insert"))
     if catalog.exists(table):
@@ -305,14 +302,7 @@ def apply_ivm_batch(
         refreshed = aggregate_view(
             batch_df, keys=keys, sum_cols=sum_cols, count_col=count_col
         )
-    tmp = side + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(
-            {"last_batch": int(batch_id), "expected_version": cur_version + 1},
-            fh,
-        )
-    os.replace(tmp, side)
-    catalog.put(table, refreshed)
+    catalog.put(table, refreshed, marker={"last_batch": int(batch_id)})
     return True
 
 
@@ -342,13 +332,13 @@ def ivm_stream_to_catalog(
 
     EXACTLY-ONCE across checkpoint restarts: additive sinks are not
     naturally idempotent (a replayed in-flight batch would double-add
-    into the view), so each apply runs the write-ahead-intent protocol
-    of :func:`apply_ivm_batch` — the sidecar records (batch_id,
-    expected catalog version) BEFORE the put, and a replayed batch_id
-    is skipped unless the catalog version proves the put never
-    committed. Restarting from a durable checkpoint is therefore safe:
-    re-delivered batches are detected and dropped, interrupted ones
-    re-applied."""
+    into the view), so each apply runs the atomic-commit-marker
+    protocol of :func:`apply_ivm_batch` — the batch id rides inside
+    the same directory rename that publishes the refreshed data, and a
+    replayed batch_id is skipped iff the committed marker already
+    records it. Restarting from a durable checkpoint is therefore
+    safe: re-delivered batches are detected and dropped, interrupted
+    ones recovered and re-applied."""
     if catalog.retain_versions <= 0:
         raise ValueError(
             "ivm_stream_to_catalog: catalog needs retain_versions >= 1 "

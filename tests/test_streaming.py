@@ -167,17 +167,17 @@ def test_ivm_stream_matches_batch_aggregate(spark, events_small, tmp_path):
 
 
 def test_ivm_batch_apply_is_exactly_once(spark, tmp_path):
-    """The write-ahead-intent sidecar makes the additive IVM sink
-    idempotent: a re-delivered batch_id whose put committed is
-    skipped; one whose put never committed (crash between intent and
-    commit) is re-applied. ADVICE r5 item 5."""
+    """The atomic commit marker (batch id inside the same rename as
+    the data) makes the additive IVM sink idempotent: a re-delivered
+    batch_id whose put committed is skipped regardless of manifest
+    state; a crash between retire and rename is recovered from the
+    snapshot and the batch re-applied. ADVICE r5 item 5 + r6 item 5."""
     import json
+    import os
+    import shutil
 
     from eclipse_spark.storage import Catalog
-    from eclipse_spark.streaming.windows import (
-        _ivm_sidecar_path,
-        apply_ivm_batch,
-    )
+    from eclipse_spark.streaming.windows import apply_ivm_batch
 
     cat = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
     b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)],
@@ -200,16 +200,42 @@ def test_ivm_batch_apply_is_exactly_once(spark, tmp_path):
     assert {r.event_type: (r.n_rows, str(r.total))
             for r in cat.get("tv").collect()} == snap
 
-    # crash window: intent for batch 2 recorded but put never committed
-    side = _ivm_sidecar_path(cat, "tv")
-    cur = cat.info("tv").version
-    with open(side, "w") as fh:
-        json.dump({"last_batch": 2, "expected_version": cur + 1}, fh)
+    # crash window A (data committed, manifest bump lost): rewind the
+    # manifest one version and replay batch 1 — the in-dir marker still
+    # proves batch 1 committed, so no double-add
+    man = os.path.join(cat.root, Catalog._MANIFEST)
+    with open(man) as fh:
+        st = json.load(fh)
+    st["tv"] -= 1
+    with open(man, "w") as fh:
+        json.dump(st, fh)
+    cat2 = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
+    assert apply_ivm_batch(cat2, "tv", b1, 1, **kw) is False
+    assert {r.event_type: (r.n_rows, str(r.total))
+            for r in cat2.get("tv").collect()} == snap
+
+    # crash window B (retired but never renamed in): park the current
+    # copy as the next snapshot and delete the table path — delivery of
+    # batch 2 must recover the accumulated view, then apply on top
+    cur = cat2.info("tv").version
+    shutil.rmtree(cat2._version_path("tv", cur), ignore_errors=True)
+    os.rename(cat2.path_of("tv"), cat2._version_path("tv", cur))
+    assert not cat2.exists("tv")
     b2 = spark.createDataFrame([("b", 7.0)], ["event_type", "value"])
-    assert apply_ivm_batch(cat, "tv", b2, 2, **kw) is True  # re-applied
+    assert apply_ivm_batch(cat2, "tv", b2, 2, **kw) is True
     got = {r.event_type: (r.n_rows, str(r.total))
-           for r in cat.get("tv").collect()}
-    assert got["b"][0] == snap["b"][0] + 1
+           for r in cat2.get("tv").collect()}
+    assert got["b"][0] == snap["b"][0] + 1      # batch 2 applied once
+    assert got["a"] == snap["a"]                # prior accumulation intact
+
+    # direct caller with an unversioned catalog is rejected (the refresh
+    # reads the table it overwrites)
+    cat0 = Catalog(spark, str(tmp_path / "cat0"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_ivm_batch(cat0, "tv", b2, 0, **kw)
+    shutil.rmtree(str(tmp_path / "cat0"), ignore_errors=True)
 
 
 def test_ivm_stream_requires_versioned_catalog(spark, events_small, tmp_path):
