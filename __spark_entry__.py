@@ -5750,41 +5750,47 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates to the
-    queries that still lack driver evidence. Round-6 window: exactly
-    the 50 queries that had never held a driver slot through round 5
-    (all added late in round 5, all value-exact green under the local
-    DuckDB replica in tests/test_oracle_parity.py): the curation
-    pipeline + linkage/APSS/ER wave, the materialized-view refresh and
-    streaming-IVM/enrich/outer-join trio, temporal join, dense index,
-    the stored-PQ and multi-probe ANN tiers, clustering coefficient,
-    the drift/stats wave (chi-square, KS, OLS, rolling distinct/corr,
-    winsorize, quantile normalize), negative sampling, repetition
-    collapse, basket mining (frequent_pairs, session_baskets), the
-    LSH S-curve audit, PPS sampling, schema evolution, referential
-    integrity, attribution, interpolation, and the closing analytics
-    wave (activity islands/transitions/gini/dwell/label-separability/
-    entry-exit/order-lifecycle/RFM/cohort-LTV/new-vs-returning/
-    DAU-MAU/TWA/reconciliation/Pareto/rank-movers/heatmap/HHI/
-    dup-cluster-sizes/repurchase-interval).
+    queries that still lack driver evidence. Round-7 window closes the
+    registry: positions 1-15 are the FINAL 15 never-driver-checked
+    queries (VERDICT r6 task 1, verbatim order) — the residual scalar/
+    source suites (source_xml, text_normalize, equidepth_histogram,
+    bitwise/struct/url), the real-BMP decode pair (media_decode_bmp,
+    media_resize_bmp), and the round-6 operator wave (keep-first
+    overlapping substring_dedup, large-star/small-star cc_star,
+    streaming as-of enrichment events_stream_asof, bounded-hop
+    weighted SSSP shortest_path, the int8 quantize/search pair, and
+    the storage-layout content-invariance proof storage_layouts).
+    With these green, all 247 registry queries are driver-evidenced.
 
-    Positions 51-61 are the round-7 rotation queue: the residual
-    never-windowed 6 (XML source, text_normalize, equidepth_histogram,
-    bitwise/struct/url scalar suites) followed by the five round-6
-    additions (real-BMP media_decode_bmp / media_resize_bmp, the
-    keep-first overlapping substring_dedup, the large-star/small-star
-    cc_star, and the streaming as-of enrichment with exactly-once IVM
-    sink events_stream_asof, the bounded-hop weighted SSSP
-    shortest_path, and the engine-exact int8 embedding quantization
-    + compressed-scan search pair int8_quantize / ann_int8, and the
-    storage-layout content-invariance proof storage_layouts) — with
-    them green the registry is fully driver-evidenced. Everything rotated out retains its prior round's
-    driver-green row (CORRECTNESS_r01..r05.json) and every query at
-    every position stays locally oracle-checked by
-    tests/test_oracle_parity.py."""
+    Positions 16-50 backfill with high-value RE-CONFIRMATIONS from the
+    round-6 window (curation pipeline, APSS/ER/linkage, MV refresh +
+    streaming IVM trio, temporal join, ANN tiers, clustering
+    coefficient, the drift/stats wave, sampling and basket mining) —
+    several of which exercise code paths touched by this round's
+    hardening (substring/ivm/int8 fixes), so their green rows prove
+    the fixes regression-free under the driver's own check. Everything
+    rotated out retains its prior round's driver-green row
+    (CORRECTNESS_r01..r06.json) and every query at every position
+    stays locally oracle-checked by tests/test_oracle_parity.py."""
     return {
-        # ===== positions 1-50: the round-6 driver window =====
-        # (the 50 locally-oracle-green queries that had never held a
-        # driver CORRECTNESS slot through round 5 — VERDICT r5 task 1)
+        # ===== positions 1-15: the final never-driver-checked 15 =====
+        # (VERDICT r6 task 1 — closing the registry at 247/247)
+        "source_xml": q_source_xml,
+        "text_normalize": q_text_normalize,
+        "equidepth_histogram": q_equidepth_histogram,
+        "bitwise_funcs": q_bitwise_funcs,
+        "struct_funcs": q_struct_funcs,
+        "url_funcs": q_url_funcs,
+        "media_decode_bmp": q_media_decode_bmp,
+        "media_resize_bmp": q_media_resize_bmp,
+        "substring_dedup": q_substring_dedup,
+        "cc_star": q_cc_star,
+        "events_stream_asof": q_events_stream_asof,
+        "shortest_path": q_shortest_path,
+        "int8_quantize": q_int8_quantize,
+        "ann_int8": q_ann_int8,
+        "storage_layouts": q_storage_layouts,
+        # ===== positions 16-50: round-6-window re-confirmations =====
         "curation_pipeline": q_curation_pipeline,
         "apss_cosine": q_apss_cosine,
         "er_resolve": q_er_resolve,
@@ -5835,26 +5841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "repurchase_interval": q_repurchase_interval,
-        # positions 51-58: the residual never-windowed 6 plus the two
-        # round-6 real-BMP-decode additions — head of the round-7
-        # rotation queue (VERDICT r5 tasks 3 and 6)
-        "source_xml": q_source_xml,
-        "text_normalize": q_text_normalize,
-        "equidepth_histogram": q_equidepth_histogram,
-        "bitwise_funcs": q_bitwise_funcs,
-        "struct_funcs": q_struct_funcs,
-        "url_funcs": q_url_funcs,
-        "media_decode_bmp": q_media_decode_bmp,
-        "media_resize_bmp": q_media_resize_bmp,
-        "substring_dedup": q_substring_dedup,
-        "cc_star": q_cc_star,
-        "events_stream_asof": q_events_stream_asof,
-        "shortest_path": q_shortest_path,
-        "int8_quantize": q_int8_quantize,
-        "ann_int8": q_ann_int8,
-        "storage_layouts": q_storage_layouts,
         # everything below retains its prior round's driver-green row
-        # (CORRECTNESS_r01..r05.json), ordered round-5 window first,
+        # (CORRECTNESS_r01..r06.json), ordered round-5 window first,
         # then rounds 1-4; every query at every position stays locally
         # oracle-checked by tests/test_oracle_parity.py
         "source_json": q_source_json,
