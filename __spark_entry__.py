@@ -971,11 +971,28 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch — approximate by construction, rows-only check."""
+    """HLL sketch, PER-GROUP bounded-error audit (VERDICT r6 task 8:
+    no registry entry may need a rows-only driver row). The raw HLL
+    estimate is engine-specific, so the driver-checkable projection is
+    (exact anchor, within-bound flag): per l_returnflag, the exact
+    distinct-part count plus a flag that the rsd=0.02 sketch lands
+    within 10% (5 standard deviations) of it. Complements the GLOBAL
+    rsd=0.01/5% companion q_approx_distinct_err — this one proves the
+    guarantee per group, where cardinalities differ by orders of
+    magnitude. HLL is deterministic for fixed data, so flags are
+    stable; raw estimates stay available via
+    F.approx_count_distinct in the library surface."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("apx_part"),
-        F.approx_count_distinct("l_orderkey").alias("apx_order"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_apx"),
+        F.countDistinct("l_partkey").alias("nd_part"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "nd_part",
+        (F.abs(F.col("_apx") - F.col("nd_part")) <= 0.10 * F.col("nd_part"))
+        .cast("int")
+        .alias("within_10pct"),
     )
 
 
@@ -1197,16 +1214,49 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (Greenwald-Khanna via
     approx_percentile): the 100 TB path when exact percentile's
     full-sort-per-group is too much — partial sketches merge map-side
-    like any other partial agg. Approximate by construction, so no SQL
-    oracle (rows-only driver check); the local test bounds its error
-    against the exact percentile."""
-    li = _t(spark, sf_dir, "lineitem")
-    pct = F.expr(
-        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+    like any other partial agg. The raw sketch values are
+    engine-specific, so the driver-checkable projection asserts the GK
+    rank guarantee AS DATA (VERDICT r6 task 8): per group, each
+    accuracy=1000 sketch value's rank range [strictly-below + 1,
+    at-or-below] must intersect [n*(q - eps), n*(q + eps)] with
+    eps = 1/1000 — the COARSE sketch tier, complementing the
+    accuracy=10000 companion q_approx_quantiles_err (which also
+    anchors exact percentiles), so the guarantee is proven across
+    tiers. Deterministic sketch -> stable flags."""
+    li = _t(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+    acc = 1000
+    apx = li.groupBy("l_linestatus").agg(
+        F.expr(
+            f"approx_percentile(l_quantity, array(0.25, 0.5, 0.75), {acc})"
+        ).alias("_apx")
     )
-    return li.groupBy("l_linestatus").agg(
-        pct[0].alias("p25"), pct[1].alias("p50"), pct[2].alias("p75")
-    )
+    j = li.join(F.broadcast(apx), "l_linestatus")
+    targets = [(25, 0.25), (50, 0.5), (75, 0.75)]
+    aggs = [F.count("*").alias("_n")]
+    for i, (tag, _) in enumerate(targets):
+        aggs.append(
+            F.sum((F.col("l_quantity") < F.col("_apx")[i]).cast("long")).alias(
+                f"_lt{tag}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("l_quantity") <= F.col("_apx")[i]).cast("long")).alias(
+                f"_le{tag}"
+            )
+        )
+    st = j.groupBy("l_linestatus").agg(*aggs)
+    eps = 1.0 / acc + 1e-9
+    cols = [F.col("l_linestatus"), F.col("_n").alias("n_rows")]
+    for tag, frac in targets:
+        cols.append(
+            (
+                (F.col(f"_lt{tag}") <= (frac + eps) * F.col("_n"))
+                & (F.col(f"_le{tag}") >= (frac - eps) * F.col("_n"))
+            )
+            .cast("int")
+            .alias(f"p{tag}_rank_ok")
+        )
+    return st.select(*cols)
 
 
 def q_approx_quantiles_err(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,12 +1877,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (the 100 TB scale path next to the LSH tier):
-    approximate by construction — rows-only check; recall vs the
-    brute-force baseline is asserted in tests."""
+    """IVF partition-completeness invariant (VERDICT r6 task 8 —
+    upgrading the rows-only row to a real oracle): probing ALL cells
+    (n_probe = n_cells) must reproduce the brute-force top-k EXACTLY,
+    because cell assignment partitions the corpus — every vector lands
+    in exactly one Voronoi cell, none lost, none duplicated — and the
+    within-cell scoring is the same cosine as the flat scan. The
+    oracle is the brute-force SQL itself, so any assignment or scoring
+    defect in the IVF machinery hash-mismatches. The APPROXIMATE
+    behavior (n_probe < n_cells) keeps its own driver evidence via
+    q_ann_ivf_recall's bounded recall check."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+    out = similarity.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=16)
     return out.select("query_id", "match_id", "rank")
 
 
@@ -8929,6 +8986,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS p50_rank_ok,
                    CAST(1 AS INT) AS p75_rank_ok
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+                   CAST(1 AS INT) AS within_10pct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_quantiles": """
+            SELECT l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(1 AS INT) AS p25_rank_ok,
+                   CAST(1 AS INT) AS p50_rank_ok,
+                   CAST(1 AS INT) AS p75_rank_ok
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS match_id, embedding AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, match_id,
+                              list_cosine_similarity(qv, cv) AS cos
+                       FROM q, c WHERE query_id <> match_id)
+            SELECT query_id, match_id, rank FROM (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, match_id) AS rank
+              FROM s) t
+            WHERE rank <= 10
         """,
         "dataset_split": _oracle_dataset_split(),
         "skew_salted_join": """
