@@ -166,6 +166,81 @@ def test_ivm_stream_matches_batch_aggregate(spark, events_small, tmp_path):
     assert cat.info("tv").version >= 2  # 4 files -> >= 2 incremental applies
 
 
+def test_ivm_exactly_once_survives_kill_restart(spark, events_small, tmp_path):
+    """Real kill-restart-replay (VERDICT r6 task 4, upgrading the
+    simulated-replay unit test): the additive IVM sink runs against a
+    DURABLE checkpoint, the query is crashed AFTER batch 1's apply
+    committed but BEFORE its offsets commit (foreachBatch raises after
+    the put), and a fresh query restarted from the same checkpoint
+    re-delivers batch 1. The committed marker must recognize the
+    replay (skip, no double-add), the remaining batches drain, and the
+    final view equals the batch recompute over all input."""
+    import os
+    from decimal import Decimal
+
+    from eclipse_spark.storage import Catalog
+    from eclipse_spark.streaming.windows import apply_ivm_batch
+
+    path, df = events_small
+    # deterministic batch order: FileStreamSource processes oldest
+    # mtime first; one file per trigger -> one batch per file
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(files) >= 3
+    for i, f in enumerate(files):
+        os.utime(os.path.join(path, f), (1_000_000_000 + i, 1_000_000_000 + i))
+    cat = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(keys=["event_type"], sum_cols={"value": "total"})
+    crash_armed = {"on": True}
+
+    def _apply(bdf, bid):
+        applied = apply_ivm_batch(
+            cat, "tv", bdf.select("event_type", "value"), bid, **kw
+        )
+        if crash_armed["on"] and bid == 1:
+            assert applied is True
+            crash_armed["on"] = False
+            raise RuntimeError("injected crash after batch 1 committed")
+
+    def _start():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.outputMode("append")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    q.stop()
+    assert cat.read_marker("tv")["last_batch"] == 1  # crash landed post-commit
+
+    q2 = _start()  # restart from the durable checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r.event_type: (r.n_rows, Decimal(str(r.total)))
+        for r in cat.get("tv").collect()
+    }
+    exp = {
+        r.event_type: (r.n, Decimal(str(r.s)))
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp  # batch 1 applied exactly once despite re-delivery
+
+
 def test_ivm_batch_apply_is_exactly_once(spark, tmp_path):
     """The atomic commit marker (batch id inside the same rename as
     the data) makes the additive IVM sink idempotent: a re-delivered
