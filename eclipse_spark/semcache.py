@@ -35,6 +35,14 @@ are deterministic per fingerprint, so merge conflicts are benign.
 At 100 TB the cache directory lives on shared storage (S3/HDFS) so a
 hit is a parquet scan — still a win when the cached subtree contains
 shuffles or Python UDF stages.
+
+Cross-query SUBPLAN reuse (beyond Orthrus, which can only reuse whole
+(app, input) map outputs): interior op-DAG prefixes get their own
+app-agnostic fingerprints; the pipeline layer probes them deepest-first
+on a cold run, materializes prefixes marked ``Pipeline.stage()``, and
+auto-promotes any prefix sighted by two distinct cold runs
+(:meth:`note_subplan`). Two different pipelines sharing a tokenize/
+quality prefix compute it once.
 """
 
 from __future__ import annotations
@@ -142,6 +150,40 @@ class SemanticCache:
             for fn in filenames:
                 total += os.path.getsize(os.path.join(dirpath, fn))
         return total
+
+    # -- subplan registry (cross-query interior reuse) ------------------
+    def _subplans_path(self) -> str:
+        return os.path.join(self.root, "_semcache_subplans.json")
+
+    def note_subplan(self, fingerprint: str) -> int:
+        """Record one sighting of an interior subplan fingerprint and
+        return the total sighting count. The pipeline layer promotes a
+        prefix to a materialized cache entry once a SECOND distinct
+        cold run contains it — recurring shared stages become cached
+        automatically. Persisted with write-and-rename; a lost
+        increment under a concurrent-writer race only delays promotion
+        by one run (benign)."""
+        try:
+            with open(self._subplans_path()) as f:
+                counts = json.load(f)
+        except (OSError, ValueError):
+            counts = {}
+        counts[fingerprint] = int(counts.get(fingerprint, 0)) + 1
+        tmp = self._subplans_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(counts, f)
+        os.replace(tmp, self._subplans_path())
+        return counts[fingerprint]
+
+    def peek(self, fingerprint: str) -> bool:
+        """Entry existence WITHOUT stats/touch/pin side effects — the
+        pipeline layer's prefix probe (it may test many prefixes per
+        cold run; only the one actually served counts as a hit)."""
+        if not os.path.exists(self._entry_path(fingerprint)):
+            return False
+        if fingerprint not in self._entries:
+            self._load_manifest()  # registered by a concurrent session
+        return fingerprint in self._entries
 
     # -- core protocol --------------------------------------------------
     def lookup(self, fingerprint: str) -> DataFrame | None:

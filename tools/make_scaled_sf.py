@@ -27,8 +27,12 @@ distorted:
   range, i.e. 10x per-window density, which is what a 10x corpus
   means for windowed aggregation cost.
 
-Run: python tools/make_scaled_sf.py [out_dir] (default
-/root/repo/benchdata/sf1). Idempotent: skips tables already present.
+Run: python tools/make_scaled_sf.py [out_dir] [replicas] [tables]
+(defaults: /root/repo/benchdata/sf1, 10, all tables). The 100x tier
+(VERDICT r6 task 5) derives documents/embeddings only:
+python tools/make_scaled_sf.py /root/repo/benchdata/sf10 100 \\
+    documents,embeddings
+Idempotent: skips tables already present.
 """
 
 from __future__ import annotations
@@ -86,17 +90,26 @@ def _perturb_text(df: DataFrame, r: int) -> DataFrame:
 def _roll_vec(df: DataFrame, r: int) -> DataFrame:
     if r == 0:
         return df
+    # 64 distinct rolls; replicas 64.. reverse first so every r < 128
+    # gets a DISTINCT norm/marginal-preserving transform (plain roll
+    # alone would give replicas r and r+64 identical vectors — exact
+    # cosine-1.0 twins distorting the near-dup structure at 100x)
     k = (7 * r) % 64
+    col = "reverse(embedding)" if r >= 64 else "embedding"
+    if k == 0:
+        return df.withColumn("embedding", F.expr(col))
     return df.withColumn(
         "embedding",
         F.expr(
-            f"concat(slice(embedding, {k + 1}, size(embedding) - {k}), "
-            f"slice(embedding, 1, {k}))"
+            f"concat(slice({col}, {k + 1}, size(embedding) - {k}), "
+            f"slice({col}, 1, {k}))"
         ),
     )
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, replicas: int = R, tables: list[str] | None = None) -> None:
+    global R
+    R = replicas
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("make_scaled_sf")
@@ -132,6 +145,8 @@ def main(out_dir: str) -> None:
         },
     }
     for table, plan in plans.items():
+        if tables is not None and table not in tables:
+            continue
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dst):
             print(f"skip {table} (exists)")
@@ -149,4 +164,8 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else R,
+        sys.argv[3].split(",") if len(sys.argv) > 3 else None,
+    )

@@ -106,6 +106,32 @@ def main() -> None:
         "queries": out,
         "max_ratio": max(v["ratio"] for v in out.values()),
     }
+    # 100x tier (VERDICT r6 task 5): the two steepest 10x ratios get a
+    # second decade — sf1 -> sf10 (documents/embeddings only) — to see
+    # whether their curves bend superlinear at the next 10x
+    big10 = os.path.join(REPO, "benchdata", "sf10")
+    if os.path.exists(os.path.join(big10, "documents.parquet")):
+        deep = {}
+        for name in ("apss_cosine", "semdedup"):
+            fn = queries[name]
+            t1 = out[name]["sf1_sec"] if name in out else _time(fn, spark, big)
+            spark.catalog.clearCache()
+            t10 = _time(fn, spark, big10)
+            spark.catalog.clearCache()
+            deep[name] = {
+                "sf1_sec": round(t1, 3),
+                "sf10_sec": round(t10, 3),
+                "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
+            }
+            print(f"[100x] {name}: {t1:.2f}s -> {t10:.2f}s  "
+                  f"ratio {deep[name]['ratio']:.1f}x", flush=True)
+        payload["sf10"] = {
+            "data_ratio": 10,
+            "note": "second decade sf1 -> sf10 for the steepest 10x "
+                    "ratios; a ratio near or below the first decade's "
+                    "means the curve is NOT bending superlinear",
+            "queries": deep,
+        }
     with open(os.path.join(REPO, "bench_scaling.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps({"max_ratio": payload["max_ratio"]}))
