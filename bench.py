@@ -199,6 +199,7 @@ def main() -> None:
     queries = entrymod.queries()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Untimed warm run at the TARGET SF immediately before the
@@ -206,20 +207,24 @@ def main() -> None:
         # everything one-time is paid here, adjacent to the clock.
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        except Exception as exc:  # the timed run below will surface it
+            print(f"WARM-RUN FAILED {name}: {exc!r}", file=sys.stderr)
         # plan-build stays inside the clock: the timed number is still
         # end-to-end (analysis + optimization + execution). Min of two
         # timed runs — single-shot numbers on a shared host showed
         # transient 2-5x outliers (CPU contention), and min-of-N is the
-        # standard steady-state estimator for that noise model.
-        best = float("inf")
+        # standard steady-state estimator for that noise model. BOTH
+        # run times are recorded (VERDICT r6 task 7): min is the
+        # steady-state estimate, the spread is the host-noise band that
+        # lets the next round tell plan regressions from noise.
+        both: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            both.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(both)
+        runs[name] = both
         # Iterative operators persist() intermediates (pagerank edges,
         # IVF centroids, CC labels) whose lifecycle belongs to the
         # caller; without a release, 36 queries x 3 runs accumulate
@@ -250,27 +255,64 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # plan signatures from PLAN_AUDIT.json (structural: shuffle/scan/
+    # broadcast/UDF counts) — "unchanged plan" for the drift check
+    plan_sigs: dict[str, str] = {}
+    try:
+        with open(os.path.join(here, "PLAN_AUDIT.json")) as fh:
+            audit = json.load(fh).get("queries", {})
+        plan_sigs = {
+            n: json.dumps(audit[n], sort_keys=True)
+            for n in timings
+            if n in audit
+        }
+    except (OSError, ValueError):
+        pass
+
+    # drift check (VERDICT r6 task 7): against the PREVIOUS round's
+    # bench_full.json (still on disk before we overwrite it below) —
+    # flag any query whose min regressed >1.5x while its structural
+    # plan signature is unchanged (host noise vs plan regression).
+    drift: dict[str, dict] = {}
+    try:
+        with open(os.path.join(here, "bench_full.json")) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+        prev_sigs = prev.get("plan_sigs", {})
+        for n, cur in timings.items():
+            old = prev_q.get(n)
+            if old and cur > 1.5 * old:
+                drift[n] = {
+                    "prev_sec": old,
+                    "cur_sec": cur,
+                    "plan_changed": plan_sigs.get(n) != prev_sigs.get(n)
+                    if n in prev_sigs
+                    else None,
+                }
+    except (OSError, ValueError):
+        pass
+
     full = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs,  # both timed runs: min + spread per query
+        "plan_sigs": plan_sigs,
+        "drift_vs_prev": drift,
         "many_job": many_job,
         "sf": sf,
         "n_queries": len(timings),
     }
     # sf-scaling probe ratios (tools/scale_probe.py writes the sidecar;
     # merge them so bench_full.json is the one-stop perf artifact)
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_scaling.json"
-    )
+    scaling_path = os.path.join(here, "bench_scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
             full["sf_scaling"] = json.load(fh)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-        "w",
-    ) as fh:
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # Driver-facing line: bounded size (~300 B) no matter how many
     # queries the suite grows to.
@@ -288,6 +330,7 @@ def main() -> None:
                     if k in timings
                 },
                 "many_job": many_job,
+                "drift_flags": len(drift),
                 "full": "bench_full.json",
             }
         )
