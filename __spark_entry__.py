@@ -5791,6 +5791,26 @@ def q_session_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(baskets, "basket_id", "event_type", min_support=5)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher/MassiveText rule verdicts
+    (text.gopher_rules): word-count window, mean-word-length window,
+    alphabetic-word fraction, distinct-stop-word presence — every flag
+    an integer comparison on integer counts, so the verdicts are
+    engine-exact and the oracle recomputes them from the same token
+    stream. Pure projection: zero shuffles."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse featurization (text.feature_hash,
+    portable tier): tokens -> 64 buckets via the md5-derived 60-bit
+    hash, per-doc counts — no fitted vocabulary, the 100 TB-safe
+    featurizer. Restricted to doc_id < 100 to bound the sparse-row
+    output; the oracle replays every bucket id bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text.feature_hash(docs, n_buckets=64, portable=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6084,6 +6104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,
+        # round-7 additions (the round-8 rotation queue): Gopher rule
+        # verdicts, PII scrubbing, hashing-trick featurization
+        "gopher_rules": q_gopher_rules,
+        "feature_hash": q_feature_hash,
     }
 
 
@@ -8993,6 +9017,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS within_10pct
             FROM lineitem GROUP BY l_returnflag
         """,
+        "gopher_rules": """
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+            m AS (SELECT doc_id,
+                         len(toks) AS n,
+                         coalesce(list_sum(list_transform(toks,
+                             x -> len(x))), 0) AS s,
+                         len(list_filter(toks,
+                             x -> regexp_matches(x, '[a-z]'))) AS na,
+                         len(list_intersect(list_distinct(toks),
+                             ['the','of','and','to','a','in','is','it',
+                              'that','for'])) AS ns
+                  FROM t)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(s AS BIGINT) AS n_word_chars,
+                   CASE WHEN n > 0
+                        THEN round(CAST(s AS DOUBLE) / n, 6)
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(na AS BIGINT) AS n_alpha_tokens,
+                   CAST(ns AS BIGINT) AS n_stop_distinct,
+                   CAST(n >= 50 AND n <= 100000 AS INT) AS r_wordcount,
+                   CAST(n > 0 AND s >= 3*n AND s <= 10*n AS INT)
+                     AS r_meanlen,
+                   CAST(n > 0 AND na*5 >= n*4 AS INT) AS r_alpha,
+                   CAST(ns >= 2 AS INT) AS r_stop,
+                   CAST(n >= 50 AND n <= 100000
+                        AND n > 0 AND s >= 3*n AND s <= 10*n
+                        AND na*5 >= n*4 AND ns >= 2 AS INT) AS pass_gopher
+            FROM m
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "feature_hash": """
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents
+                       WHERE doc_id < 100),
+            ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            h AS (SELECT doc_id, {HEX15} % 64 AS bucket
+                  FROM (SELECT doc_id, md5(tok) AS mh FROM ex) x)
+            SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM h GROUP BY 1, 2
+        """.replace("{TOKENS}", TOKENS_SQL)
+           .replace("{HEX15}", _sql_hex15("mh", 0)),
         "approx_quantiles": """
             SELECT l_linestatus,
                    CAST(count(*) AS BIGINT) AS n_rows,

@@ -160,6 +160,9 @@ HEADLINE = [
     "int8_quantize",
     "ann_int8",
     "storage_layouts",
+    # round 7 additions: Gopher rule verdicts, hashing-trick features
+    "gopher_rules",
+    "feature_hash",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -760,6 +760,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     cell_col: str = "cell",
     centroid_col: str = "centroid",
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     assign every vector to its nearest centroid (broadcast NL join —
@@ -772,7 +773,14 @@ def semantic_dedup(
     (max cell size)^2 instead of corpus^2 — SemDeDup's observation
     that near-duplicate semantics only need within-cluster pairs. At
     100 TB the centroids come from kmeans_iterate and cells stay
-    bounded by construction.
+    bounded by construction — and that contract is now ENFORCED, not
+    assumed: the within-cell pair count is audited up front (one O(k)
+    aggregate) and the operator RAISES when it exceeds ``max_pairs``
+    (default 1e8) instead of silently launching a quadratic join that
+    the 100x scaling probe measured bending superlinear when the
+    centroid count is NOT scaled with the corpus. The fix at scale is
+    more centroids (cell size ~ constant), not a bigger budget;
+    ``max_pairs=None`` disables the guard for bounded oracle replicas.
 
     Vectors cast to double before any arithmetic (float32 HOF math is
     neither engine-portable nor precise enough for a stable argmax).
@@ -814,6 +822,29 @@ def semantic_dedup(
     # transform() lambda re-evaluates per element (repo-measured ~30x
     # penalty on doc_fingerprint), so the aggregate must not live in
     # the lambda.
+    if max_pairs is not None:
+        assigned = assigned.persist()  # audit + pair join + final map
+        audit = (
+            assigned.groupBy("_cell")
+            .agg(F.count("*").alias("_n"))
+            .agg(
+                F.sum(
+                    (F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1))
+                    / 2
+                ).alias("_pairs"),
+                F.max("_n").alias("_maxcell"),
+            )
+            .collect()[0]
+        )
+        n_pairs = int(audit["_pairs"] or 0)
+        if n_pairs > max_pairs:
+            raise RuntimeError(
+                f"semantic_dedup: within-cell pair count {n_pairs:,} exceeds "
+                f"max_pairs={max_pairs:,} (largest cell {audit['_maxcell']:,} "
+                "vectors) — the centroid count is too small for this corpus; "
+                "scale n_cells with the data (kmeans_iterate) so cell sizes "
+                "stay bounded, or raise/disable max_pairs explicitly"
+            )
     unit = assigned.withColumn("_n", norm(F.col("_v"))).select(
         "_cell",
         "_id",

@@ -1238,3 +1238,115 @@ def negative_samples(
             F.col("neg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: Gopher rule verdicts, feature hashing
+# (the rule METRICS live in quality_stats / repetition_stats above;
+# this layer turns them into the MassiveText accept/reject flags)
+# ---------------------------------------------------------------------------
+
+# Gopher/MassiveText quality rules (Rae et al. 2021, §A1.1), the subset
+# meaningful for single-line corpora; the line-shape rules (bullet /
+# ellipsis fractions) live in quality_stats' ratio columns instead.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MIN_ALPHA_FRACTION = 0.8  # fraction of words containing a letter
+GOPHER_MIN_STOPWORDS = 2  # distinct stop-words required
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher rule verdicts — the MassiveText quality
+    filter (Rae et al. 2021) as ONE codegen projection: word-count
+    window, mean-word-length window, alphabetic-word fraction, and
+    distinct-stop-word presence, each as an integer flag plus the
+    underlying counts, and the AND of all rules as ``pass_gopher``.
+
+    Engine-exactness: every flag is an INTEGER comparison on integer
+    counts (``3*n <= sum_chars <= 10*n`` instead of a float mean
+    threshold; ``5*n_alpha >= 4*n_tokens`` instead of ``>= 0.8``), so
+    verdicts cannot flip on IEEE rounding in any engine; the exposed
+    ``mean_word_len`` is informational (round 6).
+
+    Scale shape: pure per-row projection — no shuffle, no UDF; the
+    stop-word probe is an array_intersect against an 10-element
+    literal array. Returns (id, n_tokens, n_word_chars, mean_word_len,
+    n_alpha_tokens, n_stop_distinct, r_wordcount, r_meanlen, r_alpha,
+    r_stop, pass_gopher)."""
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    toks = F.col("_toks")  # split bound ONCE (four consumers below)
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("n_word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("n_alpha_tokens"),
+        F.size(F.array_intersect(F.array_distinct(toks), en_stop)).alias(
+            "n_stop_distinct"
+        ),
+    )
+    n, s = F.col("n_tokens"), F.col("n_word_chars")
+    r_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_ml = (n > 0) & (s >= GOPHER_MIN_MEAN_WORD_LEN * n) & (
+        s <= GOPHER_MAX_MEAN_WORD_LEN * n
+    )
+    r_al = (n > 0) & (F.col("n_alpha_tokens") * 5 >= n * 4)
+    r_st = F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        s.cast("long").alias("n_word_chars"),
+        F.when(n > 0, F.round(s.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.col("n_alpha_tokens").cast("long").alias("n_alpha_tokens"),
+        F.col("n_stop_distinct").cast("long").alias("n_stop_distinct"),
+        r_wc.cast("int").alias("r_wordcount"),
+        r_ml.cast("int").alias("r_meanlen"),
+        r_al.cast("int").alias("r_alpha"),
+        r_st.cast("int").alias("r_stop"),
+        (r_wc & r_ml & r_al & r_st).cast("int").alias("pass_gopher"),
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Hashing-trick featurization: each token maps to
+    ``hash(token) % n_buckets`` and documents become sparse
+    (id, bucket, n) count vectors — the unbounded-vocabulary
+    featurizer (Weinberger et al. 2009) that needs NO fitted
+    dictionary, so it runs identically on shard 1 and shard 10^6 of a
+    100 TB corpus (no vocab broadcast, no OOV).
+
+    ``portable=True`` uses the md5-derived 60-bit hash so an external
+    SQL oracle reproduces every bucket id bit-for-bit; the default is
+    xxhash64 (cheaper, same distribution quality).
+
+    Scale shape: one token explode + one (id, bucket) map-side-combined
+    count — no joins, nothing broadcast. Returns (id, bucket, n)."""
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    if portable:
+        from eclipse_spark.functions.scalar import portable_hash60
+
+        h = portable_hash60(F.md5("_tok"), 0)
+    else:
+        h = F.xxhash64("_tok")  # pmod below handles the negative half
+    return (
+        ex.withColumn("bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -320,6 +320,28 @@ def test_semantic_dedup_drops_within_cell_only(spark):
     assert got == {10: (0, 1), 11: (0, 0), 12: (1, 1), 13: (1, 0)}
 
 
+def test_semantic_dedup_pair_budget_guard(spark):
+    """Cells outgrowing the centroid count is the one way SemDeDup
+    goes quadratic (measured superlinear in the 100x scaling probe at
+    pinned k): the pair-count audit must RAISE before launching the
+    join, name the remedy, and stay silent under the budget or when
+    disabled."""
+    import pytest as _pytest
+
+    from eclipse_spark.operators.dedup import semantic_dedup
+
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], ["cell", "centroid"])
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    # 40 vectors, 1 cell -> 780 pairs > budget 100
+    with _pytest.raises(RuntimeError, match="n_cells"):
+        semantic_dedup(emb, cents, max_pairs=100)
+    assert semantic_dedup(emb, cents, max_pairs=1000).count() == 40
+    assert semantic_dedup(emb, cents, max_pairs=None).count() == 40
+
+
 def test_minhash_dedup_against_drops_only_cross_dups(spark):
     """Planted near-copies of ref docs drop from the new batch; docs
     that only duplicate OTHER NEW docs survive (this operator checks

@@ -349,3 +349,53 @@ def test_select_canonical_keeps_best_per_cluster(spark):
         for r in select_canonical(scored, comps, "score").collect()
     }
     assert got == {1: (1, 0), 2: (1, 1), 5: (5, 1), 6: (5, 0), 9: (9, 1)}
+
+
+def test_gopher_rules_flags(spark):
+    """Rule verdicts on constructed docs: a healthy doc passes all
+    four; a short doc fails word count; a doc of 1-char words fails
+    mean length; a digit-word doc fails the alpha fraction; a doc with
+    one stop-word fails the stop rule; empty text fails everything."""
+    from eclipse_spark.operators.text import gopher_rules
+
+    healthy = " ".join(["the", "for"] + ["table"] * 60)
+    short = "the for table"
+    thin = " ".join(["the", "for"] + ["a"] * 60)        # mean len < 3
+    digits = " ".join(["the", "for"] + ["12345"] * 60)  # alpha frac low
+    onestop = " ".join(["the"] + ["table"] * 60)
+    rows = [(1, healthy), (2, short), (3, thin), (4, digits),
+            (5, onestop), (6, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].pass_gopher == 1
+    assert (got[2].r_wordcount, got[2].pass_gopher) == (0, 0)
+    assert (got[3].r_meanlen, got[3].pass_gopher) == (0, 0)
+    assert (got[4].r_alpha, got[4].pass_gopher) == (0, 0)
+    assert (got[5].r_stop, got[5].pass_gopher) == (0, 0)
+    assert got[6].n_tokens == 0 and got[6].pass_gopher == 0
+
+
+def test_feature_hash_sparse_counts(spark):
+    """Bucket ids are hash-stable, counts sum to the token count, and
+    the portable tier equals itself across two runs (determinism) and
+    distributes across buckets."""
+    from eclipse_spark.operators.text import feature_hash, tokens
+    from pyspark.sql import functions as F
+
+    rows = [(1, "alpha beta alpha gamma"), (2, "beta beta delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = feature_hash(df, n_buckets=16, portable=True)
+    per_doc = {r.doc_id: r.s for r in
+               out.groupBy("doc_id").agg(F.sum("n").alias("s")).collect()}
+    assert per_doc == {1: 4, 2: 3}
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, feature_hash(df, n_buckets=16, portable=True).collect()))
+    assert a == b
+    assert all(0 <= r[1] < 16 for r in a)
+    # same token -> same bucket across docs: 'beta' rows agree
+    xs = feature_hash(
+        spark.createDataFrame([(9, "beta")], ["doc_id", "text"]),
+        n_buckets=16, portable=True,
+    ).collect()
+    beta_bucket = xs[0].bucket
+    assert any(r[1] == beta_bucket for r in a)

@@ -63,6 +63,17 @@ def _time(fn, spark, sf_dir) -> float:
     return best
 
 
+def _time_strict(fn, spark, sf_dir) -> float:
+    """Like _time but PROPAGATES query errors (the 100x tier wants to
+    see a budget guard trip, not swallow it)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     small = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     big = os.path.join(REPO, "benchdata", "sf1")
@@ -116,7 +127,21 @@ def main() -> None:
             fn = queries[name]
             t1 = out[name]["sf1_sec"] if name in out else _time(fn, spark, big)
             spark.catalog.clearCache()
-            t10 = _time(fn, spark, big10)
+            try:
+                t10 = _time_strict(fn, spark, big10)
+            except Exception as exc:
+                # a candidate-budget guard tripping IS the designed
+                # outcome for a plan that would go superlinear here
+                # (semantic_dedup max_pairs): record it, loudly
+                deep[name] = {
+                    "sf1_sec": round(t1, 3),
+                    "sf10_sec": None,
+                    "guarded": str(exc)[:300],
+                }
+                print(f"[100x] {name}: GUARDED — {str(exc)[:120]}",
+                      flush=True)
+                spark.catalog.clearCache()
+                continue
             spark.catalog.clearCache()
             deep[name] = {
                 "sf1_sec": round(t1, 3),
