@@ -5848,7 +5848,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the fixes regression-free under the driver's own check. Everything
     rotated out retains its prior round's driver-green row
     (CORRECTNESS_r01..r06.json) and every query at every position
-    stays locally oracle-checked by tests/test_oracle_parity.py."""
+    stays locally oracle-checked by tests/test_oracle_parity.py.
+
+    Round-8 rotation queue: the two round-7 additions at the registry
+    tail (gopher_rules, feature_hash) — both value-exact green under
+    the local replica; with those two windowed, every query ever added
+    is driver-evidenced."""
     return {
         # ===== positions 1-15: the final never-driver-checked 15 =====
         # (VERDICT r6 task 1 — closing the registry at 247/247)

@@ -531,3 +531,22 @@ def test_curation_pipeline_broadcasts_benchmark_grams(spark, sf_smoke):
     plan = _plan(QUERIES["curation_pipeline"](spark, sf_smoke))
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_smoke):
+    """Rule verdicts are a pure projection: no Exchange, no UDF, one
+    scan reading only (doc_id, text)."""
+    plan = _plan(QUERIES["gopher_rules"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_feature_hash_single_shuffle(spark, sf_smoke):
+    """Hashing-trick featurization: token explode + ONE map-side
+    combined (id, bucket) count — no joins, no broadcast, no UDF."""
+    plan = _plan(QUERIES["feature_hash"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    assert "HashAggregate" in plan and plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
