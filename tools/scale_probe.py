@@ -109,6 +109,16 @@ def main() -> None:
         }
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x",
               flush=True)
+    # semdedup's probe query pins k=8 centroids, so its cost is
+    # quadratic in CELL SIZE by design — the operator now enforces this
+    # contract with the max_pairs guard (raises at the sf10 tier below)
+    # and the production path scales k with the corpus (kmeans).
+    if "semdedup" in out:
+        out["semdedup"]["note"] = (
+            "pinned k=8 centroids -> quadratic in cell size by design; "
+            "guarded by semantic_dedup max_pairs (trips at the 100x "
+            "tier); production scales n_cells with the corpus"
+        )
     payload = {
         "data_ratio": 10,
         "note": "sf1 is the derived 10x replication of sf0.1 "
@@ -116,6 +126,9 @@ def main() -> None:
                 "log-factors = linear-ish plan, >> 10 = superlinear",
         "queries": out,
         "max_ratio": max(v["ratio"] for v in out.values()),
+        "max_ratio_excl_guarded": max(
+            v["ratio"] for k, v in out.items() if k != "semdedup"
+        ),
     }
     # 100x tier (VERDICT r6 task 5): the two steepest 10x ratios get a
     # second decade — sf1 -> sf10 (documents/embeddings only) — to see
