@@ -260,6 +260,12 @@ def bfs_distances(
     dist = sources.select(
         F.col(source_col).alias("node"), F.lit(0).cast("int").alias("dist")
     ).distinct()
+    # Shallow runs (the default) keep the pure-lazy plan: a handful of
+    # union+agg rounds nests fine and costs no per-hop materialization.
+    # Deep runs switch to per-hop localCheckpoint (flat lineage — the
+    # nested plan doubles per round) + an O(1) fixpoint probe so
+    # converged graphs exit early (same policy as shortest_paths).
+    deep = max_hops > 4
     prev_sig = None
     for _ in range(max_hops):
         frontier = (
@@ -270,15 +276,15 @@ def bfs_distances(
             dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
-            .localCheckpoint(eager=True)  # flat lineage per hop
         )
-        # O(1) fixpoint probe: a hop that changes nothing means BFS is
-        # done — later hops are no-ops, skip them
-        sig = tuple(dist.agg(F.count("*"), F.sum("dist")).collect()[0])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    und.unpersist()
+        if deep:
+            dist = dist.localCheckpoint(eager=True)
+            sig = tuple(dist.agg(F.count("*"), F.sum("dist")).collect()[0])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    if deep:
+        und.unpersist()
     return dist
 
 

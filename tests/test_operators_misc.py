@@ -412,6 +412,13 @@ def test_bfs_distances_path_graph(spark):
     srcs2 = spark.createDataFrame([(99,)], "node bigint")
     got2 = {r.node: r.dist for r in graph.bfs_distances(edges, srcs2, max_hops=2).collect()}
     assert got2 == {99: 0}
+    # deep path (max_hops > 4): per-hop checkpoint + fixpoint early
+    # exit must return the same answer, quickly, on a converged graph
+    got3 = {
+        r.node: r.dist
+        for r in graph.bfs_distances(edges, srcs, max_hops=24).collect()
+    }
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
 
 
 def test_shortest_paths_weighted_relaxation(spark):
