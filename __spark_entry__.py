@@ -5791,6 +5791,37 @@ def q_session_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(baskets, "basket_id", "event_type", min_support=5)
 
 
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding, end-to-end and oracle-checked — the second
+    real modality next to media_decode_bmp: a synthetic PCM WAV per
+    doc_id (multimodal.encode_pattern_wav — sample values are a pure
+    integer formula of the id), parsed back by the vendored
+    dependency-free RIFF/WAVE codec (multimodal.wav_decode — chunk
+    walk, fmt validation, int16 PCM), amplitude features via the
+    integer-exact recipe. The oracle recomputes every feature from the
+    sample FORMULA without touching bytes, so a hash match proves the
+    engine actually parsed RIFF chunk headers and PCM bytes."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    wavs = multimodal.encode_pattern_wav(ids, id_col="id")
+    return multimodal.audio_features(wavs)
+
+
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame sampling with REAL decode (multimodal.audio_frames):
+    WAV bytes -> non-overlapping 16-sample windows -> per-frame INTEGER
+    energy (sum of squares — exact in any engine, no float anywhere).
+    The fixed-window analogue of video frame_sample, but with actual
+    byte parsing; binary never leaves the map stage — only
+    (id, frame_idx, n, energy) rows shuffle."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"))
+    )
+    wavs = multimodal.encode_pattern_wav(ids, id_col="id")
+    return multimodal.audio_frames(wavs, frame=16)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher/MassiveText rule verdicts
     (text.gopher_rules): word-count window, mean-word-length window,
@@ -5850,10 +5881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the two round-7 additions at the registry
-    tail (gopher_rules, feature_hash) — both value-exact green under
-    the local replica; with those two windowed, every query ever added
-    is driver-evidenced."""
+    Round-8 rotation queue: the four round-7 additions at the registry
+    tail (gopher_rules, feature_hash, media_decode_wav,
+    media_audio_frames) — all value-exact green under the local
+    replica; with those windowed, every query ever added is
+    driver-evidenced."""
     return {
         # ===== positions 1-15: the final never-driver-checked 15 =====
         # (VERDICT r6 task 1 — closing the registry at 247/247)
@@ -6110,9 +6142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,
         # round-7 additions (the round-8 rotation queue): Gopher rule
-        # verdicts, PII scrubbing, hashing-trick featurization
+        # verdicts, hashing-trick featurization, REAL WAV audio decode
+        # + frame energies (the second real modality next to BMP)
         "gopher_rules": q_gopher_rules,
         "feature_hash": q_feature_hash,
+        "media_decode_wav": q_media_decode_wav,
+        "media_audio_frames": q_media_audio_frames,
     }
 
 
@@ -9052,6 +9087,38 @@ def oracle_sql() -> dict[str, str]:
                         AND na*5 >= n*4 AND ns >= 2 AS INT) AS pass_gopher
             FROM m
         """.replace("{TOKENS}", TOKENS_SQL),
+        "media_decode_wav": """
+            WITH dims AS (SELECT doc_id AS id, 64 + doc_id % 57 AS n,
+                                 8000 + (doc_id % 4) * 2000 AS rate
+                          FROM documents),
+            sm AS (SELECT id, n, rate,
+                          (31*id + 7*i.i) % 4001 - 2000 AS v
+                   FROM dims CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, n)) AS i) i),
+            agg AS (SELECT id, n, rate, sum(v) AS s, sum(v*v) AS q,
+                           max(abs(v)) AS p
+                    FROM sm GROUP BY 1, 2, 3)
+            SELECT id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   round(n * 1000.0 / rate, 6) AS duration_ms,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean_amp,
+                   round(sqrt(CAST(q AS DOUBLE) / n), 6) AS rms_amp,
+                   CAST(p AS BIGINT) AS peak_amp
+            FROM agg
+        """,
+        "media_audio_frames": """
+            WITH dims AS (SELECT doc_id AS id, 64 + doc_id % 57 AS n
+                          FROM documents WHERE doc_id < 200),
+            sm AS (SELECT id, i.i AS i,
+                          (31*id + 7*i.i) % 4001 - 2000 AS v
+                   FROM dims CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, n)) AS i) i)
+            SELECT id, CAST(i // 16 AS BIGINT) AS frame_idx,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v*v) AS BIGINT) AS energy
+            FROM sm GROUP BY 1, 2
+        """,
         "feature_hash": """
             WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents
                        WHERE doc_id < 100),

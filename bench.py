@@ -160,9 +160,12 @@ HEADLINE = [
     "int8_quantize",
     "ann_int8",
     "storage_layouts",
-    # round 7 additions: Gopher rule verdicts, hashing-trick features
+    # round 7 additions: Gopher rule verdicts, hashing-trick features,
+    # real WAV audio decode + frame energies
     "gopher_rules",
     "feature_hash",
+    "media_decode_wav",
+    "media_audio_frames",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -342,3 +342,162 @@ def frame_sample_plan(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: vendored WAV/PCM codec (round 7 — the second REAL modality,
+# same discipline as the BMP codec: dependency-free parse of a public
+# byte format, loud failure on anything else, formula-corpus oracle)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """Encode a mono int16 sample array as a PCM WAV (RIFF/WAVE,
+    fmt + data chunks). Pure struct+numpy — no audio library."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("wav_encode expects a 1-D int16 array")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV to ``(sample_rate, int16 sample array)`` by
+    walking the RIFF chunk list (fmt may precede data with other
+    chunks between — LIST/INFO etc. are skipped, as the format
+    allows). Raises ValueError on anything that is not mono 16-bit
+    PCM — callers fail loudly, never a silent stub."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    rate, data = None, None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt} ch={channels} bits={bits})"
+                )
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def encode_pattern_wav(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic synthetic audio corpus: one real PCM WAV per id —
+    ``n = 64 + id % 57`` samples at ``rate = 8000 + (id % 4) * 2000``,
+    sample ``i`` = ``(31*id + 7*i) % 4001 - 2000`` (int16-safe). The
+    formula replays in SQL with pure integer arithmetic, so an oracle
+    can compute expected amplitude statistics while the engine must
+    recover them by actually parsing the RIFF bytes this stage
+    encodes. Arrow-batched; bytes are born inside the stage."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 64 + d % 57
+                rate = 8000 + (d % 4) * 2000
+                i = np.arange(n, dtype=np.int64)
+                samples = ((31 * d + 7 * i) % 4001 - 2000).astype(np.int16)
+                payloads.append(wav_encode(samples, rate))
+            yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
+
+    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+
+
+def audio_features(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "id"
+) -> DataFrame:
+    """Audio decode + feature extraction as a mapInPandas stage: parse
+    the WAV bytes (vendored codec — REAL decode, loud failure on
+    non-PCM payloads) and emit engine-exact amplitude statistics, each
+    a single IEEE double op over exact integer sums (the BMP feature
+    discipline): mean, RMS (sqrt(q/n)), integer peak |amp|, and
+    duration in ms. A SQL oracle recomputes all of them from the
+    pattern formula without touching bytes."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> list:
+            rate, samples = wav_decode(bytes(b) if b is not None else b"")
+            a = samples.astype(np.int64)
+            n = len(a)
+            s, q = int(a.sum()), int((a * a).sum())
+            peak = int(np.abs(a).max()) if n else 0
+            return [
+                n,
+                rate,
+                round(n * 1000.0 / rate, 6),
+                round(s / n, 6) if n else 0.0,
+                round(float(np.sqrt(q / n)), 6) if n else 0.0,
+                peak,
+            ]
+
+        cols = ["n_samples", "sample_rate", "duration_ms",
+                "mean_amp", "rms_amp", "peak_amp"]
+        for pdf in batches:
+            feats = pdf[bytes_col].map(one)
+            out = pd.DataFrame({"id": pdf[id_col]})
+            for j, c in enumerate(cols):
+                out[c] = feats.map(lambda f, j=j: f[j])
+            yield out
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _run,
+        schema=(
+            "id long, n_samples long, sample_rate long, duration_ms double, "
+            "mean_amp double, rms_amp double, peak_amp long"
+        ),
+    )
+
+
+def audio_frames(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "id",
+    frame: int = 16,
+) -> DataFrame:
+    """Audio frame sampling — the fixed-window analogue of video
+    frame_sample, but REAL: decode the WAV, split into non-overlapping
+    ``frame``-sample windows (tail partial window included), and emit
+    per-frame INTEGER energy (sum of squared amplitudes) — exact in
+    any engine, no float anywhere. Binary stays inside the map stage;
+    only (id, frame_idx, n, energy) rows come out."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energies = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bytes_col]):
+                _rate, samples = wav_decode(bytes(b) if b is not None else b"")
+                a = samples.astype(np.int64)
+                for f0 in range(0, len(a), frame):
+                    win = a[f0 : f0 + frame]
+                    ids.append(rid)
+                    idxs.append(f0 // frame)
+                    ns.append(len(win))
+                    energies.append(int((win * win).sum()))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "n": ns, "energy": energies}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _run, schema="id long, frame_idx long, n long, energy long"
+    )

@@ -144,3 +144,101 @@ def test_binary_file_source_roundtrips_bmp_fixtures(spark, tmp_path):
     )
     got = {r.id: r.features for r in decode_features(df, fake=False).collect()}
     assert got == expected
+
+
+# -- audio: vendored WAV codec (round 7) --------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode->decode is identity; a LIST chunk between fmt and data
+    (legal RIFF) is skipped; odd-sized chunks honor word alignment."""
+    import struct
+
+    import numpy as np
+
+    from eclipse_spark.operators.multimodal import wav_decode, wav_encode
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    rate, got = wav_decode(wav_encode(samples, 44100))
+    assert rate == 44100 and np.array_equal(got, samples)
+
+    # rebuild with an interleaved odd-sized LIST chunk before data
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = samples.tobytes()
+    inner = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded to 4
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    rate2, got2 = wav_decode(payload)
+    assert rate2 == 8000 and np.array_equal(got2, samples)
+
+
+def test_wav_decode_rejects_garbage_loudly():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from eclipse_spark.operators.multimodal import wav_decode, wav_encode
+
+    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 100):
+        with pytest.raises(ValueError):
+            wav_decode(bad)
+    # stereo/8-bit/non-PCM all refused (no silent degradation)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)  # 2 channels
+    inner = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="ch=2"):
+        wav_decode(b"RIFF" + struct.pack("<I", len(inner)) + inner)
+    ok = wav_encode(np.array([5, -5], dtype=np.int16), 8000)
+    with pytest.raises(ValueError):  # truncated data chunk
+        wav_decode(ok[:-2])
+
+
+def test_audio_features_match_direct_computation(spark):
+    """The Spark kernel must recover, from actual RIFF bytes, exactly
+    the statistics computed directly from the generating formula."""
+    import numpy as np
+
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 40)
+    out = {
+        r.id: r
+        for r in mm.audio_features(mm.encode_pattern_wav(ids)).collect()
+    }
+    for d in range(40):
+        n = 64 + d % 57
+        rate = 8000 + (d % 4) * 2000
+        i = np.arange(n, dtype=np.int64)
+        v = (31 * d + 7 * i) % 4001 - 2000
+        r = out[d]
+        assert r.n_samples == n and r.sample_rate == rate
+        assert r.duration_ms == round(n * 1000.0 / rate, 6)
+        assert r.mean_amp == round(int(v.sum()) / n, 6)
+        assert r.rms_amp == round(float(np.sqrt(int((v * v).sum()) / n)), 6)
+        assert r.peak_amp == int(np.abs(v).max())
+
+
+def test_audio_frames_energy_exact(spark):
+    """Per-frame integer energies (incl. the partial tail frame) match
+    the formula; frame indices tile the sample run."""
+    import numpy as np
+
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 10)
+    rows = mm.audio_frames(mm.encode_pattern_wav(ids), frame=16).collect()
+    got = {(r.id, r.frame_idx): (r.n, r.energy) for r in rows}
+    for d in range(10):
+        n = 64 + d % 57
+        i = np.arange(n, dtype=np.int64)
+        v = (31 * d + 7 * i) % 4001 - 2000
+        n_frames = -(-n // 16)
+        assert {k[1] for k in got if k[0] == d} == set(range(n_frames))
+        for f0 in range(n_frames):
+            win = v[f0 * 16 : f0 * 16 + 16]
+            assert got[(d, f0)] == (len(win), int((win * win).sum()))
