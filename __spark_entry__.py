@@ -5822,6 +5822,25 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_frames(wavs, frame=16)
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, end-to-end — completes the modality
+    triad (BMP stills, WAV audio, now framed video): a synthetic EBMV
+    container per doc_id holding 3-7 pattern-BMP frames
+    (multimodal.encode_pattern_video), every 2nd frame extracted by
+    walking the container's real index (multimodal.video_decode_frame)
+    and BMP-decoded by the vendored codec; per-frame integer-exact
+    mean/std. The oracle replays the per-frame pixel formula without
+    touching bytes, so a hash match proves index walk + offset
+    arithmetic + per-frame BMP parse all happened correctly."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("id"))
+    )
+    vids = multimodal.encode_pattern_video(ids, id_col="id")
+    return multimodal.video_frame_features(vids, every_n=2)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher/MassiveText rule verdicts
     (text.gopher_rules): word-count window, mean-word-length window,
@@ -5881,9 +5900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the four round-7 additions at the registry
+    Round-8 rotation queue: the five round-7 additions at the registry
     tail (gopher_rules, feature_hash, media_decode_wav,
-    media_audio_frames) — all value-exact green under the local
+    media_audio_frames, media_video_frames) — all value-exact green
+    under the local
     replica; with those windowed, every query ever added is
     driver-evidenced."""
     return {
@@ -6148,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "media_decode_wav": q_media_decode_wav,
         "media_audio_frames": q_media_audio_frames,
+        "media_video_frames": q_media_video_frames,
     }
 
 
@@ -9105,6 +9126,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s AS DOUBLE) / n, 6) AS mean_amp,
                    round(sqrt(CAST(q AS DOUBLE) / n), 6) AS rms_amp,
                    CAST(p AS BIGINT) AS peak_amp
+            FROM agg
+        """,
+        "media_video_frames": """
+            WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                                 8 + doc_id % 7 AS h,
+                                 3 + doc_id % 5 AS nf
+                          FROM documents WHERE doc_id < 300),
+            fr AS (SELECT id, w, h, f.f AS f
+                   FROM dims CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, nf, 2)) AS f) f),
+            px AS (SELECT id, w, h, f,
+                          (3*x.x + 7*y.y + 11*c.c + id + 13*f) % 256 AS v
+                   FROM fr
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) x
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c),
+            agg AS (SELECT id, f, w, h, sum(v) AS s, sum(v*v) AS q
+                    FROM px GROUP BY 1, 2, 3, 4)
+            SELECT id, CAST(f AS BIGINT) AS frame_idx,
+                   round(CAST(s AS DOUBLE) / (3*w*h*255), 6) AS mean_all,
+                   round(sqrt(CAST(3*w*h*q - s*s AS DOUBLE))
+                         / (3*w*h*255), 6) AS std_all
             FROM agg
         """,
         "media_audio_frames": """

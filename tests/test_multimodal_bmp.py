@@ -242,3 +242,52 @@ def test_audio_frames_energy_exact(spark):
         for f0 in range(n_frames):
             win = v[f0 * 16 : f0 * 16 + 16]
             assert got[(d, f0)] == (len(win), int((win * win).sum()))
+
+
+# -- video: EBMV container + real frame decode (round 7) ----------------
+
+
+def test_video_container_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+
+    from eclipse_spark.operators import multimodal as mm
+
+    frames = [
+        mm.bmp_encode(np.full((4, 5, 3), v, dtype=np.uint8)) for v in (0, 99, 255)
+    ]
+    payload = mm.video_encode(frames)
+    assert mm.video_frame_count(payload) == 3
+    for i, f in enumerate(frames):
+        assert mm.video_decode_frame(payload, i) == f
+        w, h, arr = mm.bmp_decode(mm.video_decode_frame(payload, i))
+        assert (w, h) == (5, 4) and arr.flat[0] == (0, 99, 255)[i]
+    with pytest.raises(ValueError):
+        mm.video_decode_frame(payload, 3)          # out of range
+    with pytest.raises(ValueError):
+        mm.video_decode_frame(b"XXXX" + payload[4:], 0)  # bad magic
+    with pytest.raises(ValueError):
+        mm.video_decode_frame(payload[:-5], 2)     # truncated data
+
+
+def test_video_frame_features_match_formula(spark):
+    """Sampled-frame features recovered from real container+BMP parsing
+    must equal the per-frame pixel-formula computation."""
+    import numpy as np
+
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 25)
+    rows = mm.video_frame_features(mm.encode_pattern_video(ids), every_n=2).collect()
+    got = {(r.id, r.frame_idx): (r.mean_all, r.std_all) for r in rows}
+    for d in range(25):
+        n_frames = 3 + d % 5
+        w, h = 8 + d % 9, 8 + d % 7
+        expect_idx = set(range(0, n_frames, 2))
+        assert {k[1] for k in got if k[0] == d} == expect_idx
+        for f in expect_idx:
+            xs, ys, cs = np.arange(w), np.arange(h), np.arange(3)
+            v = (3 * xs[None, :, None] + 7 * ys[:, None, None]
+                 + 11 * cs[None, None, :] + d + 13 * f) % 256
+            feats = mm._pixel_features(v.astype(np.uint8), w, h)
+            assert got[(d, f)] == (round(feats[3], 6), round(feats[4], 6))
