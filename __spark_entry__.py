@@ -4672,6 +4672,56 @@ def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance (ivm.incremental_refresh_join)
+    — the signed delta rule Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB over a
+    fact(orders)⋈dim(customer) rollup grouped by a DIM attribute:
+    the batch carries fact inserts/deletes/price-updates AND a dim
+    segment move (every 5th customer re-labeled), so preimage pairs
+    leave old groups and postimage pairs enter new ones. The oracle
+    recomputes the view from the new snapshots; equality is decimal
+    bit-exact. Neither base is re-joined: each appears only semi-joined
+    to the other side's delta keys."""
+    from eclipse_spark.operators.ivm import (
+        incremental_refresh_join,
+        join_aggregate_view,
+    )
+    from eclipse_spark.storage import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a1 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    a2 = orders.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    b1 = cust
+    b2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    kw = dict(on=["c_custkey"], keys=["c_mktsegment"], sum_col="o_totalprice")
+    mv = join_aggregate_view(a1, b1, total_col="revenue", **kw)
+    refreshed = incremental_refresh_join(
+        mv,
+        table_diff(a1, a2, on=["o_orderkey"]),
+        table_diff(b1, b2, on=["c_custkey"]),
+        a1,
+        b1,
+        total_col="revenue",
+        **kw,
+    )
+    return refreshed.select(
+        "c_mktsegment", "n_rows", F.col("revenue").cast("double").alias("revenue")
+    )
+
+
 def q_events_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental-view maintenance
     (streaming.ivm_stream_to_catalog): RAW event batches — three
@@ -5900,10 +5950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the five round-7 additions at the registry
+    Round-8 rotation queue: the six round-7 additions at the registry
     tail (gopher_rules, feature_hash, media_decode_wav,
-    media_audio_frames, media_video_frames) — all value-exact green
-    under the local
+    media_audio_frames, media_video_frames, mv_refresh_join) — all
+    value-exact green under the local
     replica; with those windowed, every query ever added is
     driver-evidenced."""
     return {
@@ -6169,6 +6219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_wav": q_media_decode_wav,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
+        "mv_refresh_join": q_mv_refresh_join,
     }
 
 
@@ -9127,6 +9178,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(q AS DOUBLE) / n), 6) AS rms_amp,
                    CAST(p AS BIGINT) AS peak_amp
             FROM agg
+        """,
+        "mv_refresh_join": """
+            WITH a2 AS (SELECT o_orderkey, o_custkey AS c_custkey,
+                               CASE WHEN o_orderkey % 13 = 0
+                                    THEN o_totalprice + 10.0
+                                    ELSE o_totalprice END AS p
+                        FROM orders WHERE o_custkey % 7 <> 0),
+            b2 AS (SELECT c_custkey,
+                          CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                               ELSE c_mktsegment END AS c_mktsegment
+                   FROM customer)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM a2 JOIN b2 USING (c_custkey) GROUP BY 1
         """,
         "media_video_frames": """
             WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,

@@ -167,6 +167,7 @@ HEADLINE = [
     "media_decode_wav",
     "media_audio_frames",
     "media_video_frames",
+    "mv_refresh_join",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

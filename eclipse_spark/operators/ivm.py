@@ -31,6 +31,8 @@ __all__ = [
     "incremental_refresh",
     "aggregate_view_minmax",
     "incremental_refresh_minmax",
+    "join_aggregate_view",
+    "incremental_refresh_join",
 ]
 
 _NEG = ("delete", "update_preimage")
@@ -156,3 +158,89 @@ def incremental_refresh_minmax(
         count_col,
     )
     return safe.unionByName(rescanned)
+
+
+def join_aggregate_view(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    keys: list[str],
+    sum_col: str,
+    total_col: str = "total",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Recompute form of the JOIN view: ``A JOIN B USING (on)`` rolled
+    up per ``keys`` (count + decimal sum of ``sum_col``) — the
+    fact-join-dim rollup every warehouse maintains. Group keys may come
+    from EITHER side (grouping by a dim attribute is the interesting
+    case: a dim update moves fact rows across groups)."""
+    j = a.join(b, on=on)
+    return j.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(count_col),
+        F.sum(F.col(sum_col).cast("decimal(18,2)")).alias(total_col),
+    )
+
+
+def incremental_refresh_join(
+    mv: DataFrame,
+    changes_a: DataFrame,
+    changes_b: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    on: list[str],
+    keys: list[str],
+    sum_col: str,
+    total_col: str = "total",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Refresh a :func:`join_aggregate_view` from BOTH sides' change
+    feeds without re-joining the bases — the classic signed delta rule
+    for joins:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  +  A_old ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    with pair sign = product of row signs (+1 insert/postimage, -1
+    delete/preimage). The three terms' signed (count, sum)
+    contributions aggregate per group and merge into the view exactly
+    like the single-table rule — so dim updates that MOVE fact rows
+    across groups net out correctly (preimage pairs leave the old
+    group, postimage pairs enter the new), and the refreshed view is
+    bit-exact equal to recomputing over the new snapshots (the oracle
+    property; decimal arithmetic throughout).
+
+    Scale shape: each base appears only semi-joined to the OTHER
+    side's delta join-keys before its join — with bases partitioned or
+    bucketed on the join key the old-side reads are slivers sized by
+    the batch, never the base; every shuffle is |Δ|-sized except the
+    final |view|-keyed merge."""
+    sign_a = F.when(F.col("_sa_ct").isin(*_NEG), F.lit(-1)).otherwise(F.lit(1))
+    sign_b = F.when(F.col("_sb_ct").isin(*_NEG), F.lit(-1)).otherwise(F.lit(1))
+    ca = changes_a.withColumnRenamed("change_type", "_sa_ct")
+    cb = changes_b.withColumnRenamed("change_type", "_sb_ct")
+    # old sides restricted to join keys the deltas actually touch
+    b_for_da = b_old.join(ca.select(*on).distinct(), on=on, how="left_semi")
+    a_for_db = a_old.join(cb.select(*on).distinct(), on=on, how="left_semi")
+    d1 = ca.join(b_for_da, on=on).withColumn("_sgn", sign_a)
+    d2 = a_for_db.join(cb, on=on).withColumn("_sgn", sign_b)
+    d3 = ca.join(cb, on=on).withColumn("_sgn", sign_a * sign_b)
+    cols = [*on, *[k for k in keys if k not in on], sum_col, "_sgn"]
+    pairs = (
+        d1.select(*cols).unionByName(d2.select(*cols)).unionByName(d3.select(*cols))
+    )
+    delta = pairs.groupBy(*keys).agg(
+        F.sum("_sgn").alias("_dn"),
+        F.sum(
+            F.col("_sgn").cast("decimal(18,2)") * F.col(sum_col).cast("decimal(18,2)")
+        ).alias("_dt"),
+    )
+    merged = mv.join(delta, on=keys, how="full_outer")
+    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        *keys,
+        n_new.cast("long").alias(count_col),
+        (
+            F.coalesce(F.col(total_col), zero)
+            + F.coalesce(F.col("_dt").cast("decimal(18,2)"), zero)
+        ).alias(total_col),
+    ).filter(F.col(count_col) > 0)

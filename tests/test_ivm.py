@@ -124,3 +124,49 @@ def test_minmax_refresh_untouched_groups_not_rescanned(spark):
         ).collect()
     }
     assert out == {"a": (1, 3.0, 3.0), "b": (2, 1.0, 4.0)}
+
+
+def test_incremental_refresh_join_matches_recompute(spark):
+    """Signed join-delta rule: fact inserts/deletes/updates AND a dim
+    update that moves every matching fact across groups must all net
+    out to exactly the recompute over the new snapshots — including a
+    group born this batch and a group dying this batch."""
+    from eclipse_spark.operators.ivm import (
+        incremental_refresh_join,
+        join_aggregate_view,
+    )
+    from eclipse_spark.storage import table_diff
+
+    a_old = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 11.0), (4, 30, 1.0)],
+        "fid long, jk long, amt double",
+    )
+    b_old = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "jk long, grp string"
+    )
+    # facts: insert fid 5 (new jk 40), delete fid 4 (kills group z),
+    # update fid 1's amount
+    a_new = spark.createDataFrame(
+        [(1, 10, 6.5), (2, 10, 7.0), (3, 20, 11.0), (5, 40, 9.0)],
+        "fid long, jk long, amt double",
+    )
+    # dims: move jk 10 from group x to y, add jk 40 (group w is born)
+    b_new = spark.createDataFrame(
+        [(10, "y"), (20, "y"), (30, "z"), (40, "w")], "jk long, grp string"
+    )
+    kw = dict(on=["jk"], keys=["grp"], sum_col="amt")
+    mv = join_aggregate_view(a_old, b_old, **kw)
+    got = incremental_refresh_join(
+        mv,
+        table_diff(a_old, a_new, on=["fid"]),
+        table_diff(b_old, b_new, on=["jk"]),
+        a_old,
+        b_old,
+        **kw,
+    )
+    exp = join_aggregate_view(a_new, b_new, **kw)
+    g = {(r.grp): (r.n_rows, str(r.total)) for r in got.collect()}
+    e = {(r.grp): (r.n_rows, str(r.total)) for r in exp.collect()}
+    assert g == e
+    assert "z" not in g and "w" in g        # death and birth both exact
+    assert g["y"] == (3, "24.50")           # moved facts + update netted
