@@ -1971,6 +1971,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_k(wc, 20, F.desc("cnt"), F.asc("word"))
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (sketch.heavy_hitters_exact): the
+    bounded-memory frequency tier — per-partition MG summaries (k
+    counters, stream never shuffled) whose union is a guaranteed
+    superset of every item above the threshold, then ONE exact count
+    over the candidate set. Output = exactly the GROUP BY/HAVING
+    answer (the oracle), found without shuffling the token stream.
+    Threshold fraction is 1/128 (a binary power, so int(total*frac)
+    floors identically in any engine — no decimal-vs-double boundary)."""
+    from eclipse_spark.operators.sketch import heavy_hitters_exact
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    )
+    return heavy_hitters_exact(toks, "tok", threshold_frac=1.0 / 128)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint with the portable 60-bit hash — the
     oracle recomputes every fingerprint exactly (hash-checked, not
@@ -5950,10 +5968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the six round-7 additions at the registry
+    Round-8 rotation queue: the seven round-7 additions at the registry
     tail (gopher_rules, feature_hash, media_decode_wav,
-    media_audio_frames, media_video_frames, mv_refresh_join) — all
-    value-exact green under the local
+    media_audio_frames, media_video_frames, mv_refresh_join,
+    mg_heavy_hitters) — all value-exact green under the local
     replica; with those windowed, every query ever added is
     driver-evidenced."""
     return {
@@ -6220,6 +6238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
         "mv_refresh_join": q_mv_refresh_join,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
     }
 
 
@@ -9179,6 +9198,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p AS BIGINT) AS peak_amp
             FROM agg
         """,
+        "mg_heavy_hitters": """
+            WITH t AS (SELECT unnest({TOKENS}) AS item FROM documents),
+            tot AS (SELECT count(*) AS n FROM t)
+            SELECT item, CAST(count(*) AS BIGINT) AS freq
+            FROM t GROUP BY item
+            HAVING count(*) >= greatest(CAST(floor(
+                (SELECT n FROM tot) / 128.0) AS BIGINT), 1)
+        """.replace("{TOKENS}", TOKENS_SQL),
         "mv_refresh_join": """
             WITH a2 AS (SELECT o_orderkey, o_custkey AS c_custkey,
                                CASE WHEN o_orderkey % 13 = 0

@@ -1,0 +1,118 @@
+"""Mergeable frequency-sketch operators.
+
+The existing approximate tiers (HLL distinct, GK quantiles, MinHash)
+cover distinct-count / rank / similarity; this module adds the
+FREQUENCY family: Misra-Gries heavy hitters, the bounded-memory answer
+to "which items exceed an f fraction of a 100 TB stream" when the item
+cardinality is too large for the per-key aggregate's shuffle to be the
+first move.
+
+Two-phase shape (the sketch is internal, the OUTPUT is engine-exact —
+the discipline every approximate operator here follows):
+
+1. candidates: one Arrow-batched pass per partition keeps at most k
+   Misra-Gries counters (classic decrement rule). The MG guarantee
+   composes across partitions: an item with global frequency
+   > n/(k+1) must exceed n_p/(k+1) in at least one partition (else
+   summing the per-partition bounds contradicts the global count), so
+   the UNION of per-partition candidate keys is a superset of every
+   true heavy hitter. Only (item, residual_weight) rows — at most k
+   per partition, plus one stream-count row — leave the stage, never
+   the stream.
+2. verify: ONE exact count restricted to the candidate set
+   (broadcast-able semi-join — |candidates| <= k * n_partitions) and a
+   threshold filter. The final answer is EXACTLY the items with
+   frequency >= threshold, deterministic in any engine, so a plain SQL
+   oracle checks it value-for-value.
+
+Reference capability analogue: arbitrary per-record map logic with
+bounded local state (src/mapreduce/dht/mapreduce.hh map loop), which is
+exactly what the MG pass is.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["misra_gries_candidates", "heavy_hitters_exact"]
+
+
+def misra_gries_candidates(
+    df: DataFrame, item_col: str, k: int = 100
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: (item, weight)
+    with at most ``k`` item rows per input partition (weight = the MG
+    residual, a lower bound on partition-local frequency within
+    n_p/(k+1)) plus one ``item IS NULL`` row per partition carrying
+    the partition's row count — so callers learn the stream size from
+    the same single pass. Superset guarantee: every item with global
+    frequency > n/(k+1) appears. Bounded memory, no shuffle of the
+    stream itself."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            for item, cnt in pdf[item_col].value_counts().items():
+                cnt = int(cnt)
+                if item in counters:
+                    counters[item] += cnt
+                elif len(counters) < k:
+                    counters[item] = cnt
+                else:
+                    # batch decrement: subtract the amount that zeroes
+                    # at least one standing counter or absorbs cnt
+                    dec = min(cnt, min(counters.values()))
+                    cnt -= dec
+                    for key in list(counters):
+                        counters[key] -= dec
+                        if counters[key] <= 0:
+                            del counters[key]
+                    if cnt > 0 and len(counters) < k:
+                        counters[item] = cnt
+        items = [str(i) for i in counters] + [None]
+        weights = list(counters.values()) + [n_rows]
+        yield pd.DataFrame({"item": items, "weight": weights})
+
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        _run, schema="item string, weight long"
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_col: str,
+    threshold_frac: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Items whose frequency is >= ``threshold_frac`` of the stream,
+    with EXACT counts — via the MG candidate pass (``k`` defaults to
+    ceil(2/threshold_frac), comfortably inside the superset
+    guarantee's n/(k+1) < threshold bound) and one exact count over
+    the candidate set only. Deterministic output == the plain
+    GROUP BY/HAVING answer, at a fraction of its shuffle when item
+    cardinality is huge: the stream is scanned twice (sketch +
+    verify) but shuffled never — only candidate-set counts move.
+    Returns (item string, freq long)."""
+    if k is None:
+        k = max(1, int(2.0 / threshold_frac))
+    summary = misra_gries_candidates(df, item_col, k=k).persist()
+    total = summary.filter(F.col("item").isNull()).agg(F.sum("weight")).collect()[
+        0
+    ][0] or 0
+    cands = summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    thresh = max(int(total * threshold_frac), 1)
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+    # summary stays persisted: `cands` reads it lazily inside the
+    # returned plan (an unpersist here would re-run the sketch pass)
+    return (
+        items.join(F.broadcast(cands), on="item", how="left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= F.lit(thresh))
+    )
