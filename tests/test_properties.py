@@ -787,3 +787,54 @@ def test_dense_index_equals_row_number(spark, rows):
         )
     }
     assert got == want
+
+
+# -- join-view IVM: refresh == recompute for ALL change batches ---------
+
+_jk = st.integers(min_value=0, max_value=4)
+_amt = st.integers(min_value=-20, max_value=99)
+_facts = st.dictionaries(           # fid -> (jk, amt); dict = unique PKs
+    st.integers(min_value=0, max_value=14), st.tuples(_jk, _amt),
+    min_size=0, max_size=10,
+)
+_dims = st.dictionaries(            # jk -> grp
+    _jk, st.sampled_from(["x", "y", "z"]), min_size=0, max_size=5,
+)
+
+
+@given(a_old=_facts, a_new=_facts, b_old=_dims, b_new=_dims)
+@SETTINGS
+def test_join_ivm_refresh_equals_recompute(spark, a_old, a_new, b_old, b_new):
+    """For ANY old/new snapshot pair on both sides (inserts, deletes,
+    updates, group moves, key churn), the signed delta rule must land
+    exactly on the recompute — including empty sides and views."""
+    from eclipse_spark.operators.ivm import (
+        incremental_refresh_join,
+        join_aggregate_view,
+    )
+    from eclipse_spark.storage import table_diff
+
+    def fdf(d):
+        rows = [(fid, jk, float(amt)) for fid, (jk, amt) in sorted(d.items())]
+        return spark.createDataFrame(rows, "fid long, jk long, amt double") \
+            if rows else spark.createDataFrame([], "fid long, jk long, amt double")
+
+    def ddf(d):
+        rows = sorted(d.items())
+        return spark.createDataFrame(rows, "jk long, grp string") \
+            if rows else spark.createDataFrame([], "jk long, grp string")
+
+    A1, A2, B1, B2 = fdf(a_old), fdf(a_new), ddf(b_old), ddf(b_new)
+    kw = dict(on=["jk"], keys=["grp"], sum_col="amt")
+    got = incremental_refresh_join(
+        join_aggregate_view(A1, B1, **kw),
+        table_diff(A1, A2, on=["fid"]),
+        table_diff(B1, B2, on=["jk"]),
+        A1, B1, **kw,
+    )
+    g = {r.grp: (r.n_rows, str(r.total)) for r in got.collect()}
+    e = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in join_aggregate_view(A2, B2, **kw).collect()
+    }
+    assert g == e
