@@ -73,6 +73,7 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         self._versions: dict[str, int] = {}
         self._load_manifest()
+        self.recover_pending()  # roll forward any interrupted put_many
 
     # -- manifest -------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -209,6 +210,73 @@ class Catalog:
             writer.parquet(path)
         self._bump(name)
         return path
+
+    # -- multi-table atomic publish (roll-forward journal) --------------
+    def _journal_path(self) -> str:
+        return os.path.join(self.root, "_commit_journal.json")
+
+    def put_many(self, tables: dict[str, DataFrame]) -> None:
+        """ALL-OR-NOTHING multi-table publish — the warehouse
+        "transaction" every ingest batch wants (fact + dims + rollup
+        land together or not at all). Protocol (roll-forward):
+
+        1. every DataFrame stages into ``<name>.parquet.tmp`` (no
+           visibility change; a crash here leaks only tmps, cleaned by
+           the next staging);
+        2. a journal listing the staged tables and their expected
+           post-commit versions is written atomically — the COMMIT
+           POINT: before it, nothing happened; after it, the commit is
+           guaranteed to complete;
+        3. each table is retired + renamed in, versions bump, and the
+           journal is removed.
+
+        A crash after (2) is completed by :meth:`recover_pending`
+        (called from ``__init__``, so the next session rolls the
+        commit forward — same direction Delta/Iceberg take: the log
+        entry IS the commit, data files follow). This gives crash
+        ATOMICITY, not reader isolation: a concurrent reader mid-(3)
+        can see table A new and table B old for a moment — the
+        single-filesystem-rename limit; version-pinned reads
+        (``get(name, version=...)``) sidestep it."""
+        staged = {}
+        for name, df in tables.items():
+            tmp = self.path_of(name) + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            staged[name] = self._versions.get(name, 0) + 1
+        jtmp = self._journal_path() + f".tmp.{os.getpid()}"
+        with open(jtmp, "w") as fh:
+            json.dump(staged, fh)
+        os.replace(jtmp, self._journal_path())  # <- commit point
+        self._apply_journal(staged)
+
+    def _apply_journal(self, staged: dict[str, int]) -> None:
+        for name, expected in staged.items():
+            tmp = self.path_of(name) + ".tmp"
+            if os.path.exists(tmp):
+                self._retire_current(name)
+                os.rename(tmp, self.path_of(name))
+            if self._versions.get(name, 0) < expected:
+                self._versions[name] = expected
+        self._save_manifest()
+        try:
+            os.remove(self._journal_path())
+        except OSError:
+            pass
+
+    def recover_pending(self) -> list[str]:
+        """Roll forward a journaled multi-table commit interrupted by a
+        crash: re-apply every staged rename/bump still outstanding.
+        Idempotent (already-renamed tables are skipped via the tmp
+        existence check; versions only move up to the journaled
+        expectation). Returns the affected table names."""
+        try:
+            with open(self._journal_path()) as fh:
+                staged = {k: int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return []
+        self._apply_journal(staged)
+        return sorted(staged)
 
     def read_marker(self, name: str) -> dict | None:
         """The ``_commit.json`` marker committed with the current table

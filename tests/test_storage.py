@@ -270,3 +270,56 @@ def test_get_evolved_merges_widened_schema(spark, tmp_path):
     rows = {r.k: r for r in cat.get_evolved("t").collect()}
     assert set(cat.get_evolved("t").columns) == {"k", "s", "x"}
     assert rows[1].x is None and rows[2].x == 9.5
+
+
+def test_put_many_atomic_publish_and_roll_forward(spark, tmp_path):
+    """Multi-table commit: both tables land with bumped versions and
+    the journal clears; a crash AFTER the journal write (simulated:
+    tmps + journal on disk, renames never ran) is rolled forward by
+    the next session — both tables publish, versions match the
+    journal; a crash BEFORE the journal (tmps only) changes nothing."""
+    import json
+    import os
+
+    from eclipse_spark.storage import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root, retain_versions=1)
+    cat.put("fact", spark.range(5).withColumnRenamed("id", "v"))
+    v0 = cat.info("fact").version
+
+    # happy path: fact + dim publish together
+    cat.put_many(
+        {
+            "fact": spark.range(10).withColumnRenamed("id", "v"),
+            "dim": spark.range(3).withColumnRenamed("id", "k"),
+        }
+    )
+    assert cat.get("fact").count() == 10 and cat.get("dim").count() == 3
+    assert cat.info("fact").version == v0 + 1
+    assert not os.path.exists(cat._journal_path())
+
+    # crash AFTER the commit point: stage tmps + journal by hand
+    for name, n in (("fact", 20), ("dim", 7)):
+        spark.range(n).write.mode("overwrite").parquet(
+            cat.path_of(name) + ".tmp"
+        )
+    staged = {
+        "fact": cat.info("fact").version + 1,
+        "dim": cat.info("dim").version + 1,
+    }
+    with open(cat._journal_path(), "w") as fh:
+        json.dump(staged, fh)
+    cat2 = Catalog(spark, root, retain_versions=1)  # next session
+    assert cat2.get("fact").count() == 20 and cat2.get("dim").count() == 7
+    assert cat2.info("fact").version == staged["fact"]
+    assert cat2.info("dim").version == staged["dim"]
+    assert not os.path.exists(cat2._journal_path())
+
+    # crash BEFORE the commit point: a stale tmp alone must not publish
+    spark.range(99).write.mode("overwrite").parquet(
+        cat2.path_of("fact") + ".tmp"
+    )
+    cat3 = Catalog(spark, root, retain_versions=1)
+    assert cat3.get("fact").count() == 20  # unchanged
+    assert cat3.info("fact").version == staged["fact"]
