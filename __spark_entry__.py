@@ -3170,6 +3170,47 @@ def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semcache_subplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of CROSS-QUERY SUBPLAN REUSE — the round-7
+    capability that generalizes Eclipse's whole-(app,input) Icache
+    (``fileserver.hh:354-359``) to interior plan nodes: pipeline A
+    (app "curate") stages its keyed-emit prefix; pipeline B (app
+    "stats", DIFFERENT full plan and app key) must serve that interior
+    materialization on its COLD run — observed as exactly one interior
+    cache hit while B's own full-plan lookup misses. B's rows carry
+    the (a_hit, b_full_hit, interior_hits) observations; a missed
+    reuse, a false full-plan hit, or a wrong result hash-mismatches
+    the oracle."""
+    import tempfile
+
+    from eclipse_spark.semcache import SemanticCache
+
+    cache = SemanticCache(spark, tempfile.mkdtemp(prefix="eclipse_subplan_"))
+    path = os.path.join(sf_dir, "orders.parquet")
+
+    def prefix(app: str) -> Pipeline:
+        return Pipeline.from_parquet(spark, path, app=app).emit_kv(
+            key=F.col("o_orderstatus"), value=F.col("o_totalprice")
+        )
+
+    _, a_hit = prefix("curate").stage().count_by_key().cached(cache).run()
+    hits_before = cache.stats.hits
+    result, b_hit = (
+        prefix("stats")
+        .reduce_by_key(F.count("*"), alias="n")
+        .cached(cache)
+        .run()
+    )
+    interior_hits = cache.stats.hits - hits_before
+    return result.select(
+        "key",
+        F.col("n").alias("n_orders"),
+        F.lit(int(a_hit)).cast("int").alias("a_hit"),
+        F.lit(int(b_hit)).cast("int").alias("b_full_hit"),
+        F.lit(int(interior_hits)).cast("int").alias("interior_hits"),
+    )
+
+
 def q_semcache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of the cache-INVALIDATION path — the complement of
     ``semcache_demo``'s hit path and the SURVEY §7 risk-register item
@@ -5968,10 +6009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the seven round-7 additions at the registry
+    Round-8 rotation queue: the eight round-7 additions at the registry
     tail (gopher_rules, feature_hash, media_decode_wav,
     media_audio_frames, media_video_frames, mv_refresh_join,
-    mg_heavy_hitters) — all value-exact green under the local
+    mg_heavy_hitters, semcache_subplan) — all value-exact green under
+    the local
     replica; with those windowed, every query ever added is
     driver-evidenced."""
     return {
@@ -6239,6 +6281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "mv_refresh_join": q_mv_refresh_join,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "semcache_subplan": q_semcache_subplan,
     }
 
 
@@ -9197,6 +9240,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(q AS DOUBLE) / n), 6) AS rms_amp,
                    CAST(p AS BIGINT) AS peak_amp
             FROM agg
+        """,
+        "semcache_subplan": """
+            SELECT o_orderstatus AS key,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(0 AS INT) AS a_hit,
+                   CAST(0 AS INT) AS b_full_hit,
+                   CAST(1 AS INT) AS interior_hits
+            FROM orders GROUP BY o_orderstatus
         """,
         "mg_heavy_hitters": """
             WITH t AS (SELECT unnest({TOKENS}) AS item FROM documents),

@@ -169,6 +169,7 @@ HEADLINE = [
     "media_video_frames",
     "mv_refresh_join",
     "mg_heavy_hitters",
+    "semcache_subplan",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
