@@ -838,3 +838,61 @@ def test_join_ivm_refresh_equals_recompute(spark, a_old, a_new, b_old, b_new):
         for r in join_aggregate_view(A2, B2, **kw).collect()
     }
     assert g == e
+
+
+# -- ExactSubstr keep-first: independent reference implementation -------
+
+
+def _ref_exactsubstr(rows, k, min_occ=2):
+    """30-line independent reimplementation of the keep-first
+    overlapping substring-dedup semantics (tuple windows, global
+    first-occurrence election, loser-coverage minus winner-coverage
+    removal) — NOT a replay of the Spark plan, so structural bugs in
+    either side disagree."""
+    toks = {
+        i: [t for t in txt.lower().strip().split() if t] for i, txt in rows
+    }
+    occ = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for s in range(max(len(ts) - k + 1, 0)):
+            occ.setdefault(tuple(ts[s : s + k]), []).append((i, s))
+    loser, winner = {}, {}
+    for positions in occ.values():
+        if len(positions) < min_occ:
+            continue
+        positions.sort()
+        wi, ws = positions[0]
+        winner.setdefault(wi, set()).update(range(ws, ws + k))
+        for i, s in positions[1:]:
+            loser.setdefault(i, set()).update(range(s, s + k))
+    out = {}
+    for i, ts in toks.items():
+        rm = loser.get(i, set()) - winner.get(i, set())
+        kept = [t for j, t in enumerate(ts) if j not in rm]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+_small_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_small_texts)
+@SETTINGS
+def test_exact_substring_dedup_matches_reference(spark, docs):
+    """For ANY corpus over a tiny alphabet (dense overlapping repeats,
+    periodic runs, empty docs), the Spark operator must equal the
+    independent reference — keep-first with winner protection."""
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+        for r in text.exact_substring_dedup(df, k=3).collect()
+    }
+    assert got == _ref_exactsubstr(rows, k=3)
