@@ -3211,6 +3211,20 @@ def q_semcache_subplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-bar downsampling (timeseries.ohlc_bars): hourly OHLC +
+    count + decimal volume per event type, open/close tie-broken on
+    (ts, event_id) via mergeable min_by/max_by — ONE map-side-combined
+    aggregate, bar-count-sized shuffle. The oracle re-derives open and
+    close with rank-1 window picks over the same deterministic order,
+    so a nondeterministic first/last would hash-mismatch."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return timeseries.ohlc_bars(ev)
+
+
 def q_semcache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of the cache-INVALIDATION path — the complement of
     ``semcache_demo``'s hit path and the SURVEY §7 risk-register item
@@ -6009,11 +6023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01..r06.json) and every query at every position
     stays locally oracle-checked by tests/test_oracle_parity.py.
 
-    Round-8 rotation queue: the eight round-7 additions at the registry
+    Round-8 rotation queue: the nine round-7 additions at the registry
     tail (gopher_rules, feature_hash, media_decode_wav,
     media_audio_frames, media_video_frames, mv_refresh_join,
-    mg_heavy_hitters, semcache_subplan) — all value-exact green under
-    the local
+    mg_heavy_hitters, semcache_subplan, ohlc_bars) — all value-exact
+    green under the local
     replica; with those windowed, every query ever added is
     driver-evidenced."""
     return {
@@ -6282,6 +6296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_refresh_join": q_mv_refresh_join,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "semcache_subplan": q_semcache_subplan,
+        "ohlc_bars": q_ohlc_bars,
     }
 
 
@@ -9240,6 +9255,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(q AS DOUBLE) / n), 6) AS rms_amp,
                    CAST(p AS BIGINT) AS peak_amp
             FROM agg
+        """,
+        "ohlc_bars": """
+            WITH r AS (SELECT event_type,
+                              date_trunc('hour', ts) AS bar_start,
+                              value,
+                              row_number() OVER (
+                                PARTITION BY event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+                              row_number() OVER (
+                                PARTITION BY event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+                       FROM events)
+            SELECT event_type, bar_start,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   CAST(count(*) AS BIGINT) AS n_ticks,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS volume
+            FROM r GROUP BY 1, 2
         """,
         "semcache_subplan": """
             SELECT o_orderstatus AS key,

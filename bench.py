@@ -170,6 +170,7 @@ HEADLINE = [
     "mv_refresh_join",
     "mg_heavy_hitters",
     "semcache_subplan",
+    "ohlc_bars",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

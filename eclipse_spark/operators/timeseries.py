@@ -729,3 +729,52 @@ def time_weighted_avg(
             ),
         ).alias("twa"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Downsample a tick stream into OHLC bars per (key, time bucket) —
+    open/high/low/close plus count and decimal volume, the classic
+    resample that turns 10^12 raw ticks into chartable bars. Open and
+    close use ``min_by``/``max_by`` keyed on a (ts, id) struct, so ties
+    at the same timestamp break on the row id deterministically in any
+    engine (a bare first/last over an unordered aggregate would be
+    partition-order-dependent — silently nondeterministic at scale).
+
+    Scale shape: ONE map-side-combined aggregate on (key, bucket);
+    min_by/max_by are mergeable (each partial keeps its best struct),
+    so this is a single shuffle sized by the bar count, never the tick
+    count. Returns (key, bar_start, open, high, low, close, n_ticks,
+    volume as double)."""
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), bucket).start.alias("bar_start"),
+        )
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count("*").cast("long").alias("n_ticks"),
+            F.sum(v.cast("decimal(28,6)")).alias("volume"),
+        )
+        .select(
+            key_col,
+            "bar_start",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            F.col("volume").cast("double").alias("volume"),
+        )
+    )

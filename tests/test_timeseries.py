@@ -105,3 +105,33 @@ def test_time_weighted_avg_holding_semantics(spark):
     assert out["a"].n_intervals == 2 and out["a"].total_seconds == 100
     assert out["a"].twa == 19.0
     assert "b" not in out
+
+
+def test_ohlc_bars_deterministic_ties(spark):
+    """Open/close must break same-timestamp ties on the row id — the
+    partition-order trap of bare first/last; high/low/volume exact."""
+    from datetime import datetime
+
+    from eclipse_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 10, 5)
+    t1 = datetime(2024, 1, 1, 10, 40)
+    rows = [
+        # same ts for ids 1/2: open must pick id 1; close ties ids 3/4 -> 4
+        (1, "x", t0, 10.0),
+        (2, "x", t0, 99.0),
+        (3, "x", t1, 7.0),
+        (4, "x", t1, 20.0),
+        (5, "y", t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {r.event_type: r for r in ohlc_bars(df).collect()}
+    x = got["x"]
+    assert (x.open, x.high, x.low, x.close) == (10.0, 99.0, 7.0, 20.0)
+    assert x.n_ticks == 4 and x.volume == 136.0
+    assert got["y"].open == got["y"].close == 5.0
+    # repartitioning must not change any bar (mergeable min_by/max_by)
+    a = sorted(map(tuple, ohlc_bars(df.repartition(7)).collect()))
+    assert a == sorted(map(tuple, ohlc_bars(df).collect()))
