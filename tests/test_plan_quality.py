@@ -550,3 +550,15 @@ def test_feature_hash_single_shuffle(spark, sf_smoke):
     assert _n_exchanges(plan) == 1
     assert "HashAggregate" in plan and plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_ohlc_bars_single_shuffle_partial_agg(spark, sf_smoke):
+    """Tick-to-bar must be ONE map-side-combined aggregate: a single
+    Exchange sized by the bar count, partial HashAggregates before it,
+    no window sort over the tick stream."""
+    plan = _plan(QUERIES["ohlc_bars"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    # struct-keyed min_by lowers to SortAggregate; what matters is the
+    # partial/final pair straddling the single exchange
+    assert "partial_min_by" in plan and plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
