@@ -5999,40 +5999,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    checks the FIRST 50 keys, so each round the window rotates to the
-    queries that still lack driver evidence. Round-7 window closes the
-    registry: positions 1-15 are the FINAL 15 never-driver-checked
-    queries (VERDICT r6 task 1, verbatim order) — the residual scalar/
-    source suites (source_xml, text_normalize, equidepth_histogram,
-    bitwise/struct/url), the real-BMP decode pair (media_decode_bmp,
-    media_resize_bmp), and the round-6 operator wave (keep-first
-    overlapping substring_dedup, large-star/small-star cc_star,
-    streaming as-of enrichment events_stream_asof, bounded-hop
-    weighted SSSP shortest_path, the int8 quantize/search pair, and
-    the storage-layout content-invariance proof storage_layouts).
-    With these green, all 247 registry queries are driver-evidenced.
+    checks the FIRST 50 keys, so each round the window rotates onto the
+    queries that still lack driver evidence. Round-8 window (VERDICT r7
+    task 1): positions 1-9 are the nine round-7 additions that closed
+    round 7 at the registry tail without a driver row yet -- Gopher
+    quality-rule verdicts, hashing-trick featurization, the real
+    WAV/PCM codec pair and the EBMV indexed-video frame sampler
+    (completing the image/audio/video modality triad under driver
+    evidence), join-view IVM with the two-sided signed delta rule,
+    Misra-Gries heavy hitters, cross-query semantic-cache subplan
+    reuse, and OHLC tick-to-bar downsampling. With these green, every
+    query ever added to the registry is driver-evidenced.
 
-    Positions 16-50 backfill with high-value RE-CONFIRMATIONS from the
-    round-6 window (curation pipeline, APSS/ER/linkage, MV refresh +
-    streaming IVM trio, temporal join, ANN tiers, clustering
-    coefficient, the drift/stats wave, sampling and basket mining) —
-    several of which exercise code paths touched by this round's
-    hardening (substring/ivm/int8 fixes), so their green rows prove
-    the fixes regression-free under the driver's own check. Everything
-    rotated out retains its prior round's driver-green row
-    (CORRECTNESS_r01..r06.json) and every query at every position
-    stays locally oracle-checked by tests/test_oracle_parity.py.
-
-    Round-8 rotation queue: the nine round-7 additions at the registry
-    tail (gopher_rules, feature_hash, media_decode_wav,
-    media_audio_frames, media_video_frames, mv_refresh_join,
-    mg_heavy_hitters, semcache_subplan, ohlc_bars) — all value-exact
-    green under the local
-    replica; with those windowed, every query ever added is
-    driver-evidenced."""
+    Positions 10-50 backfill with high-value RE-CONFIRMATIONS,
+    weighted toward code paths touched by this round's hardening
+    (dedup/graph persist-lifecycle fixes, SemDeDup auto-scaling,
+    heavy-hitters candidate broadcast, storage put_many/get_many
+    atomicity): the heavy operators (apss_cosine, cc_star,
+    substring_dedup, shortest_path, clustering_coeff, semdedup,
+    minhash/lsh, triangle_count), the storage suite (storage_layouts,
+    time_travel, merge_upsert, mv_refresh, streaming IVM + as-of),
+    the ANN tier (int8/pq/dense), linkage (temporal/fuzzy/er), graph
+    (bfs/label-prop/pagerank), and a TPC-H spread, capped by the three
+    canonical reference apps and the semantic-cache demo. New round-8
+    queries are inserted inside the window (positions 10+) so they get
+    driver rows in the same round they land. Everything rotated out
+    retains its prior round's driver-green row (CORRECTNESS_r01..r07)
+    and every query at every position stays locally oracle-checked by
+    tests/test_oracle_parity.py."""
     return {
-        # ===== positions 1-15: the final never-driver-checked 15 =====
-        # (VERDICT r6 task 1 — closing the registry at 247/247)
+        # ===== positions 1-9: round-8 rotation queue (VERDICT r7 task 1)
+        # the nine round-7 additions, never driver-checked =====
+        "gopher_rules": q_gopher_rules,
+        "feature_hash": q_feature_hash,
+        "media_decode_wav": q_media_decode_wav,
+        "media_audio_frames": q_media_audio_frames,
+        "media_video_frames": q_media_video_frames,
+        "mv_refresh_join": q_mv_refresh_join,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "semcache_subplan": q_semcache_subplan,
+        "ohlc_bars": q_ohlc_bars,
+        # ===== positions 10-50: re-confirmations + round-8 additions =====
+        "curation_pipeline": q_curation_pipeline,
+        "apss_cosine": q_apss_cosine,
+        "cc_star": q_cc_star,
+        "substring_dedup": q_substring_dedup,
+        "shortest_path": q_shortest_path,
+        "clustering_coeff": q_clustering_coeff,
+        "semdedup": q_semdedup,
+        "minhash_estimate": q_minhash_estimate,
+        "lsh_s_curve": q_lsh_s_curve,
+        "triangle_count": q_triangle_count,
+        "storage_layouts": q_storage_layouts,
+        "time_travel": q_time_travel,
+        "merge_upsert": q_merge_upsert,
+        "mv_refresh": q_mv_refresh,
+        "events_stream_ivm": q_events_stream_ivm,
+        "events_stream_asof": q_events_stream_asof,
+        "int8_quantize": q_int8_quantize,
+        "ann_int8": q_ann_int8,
+        "ann_pq_cached": q_ann_pq_cached,
+        "dense_index": q_dense_index,
+        "temporal_join": q_temporal_join,
+        "fuzzy_join": q_fuzzy_join,
+        "er_resolve": q_er_resolve,
+        "bfs_distances": q_bfs_distances,
+        "label_propagation": q_label_propagation,
+        "pagerank": q_pagerank,
+        "heavy_hitters": q_heavy_hitters,
+        "decontaminate": q_decontaminate,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_cc": q_dedup_cc,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q21": q_tpch_q21,
+        "word_count": q_word_count,
+        "inverted_index": q_inverted_index,
+        "aggregation": q_aggregation,
+        "semcache_demo": q_semcache_demo,
+        # everything below retains its prior round's driver-green row
+        # (CORRECTNESS_r01..r07.json); every query at every position stays
+        # locally oracle-checked by tests/test_oracle_parity.py
         "source_xml": q_source_xml,
         "text_normalize": q_text_normalize,
         "equidepth_histogram": q_equidepth_histogram,
@@ -6041,28 +6092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": q_url_funcs,
         "media_decode_bmp": q_media_decode_bmp,
         "media_resize_bmp": q_media_resize_bmp,
-        "substring_dedup": q_substring_dedup,
-        "cc_star": q_cc_star,
-        "events_stream_asof": q_events_stream_asof,
-        "shortest_path": q_shortest_path,
-        "int8_quantize": q_int8_quantize,
-        "ann_int8": q_ann_int8,
-        "storage_layouts": q_storage_layouts,
-        # ===== positions 16-50: round-6-window re-confirmations =====
-        "curation_pipeline": q_curation_pipeline,
-        "apss_cosine": q_apss_cosine,
-        "er_resolve": q_er_resolve,
-        "fuzzy_join": q_fuzzy_join,
-        "mv_refresh": q_mv_refresh,
         "mv_refresh_minmax": q_mv_refresh_minmax,
-        "events_stream_ivm": q_events_stream_ivm,
         "events_stream_enrich": q_events_stream_enrich,
         "events_stream_outer_join": q_events_stream_outer_join,
-        "temporal_join": q_temporal_join,
-        "dense_index": q_dense_index,
-        "ann_pq_cached": q_ann_pq_cached,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "clustering_coeff": q_clustering_coeff,
         "chi_square": q_chi_square,
         "ks_drift": q_ks_drift,
         "linreg": q_linreg,
@@ -6074,7 +6107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": q_collapse_lines,
         "frequent_pairs": q_frequent_pairs,
         "session_baskets": q_session_baskets,
-        "lsh_s_curve": q_lsh_s_curve,
         "pps_sample": q_pps_sample,
         "schema_evolution": q_schema_evolution,
         "referential_integrity": q_referential_integrity,
@@ -6099,10 +6131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "repurchase_interval": q_repurchase_interval,
-        # everything below retains its prior round's driver-green row
-        # (CORRECTNESS_r01..r06.json), ordered round-5 window first,
-        # then rounds 1-4; every query at every position stays locally
-        # oracle-checked by tests/test_oracle_parity.py
         "source_json": q_source_json,
         "source_orc": q_source_orc,
         "media_resize": q_media_resize,
@@ -6139,7 +6167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "session_paths": q_session_paths,
         "bucketed_join": q_bucketed_join,
-        "label_propagation": q_label_propagation,
         "anomaly_mad": q_anomaly_mad,
         "source_text": q_source_text,
         "source_binary": q_source_binary,
@@ -6150,23 +6177,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "cluster_topics": q_cluster_topics,
-        "bfs_distances": q_bfs_distances,
-        "minhash_estimate": q_minhash_estimate,
         "events_stream_late": q_events_stream_late,
-        "word_count": q_word_count,
-        "inverted_index": q_inverted_index,
-        "aggregation": q_aggregation,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "posexplode": q_posexplode,
@@ -6196,26 +6213,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "funnel": q_funnel,
         "minhash_candidates": q_minhash_candidates,
-        "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "retention_cohorts": q_retention_cohorts,
         "stratified_sample": q_stratified_sample,
-        "merge_upsert": q_merge_upsert,
         "sequence_pack": q_sequence_pack,
         "anomaly_zscore": q_anomaly_zscore,
         "token_entropy": q_token_entropy,
         "bm25": q_bm25,
         "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
         "mr_reduce_by_key": q_mr_reduce_by_key,
         "events_sliding": q_events_sliding,
         "events_resample": q_events_resample,
@@ -6232,7 +6245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": q_json_funcs,
         "array_hof": q_array_hof,
         "agg_misc": q_agg_misc,
-        "semcache_demo": q_semcache_demo,
         "tpch_q2": q_tpch_q2,
         "mr_word_count": q_mr_word_count,
         "mr_group_reduce": q_mr_group_reduce,
@@ -6243,14 +6255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedup_cc": q_dedup_cc,
-        "decontaminate": q_decontaminate,
-        "semdedup": q_semdedup,
         "ann_topk": q_ann_topk,
         "embedding_centroids": q_embedding_centroids,
         "kmeans_iter2": q_kmeans_iter2,
         "text_quality": q_text_quality,
-        "heavy_hitters": q_heavy_hitters,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
@@ -6258,9 +6266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "media_meta": q_media_meta,
         "pretrain_filter": q_pretrain_filter,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "time_travel": q_time_travel,
         "group_sample": q_group_sample,
         "topk_global": q_topk_global,
         "pivot": q_pivot,
@@ -6285,18 +6290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,
-        # round-7 additions (the round-8 rotation queue): Gopher rule
-        # verdicts, hashing-trick featurization, REAL WAV audio decode
-        # + frame energies (the second real modality next to BMP)
-        "gopher_rules": q_gopher_rules,
-        "feature_hash": q_feature_hash,
-        "media_decode_wav": q_media_decode_wav,
-        "media_audio_frames": q_media_audio_frames,
-        "media_video_frames": q_media_video_frames,
-        "mv_refresh_join": q_mv_refresh_join,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "semcache_subplan": q_semcache_subplan,
-        "ohlc_bars": q_ohlc_bars,
     }
 
 
