@@ -160,6 +160,27 @@ class Catalog:
                 removed += 1
         return removed
 
+    def _replace_current(self, name: str, tmp: str) -> None:
+        """Swap staged data in as the current copy. With retention on,
+        the current copy retires as a snapshot (``_retire_current``);
+        with retention OFF it is parked aside and deleted only after
+        the rename — ``os.rename`` onto an existing non-empty parquet
+        directory raises ENOTEMPTY, and for ``put_many`` that failure
+        would land AFTER the journal commit point, making
+        ``recover_pending`` re-raise on every ``Catalog.__init__``
+        until manual cleanup. The park-aside keeps every crash window
+        roll-forward-safe: tmp still present -> re-apply re-runs this
+        swap; tmp gone but ``.old`` leaked -> garbage swept by
+        :meth:`recover_pending`."""
+        path = self.path_of(name)
+        old = path + ".old"
+        self._retire_current(name)
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def restore(self, name: str, version: int) -> str:
         """Roll a table back to a retained snapshot: the snapshot data
         becomes the new CURRENT copy under a NEW version number (like
@@ -204,8 +225,7 @@ class Catalog:
             if marker is not None:
                 with open(os.path.join(tmp, "_commit.json"), "w") as fh:
                     json.dump(marker, fh)
-            self._retire_current(name)
-            os.rename(tmp, path)
+            self._replace_current(name, tmp)
         else:
             writer.parquet(path)
         self._bump(name)
@@ -254,8 +274,7 @@ class Catalog:
         for name, expected in staged.items():
             tmp = self.path_of(name) + ".tmp"
             if os.path.exists(tmp):
-                self._retire_current(name)
-                os.rename(tmp, self.path_of(name))
+                self._replace_current(name, tmp)
             if self._versions.get(name, 0) < expected:
                 self._versions[name] = expected
         self._save_manifest()
@@ -269,7 +288,16 @@ class Catalog:
         crash: re-apply every staged rename/bump still outstanding.
         Idempotent (already-renamed tables are skipped via the tmp
         existence check; versions only move up to the journaled
-        expectation). Returns the affected table names."""
+        expectation). Also sweeps ``.parquet.old`` park-aside
+        directories leaked by a crash inside :meth:`_replace_current`'s
+        last window (current copy already renamed in, old not yet
+        deleted — the leftover is garbage by construction once the
+        current path exists). Returns the affected table names."""
+        for f in os.listdir(self.root):
+            if f.endswith(".parquet.old") and os.path.exists(
+                os.path.join(self.root, f[: -len(".old")])
+            ):
+                shutil.rmtree(os.path.join(self.root, f), ignore_errors=True)
         try:
             with open(self._journal_path()) as fh:
                 staged = {k: int(v) for k, v in json.load(fh).items()}
@@ -277,6 +305,40 @@ class Catalog:
             return []
         self._apply_journal(staged)
         return sorted(staged)
+
+    def get_many(self, names: list[str]) -> dict[str, DataFrame]:
+        """Snapshot-consistent companion to :meth:`put_many`, closing
+        its documented mixed-version reader window: a reader that lands
+        mid-commit must see the tables all-old or all-new, never a mix.
+
+        Protocol: the journal file IS the commit point, so if it
+        exists the commit is already decided — roll it forward
+        (:meth:`recover_pending`, idempotent) and read the all-new
+        state. Otherwise capture the manifest version vector, plan the
+        reads, and re-check vector + journal; any movement mid-plan
+        retries (commits are rename-cheap, so the race window is
+        microseconds and the retry loop converges immediately).
+
+        Returned DataFrames are lazy, like every Spark read: the
+        consistency guarantee is that the version VECTOR is coherent
+        at return; a reader that must stay pinned across commits
+        executed much later should pair this with retention
+        (``retain_versions >= 1``) and :meth:`get`'s ``version=``
+        time travel."""
+        for _ in range(10):
+            self.recover_pending()  # roll forward any mid-flight commit
+            self._load_manifest()
+            vec = {n: self._versions.get(n, 0) for n in names}
+            dfs = {n: self.get(n) for n in names}
+            self._load_manifest()
+            if not os.path.exists(self._journal_path()) and all(
+                self._versions.get(n, 0) == vec[n] for n in names
+            ):
+                return dfs
+        raise RuntimeError(
+            "get_many: no consistent snapshot after 10 attempts "
+            "(a writer is committing continuously)"
+        )
 
     def read_marker(self, name: str) -> dict | None:
         """The ``_commit.json`` marker committed with the current table
@@ -298,6 +360,12 @@ class Catalog:
         (False) when the table exists or has no snapshots."""
         if self.exists(name):
             return False
+        old = self.path_of(name) + ".old"
+        if os.path.exists(old):
+            # retention-off staged put crashed between park-aside and
+            # rename-in: the parked copy IS the pre-put current.
+            os.rename(old, self.path_of(name))
+            return True
         hist = self.history(name)
         if not hist:
             return False

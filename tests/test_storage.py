@@ -323,3 +323,115 @@ def test_put_many_atomic_publish_and_roll_forward(spark, tmp_path):
     cat3 = Catalog(spark, root, retain_versions=1)
     assert cat3.get("fact").count() == 20  # unchanged
     assert cat3.info("fact").version == staged["fact"]
+
+
+def test_put_many_retention_off_overwrites_existing(spark, tmp_path):
+    """ADVICE r7 (medium): with retain_versions=0 (the default),
+    _retire_current no-ops, and the final rename used to hit an
+    existing non-empty parquet directory (ENOTEMPTY) — AFTER the
+    journal commit point, so every subsequent Catalog.__init__
+    re-raised during recover_pending and the catalog root became
+    unopenable. The park-aside swap must make both put_many and
+    put(marker=...) succeed on existing tables with retention off,
+    and leave no .old/.tmp garbage behind."""
+    import os
+
+    from eclipse_spark.storage import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)  # retain_versions=0
+    cat.put("fact", spark.range(5).withColumnRenamed("id", "v"))
+    cat.put("dim", spark.range(2).withColumnRenamed("id", "k"))
+
+    cat.put_many(
+        {
+            "fact": spark.range(10).withColumnRenamed("id", "v"),
+            "dim": spark.range(3).withColumnRenamed("id", "k"),
+        }
+    )
+    assert cat.get("fact").count() == 10 and cat.get("dim").count() == 3
+
+    # put with a marker on an existing table takes the same staged path
+    cat.put("fact", spark.range(7).withColumnRenamed("id", "v"),
+            marker={"batch": 1})
+    assert cat.get("fact").count() == 7
+    assert cat.read_marker("fact") == {"batch": 1}
+
+    leftovers = [f for f in os.listdir(root)
+                 if f.endswith(".old") or f.endswith(".tmp")]
+    assert leftovers == []
+    # and the catalog stays openable
+    cat2 = Catalog(spark, root)
+    assert cat2.get("fact").count() == 7
+
+
+def test_get_many_snapshot_across_put_many(spark, tmp_path):
+    """VERDICT r7 task 6: a reader that lands mid-_apply_journal (the
+    journal exists, one table already renamed in, the other still
+    staged) must see all-old or all-new — get_many rolls the decided
+    commit forward and returns the all-new vector. Without a pending
+    commit it returns the current vector unchanged."""
+    import json
+    import os
+
+    from eclipse_spark.storage import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root, retain_versions=1)
+    cat.put_many(
+        {
+            "fact": spark.range(10).withColumnRenamed("id", "v"),
+            "dim": spark.range(3).withColumnRenamed("id", "k"),
+        }
+    )
+
+    # quiescent read: current versions
+    dfs = cat.get_many(["fact", "dim"])
+    assert dfs["fact"].count() == 10 and dfs["dim"].count() == 3
+
+    # simulate a reader arriving mid-commit: stage both tmps, write the
+    # journal (= commit point), then rename ONLY fact in by hand — the
+    # exact mixed-version window put_many documents.
+    for name, n in (("fact", 20), ("dim", 7)):
+        spark.range(n).write.mode("overwrite").parquet(
+            cat.path_of(name) + ".tmp"
+        )
+    staged = {
+        "fact": cat.info("fact").version + 1,
+        "dim": cat.info("dim").version + 1,
+    }
+    with open(cat._journal_path(), "w") as fh:
+        json.dump(staged, fh)
+    cat._replace_current("fact", cat.path_of("fact") + ".tmp")  # partial apply
+
+    dfs = cat.get_many(["fact", "dim"])  # must NOT see fact=20/dim=3
+    assert dfs["fact"].count() == 20 and dfs["dim"].count() == 7
+    assert not os.path.exists(cat._journal_path())
+    assert cat.info("fact").version == staged["fact"]
+    assert cat.info("dim").version == staged["dim"]
+
+
+def test_recover_restores_old_park_aside(spark, tmp_path):
+    """Crash inside _replace_current's retention-off window (current
+    parked at .old, staged rename never ran): recover() restores the
+    parked copy; the stale .old next to a LIVE current is swept by
+    recover_pending on the next session."""
+    import os
+    import shutil
+
+    from eclipse_spark.storage import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.put("t", spark.range(5).withColumnRenamed("id", "v"))
+    # simulate the crash: park current aside, no staged data renamed in
+    os.rename(cat.path_of("t"), cat.path_of("t") + ".old")
+    assert not cat.exists("t")
+    assert cat.recover("t") is True
+    assert cat.get("t").count() == 5
+
+    # stale .old NEXT TO a live current is garbage -> swept on init
+    shutil.copytree(cat.path_of("t"), cat.path_of("t") + ".old")
+    cat2 = Catalog(spark, root)
+    assert not os.path.exists(cat2.path_of("t") + ".old")
+    assert cat2.get("t").count() == 5
