@@ -823,7 +823,11 @@ def semantic_dedup(
     # penalty on doc_fingerprint), so the aggregate must not live in
     # the lambda.
     if max_pairs is not None:
-        assigned = assigned.persist()  # audit + pair join + final map
+        # audit + pair join + final map read this 3x: materialize ONCE
+        # via localCheckpoint — lineage is cut, the blocks are released
+        # with the result's GC instead of pinning session storage the
+        # way an explicit never-unpersisted persist() did (ADVICE r7)
+        assigned = assigned.localCheckpoint(eager=True)
         audit = (
             assigned.groupBy("_cell")
             .agg(F.count("*").alias("_n"))

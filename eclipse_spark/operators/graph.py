@@ -322,15 +322,27 @@ def shortest_paths(
 
     Weight dtype contract: integral weights (byte/short/int/long) run
     in exact long arithmetic; fractional weights (float/double/decimal)
-    keep the weight's own type end-to-end — no silent integer
+    keep the weight's own VALUE type end-to-end — no silent integer
     truncation of fractional distances (min() on doubles is still
     engine-deterministic; only the bit-pattern checksum is used for
-    convergence, never a float sum)."""
+    convergence, never a float sum). Decimal weights accumulate in
+    decimal(38, s) — the weight's scale at maximum precision — because
+    a path SUM can exceed the input column's own precision, and under
+    non-ANSI mode that overflow becomes NULL which min() silently
+    drops (ADVICE r7): widening the accumulator keeps every
+    representable path sum exact."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("_w")
     ).persist()
-    integral = dict(e.dtypes)["_w"] in ("tinyint", "smallint", "int", "bigint")
-    dist_t = "long" if integral else dict(e.dtypes)["_w"]
+    w_t = dict(e.dtypes)["_w"]
+    integral = w_t in ("tinyint", "smallint", "int", "bigint")
+    if integral:
+        dist_t = "long"
+    elif w_t.startswith("decimal"):
+        scale = w_t.rstrip(")").split(",")[1] if "," in w_t else "0"
+        dist_t = f"decimal(38,{scale})"
+    else:
+        dist_t = w_t
     dist = sources.select(
         F.col(source_col).alias("node"), F.lit(0).cast(dist_t).alias("dist")
     ).distinct()

@@ -51,7 +51,14 @@ def misra_gries_candidates(
     the partition's row count — so callers learn the stream size from
     the same single pass. Superset guarantee: every item with global
     frequency > n/(k+1) appears. Bounded memory, no shuffle of the
-    stream itself."""
+    stream itself.
+
+    NULL items are dropped BEFORE the sketch pass and excluded from
+    the per-partition row counts: the ``item IS NULL`` row is reserved
+    as the stream-size sentinel, so a null group is unrepresentable in
+    the summary by design. Every downstream guarantee (superset,
+    threshold denominator, the heavy_hitters_exact equivalence) is
+    therefore over the null-filtered stream."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -79,8 +86,10 @@ def misra_gries_candidates(
         weights = list(counters.values()) + [n_rows]
         yield pd.DataFrame({"item": items, "weight": weights})
 
-    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
-        _run, schema="item string, weight long"
+    return (
+        df.select(F.col(item_col).cast("string").alias(item_col))
+        .filter(F.col(item_col).isNotNull())
+        .mapInPandas(_run, schema="item string, weight long")
     )
 
 
@@ -95,23 +104,34 @@ def heavy_hitters_exact(
     ceil(2/threshold_frac), comfortably inside the superset
     guarantee's n/(k+1) < threshold bound) and one exact count over
     the candidate set only. Deterministic output == the plain
-    GROUP BY/HAVING answer, at a fraction of its shuffle when item
-    cardinality is huge: the stream is scanned twice (sketch +
+    GROUP BY/HAVING answer over the null-filtered stream (null items
+    are excluded from candidates AND the threshold denominator — see
+    :func:`misra_gries_candidates`), at a fraction of its shuffle when
+    item cardinality is huge: the stream is scanned twice (sketch +
     verify) but shuffled never — only candidate-set counts move.
-    Returns (item string, freq long)."""
+    Returns (item string, freq long).
+
+    The summary is small by construction (<= k items + 1 sentinel per
+    partition), so it is collected ONCE and the candidate set becomes
+    an in-filter literal — no persist survives the call (repeated
+    calls in a long session previously pinned a block each; VERDICT
+    r7 task 5), and the returned plan carries no sketch-stage
+    dependency at all."""
     if k is None:
         k = max(1, int(2.0 / threshold_frac))
-    summary = misra_gries_candidates(df, item_col, k=k).persist()
-    total = summary.filter(F.col("item").isNull()).agg(F.sum("weight")).collect()[
-        0
-    ][0] or 0
-    cands = summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    rows = misra_gries_candidates(df, item_col, k=k).collect()
+    total = sum(r.weight for r in rows if r.item is None)
+    cand_list = sorted({r.item for r in rows if r.item is not None})
     thresh = max(int(total * threshold_frac), 1)
-    items = df.select(F.col(item_col).cast("string").alias("item"))
-    # summary stays persisted: `cands` reads it lazily inside the
-    # returned plan (an unpersist here would re-run the sketch pass)
+    items = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    # candidate filter BEFORE the aggregate: only candidate rows enter
+    # the shuffle (an in-set literal, pushable to the scan), never the
+    # full item cardinality
+    keep = F.col("item").isin(cand_list) if cand_list else F.lit(False)
     return (
-        items.join(F.broadcast(cands), on="item", how="left_semi")
+        items.filter(keep)
         .groupBy("item")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= F.lit(thresh))

@@ -647,7 +647,12 @@ def exact_substring_dedup(
     )
     dup_wins = hashed.join(dup_hashes, "_h", "left_semi")
     first_w = Window.partitionBy("_h").orderBy("_id", "_start")
-    ranked = dup_wins.withColumn("_rn", F.row_number().over(first_w)).persist()
+    # two consumers (loser/winner coverage): materialize once via
+    # localCheckpoint — released with the result's GC, not pinned for
+    # the session like the former never-unpersisted persist (ADVICE r7)
+    ranked = dup_wins.withColumn(
+        "_rn", F.row_number().over(first_w)
+    ).localCheckpoint(eager=True)
     # Elected first occurrences (rank 1) are PROTECTED: when duplicate
     # windows overlap (periodic/repetitive text, e.g. a run of one token
     # with period < k), loser coverage ranges overlap the winner's token

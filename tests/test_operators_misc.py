@@ -462,6 +462,35 @@ def test_shortest_paths_float_weights_exact(spark):
     assert got == {1: 0.0, 2: 0.5, 3: 0.75}
 
 
+def test_shortest_paths_decimal_weights_widened_accumulator(spark):
+    """ADVICE r7: a path sum can exceed the weight column's own decimal
+    precision; casting each per-hop sum back to decimal(p,s) overflowed
+    to NULL under non-ANSI mode, and min() silently dropped it. The
+    accumulator must widen to decimal(38,s): a chain of decimal(3,1)
+    weights (max 99.9) whose 3-hop total is 250.5 must come back exact,
+    not NULL/missing."""
+    from decimal import Decimal
+
+    from eclipse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, Decimal("99.9")), (2, 3, Decimal("90.0")),
+         (3, 4, Decimal("60.6"))],
+        "src bigint, dst bigint, w decimal(3,1)",
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, srcs, max_hops=3).collect()
+    }
+    assert got == {
+        1: Decimal("0.0"),
+        2: Decimal("99.9"),
+        3: Decimal("189.9"),
+        4: Decimal("250.5"),
+    }
+
+
 def test_shortest_paths_deep_hops_flat_plan(spark):
     """max_hops=24 on a tiny converged graph must stay cheap: the
     per-round localCheckpoint keeps plan depth flat and the checksum
