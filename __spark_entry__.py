@@ -3345,6 +3345,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(allv, cents, threshold=0.95)
 
 
+def q_semdedup_autoscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the centroid count scaled to the corpus
+    (dedup.semantic_dedup_autoscale): n_cells = ceil(N / 64) from one
+    cheap count, centroids from ONE Lloyd round over deterministic
+    seeds (ids < n_cells), then the standard within-cell pairwise
+    drop. Same planted scaled copies as q_semdedup (id+100000, x1.1 —
+    cosine exactly 1.0), so drops must reproduce id-for-id; the cell
+    column additionally pins every vector's post-Lloyd assignment, so
+    a wrong mean, a flipped argmax, or a mis-scaled cell count all
+    hash-mismatch. The oracle unrolls seed-assign -> decimal means ->
+    reassign -> pair-drop in SQL, k derived from the same count
+    expression."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.1)
+        ).alias("embedding"),
+    )
+    allv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(planted)
+    return dedup.semantic_dedup_autoscale(
+        allv, threshold=0.95, target_cell_size=64, n_iter=1
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First two BPE merge rounds over the corpus vocabulary
     (text.bpe_train): chars -> pair counts weighted by word freq ->
@@ -6047,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path": q_shortest_path,
         "clustering_coeff": q_clustering_coeff,
         "semdedup": q_semdedup,
+        "semdedup_autoscale": q_semdedup_autoscale,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -9851,6 +9879,47 @@ def oracle_sql() -> dict[str, str]:
             scored AS (SELECT a.vec_id, a.v, c.cell,
                               list_cosine_similarity(a.v, c.centroid) AS sim
                        FROM allv a, cents c),
+            assigned AS (SELECT vec_id, v, cell FROM scored
+                         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY sim DESC, cell) = 1),
+            dropped AS (SELECT DISTINCT b.vec_id AS did
+                        FROM assigned a JOIN assigned b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+            SELECT s.vec_id, s.cell,
+                   CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
+            FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
+        """,
+        "semdedup_autoscale": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            planted AS (SELECT vec_id + 100000 AS vec_id,
+                               list_transform(v, x -> x * 1.1) AS v
+                        FROM e WHERE vec_id % 20 = 0),
+            allv AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+            nc AS (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS k
+                   FROM allv),
+            cents0 AS (SELECT vec_id AS cell, v AS centroid FROM allv
+                       WHERE vec_id < (SELECT k FROM nc)),
+            s1 AS (SELECT a.vec_id AS vid, a.v, c.cell,
+                          list_cosine_similarity(a.v, c.centroid) AS sim
+                   FROM allv a, cents0 c),
+            a1 AS (SELECT vid, v, cell FROM s1
+                   QUALIFY row_number() OVER (PARTITION BY vid
+                                              ORDER BY sim DESC, cell) = 1),
+            m1 AS (SELECT cell,
+                          CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+                          unnest(v) AS x
+                   FROM a1),
+            c1 AS (SELECT cell, pos,
+                          CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                            / count(*) AS c_val
+                   FROM m1 GROUP BY cell, pos),
+            cents1 AS (SELECT cell, list(c_val ORDER BY pos) AS centroid
+                       FROM c1 GROUP BY cell),
+            scored AS (SELECT a.vec_id, a.v, c.cell,
+                              list_cosine_similarity(a.v, c.centroid) AS sim
+                       FROM allv a, cents1 c),
             assigned AS (SELECT vec_id, v, cell FROM scored
                          QUALIFY row_number() OVER (PARTITION BY vec_id
                                                     ORDER BY sim DESC, cell) = 1),

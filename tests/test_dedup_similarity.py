@@ -342,6 +342,36 @@ def test_semantic_dedup_pair_budget_guard(spark):
     assert semantic_dedup(emb, cents, max_pairs=None).count() == 40
 
 
+def test_semantic_dedup_autoscale_converges_where_pinned_k_refuses(spark):
+    """VERDICT r7 task 4: the guard's remedy is wired in — the same
+    corpus + budget that makes pinned-k semantic_dedup RAISE completes
+    under semantic_dedup_autoscale, because n_cells scales with N and
+    cell sizes (hence the pair audit) stay bounded. Dedup semantics
+    survive the scaling: a planted exact copy still drops."""
+    import pytest as _pytest
+
+    from eclipse_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_autoscale,
+    )
+
+    # 60 well-spread vectors + 1 planted copy of id 7 (cosine 1.0)
+    base = [(i, [1.0, float(i) * 7 % 61]) for i in range(60)]
+    emb = spark.createDataFrame(
+        base + [(1000, [2.0, 2.0 * (7 * 7 % 61)])], ["vec_id", "embedding"]
+    )
+    one_cell = spark.createDataFrame([(0, [1.0, 0.0])], ["cell", "centroid"])
+    with _pytest.raises(RuntimeError, match="n_cells"):
+        semantic_dedup(emb, one_cell, max_pairs=300)  # 61*60/2 = 1830 pairs
+
+    out = semantic_dedup_autoscale(
+        emb, target_cell_size=8, n_iter=1, max_pairs=300
+    )
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(rows) == 61
+    assert rows[7] == 1 and rows[1000] == 0  # copy dropped, original kept
+
+
 def test_minhash_dedup_against_drops_only_cross_dups(spark):
     """Planted near-copies of ref docs drop from the new batch; docs
     that only duplicate OTHER NEW docs survive (this operator checks
