@@ -3225,6 +3225,46 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc_bars(ev)
 
 
+def q_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price bars (timeseries.vwap_bars):
+    weekly VWAP per return-flag over lineitem (60k ticks -> ~1k
+    bars), price=extendedprice weighted
+    by quantity — the weighted companion to ohlc_bars, same ONE
+    map-side-combined aggregate shape (single shuffle sized by bars).
+    Both sums accumulate in decimal (order-free exact); the vwap is a
+    double division of two exactly-agreed values. bar_start surfaces
+    as epoch SECONDS (long) because Spark's 7-day tumbling windows
+    align to the 1970-01-01 epoch (a Thursday) while SQL
+    date_trunc('week') aligns to Mondays — the long form is
+    engine-neutral."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = timeseries.vwap_bars(li, key_col="l_returnflag", bucket="7 days")
+    return out.withColumn(
+        "bar_start",
+        F.col("bar_start").cast("timestamp").cast("long"),
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown (timeseries.max_drawdown) of the
+    cumulative event-value series: equity = running decimal sum in
+    (ts, event_id) order, peak = running max over it (the canonical
+    nested-cumulative window), drawdown = peak - equity; one
+    key-partitioned sort window computes both cumulatives (single
+    shuffle), then one map-side-combined per-key aggregate. The
+    oracle replays the same two running windows; final equity is
+    re-derived with a rank-1 pick over the same deterministic order,
+    so partition-order nondeterminism anywhere hash-mismatches."""
+    from eclipse_spark.operators import timeseries
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return timeseries.max_drawdown(ev)
+
+
 def q_semcache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of the cache-INVALIDATION path — the complement of
     ``semcache_demo``'s hit path and the SURVEY §7 risk-register item
@@ -6075,6 +6115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "semdedup": q_semdedup,
         "semdedup_autoscale": q_semdedup_autoscale,
+        "vwap_bars": q_vwap_bars,
+        "max_drawdown": q_max_drawdown,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -9299,6 +9341,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                      AS volume
             FROM r GROUP BY 1, 2
+        """,
+        "vwap_bars": """
+            SELECT l_returnflag,
+                   (epoch_us(l_shipdate) // 1000000) // 604800 * 604800
+                     AS bar_start,
+                   CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS notional,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS vwap
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "max_drawdown": """
+            WITH base AS (SELECT user_id AS k, ts AS t, event_id AS i,
+                                 CAST(value AS DECIMAL(18,6)) AS v
+                          FROM events),
+            curve AS (SELECT k, t, i,
+                             sum(v) OVER (PARTITION BY k ORDER BY t, i
+                                          ROWS UNBOUNDED PRECEDING) AS eq,
+                             row_number() OVER (PARTITION BY k
+                                                ORDER BY t DESC, i DESC)
+                               AS rn_d
+                      FROM base),
+            peaked AS (SELECT k, eq, rn_d,
+                              max(eq) OVER (PARTITION BY k ORDER BY t, i
+                                            ROWS UNBOUNDED PRECEDING)
+                                AS peak
+                       FROM curve)
+            SELECT k AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(CASE WHEN rn_d = 1 THEN eq END) AS DOUBLE)
+                     AS final_equity,
+                   CAST(max(peak) AS DOUBLE) AS peak_equity,
+                   CAST(max(peak - eq) AS DOUBLE) AS max_drawdown
+            FROM peaked GROUP BY k
         """,
         "semcache_subplan": """
             SELECT o_orderstatus AS key,

@@ -29,6 +29,9 @@ __all__ = [
     "transition_matrix",
     "gini_coefficient",
     "time_weighted_avg",
+    "ohlc_bars",
+    "vwap_bars",
+    "max_drawdown",
 ]
 
 
@@ -776,5 +779,104 @@ def ohlc_bars(
             "close",
             "n_ticks",
             F.col("volume").cast("double").alias("volume"),
+        )
+    )
+
+
+def vwap_bars(
+    df: DataFrame,
+    key_col: str = "l_partkey",
+    ts_col: str = "l_shipdate",
+    price_col: str = "l_extendedprice",
+    qty_col: str = "l_quantity",
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Volume-weighted average price per (key, time bucket) — the
+    weighted companion to :func:`ohlc_bars` (plain OHLC ignores trade
+    size; execution-quality and fair-value analyses need the
+    volume-weighted mean). vwap = sum(price*qty) / sum(qty), with both
+    sums accumulated in decimal so the per-bar totals are order-free
+    exact in any engine; the final ratio is one double division of two
+    exactly-agreed values.
+
+    Scale shape: identical to ohlc_bars — ONE map-side-combined
+    aggregate on (key, bucket); sums are mergeable partials, so the
+    single shuffle is sized by the bar count, never the tick count.
+    Returns (key, bar_start, n_trades, total_qty, notional, vwap)."""
+    pv = F.col(price_col).cast("decimal(18,2)") * F.col(qty_col).cast(
+        "decimal(18,2)"
+    )
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), bucket).start.alias("bar_start"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum(F.col(qty_col).cast("decimal(18,2)")).alias("_q"),
+            F.sum(pv).alias("_pv"),
+        )
+        .select(
+            key_col,
+            "bar_start",
+            "n_trades",
+            F.col("_q").cast("double").alias("total_qty"),
+            F.col("_pv").cast("double").alias("notional"),
+            (F.col("_pv").cast("double") / F.col("_q").cast("double")).alias(
+                "vwap"
+            ),
+        )
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Maximum drawdown of each key's cumulative value series: running
+    equity = cumulative sum of ``val_col`` in (ts, id) order, running
+    peak = cumulative max of equity, drawdown = peak - equity; report
+    each key's worst (largest) drawdown with its final equity — the
+    classic risk statistic, and the canonical nested-cumulative window
+    pattern (a cummax OVER a cumsum).
+
+    Determinism: increments accumulate in decimal(18,6), so the
+    running sums are exact and order-free-agreed across engines; the
+    (ts, id) ordering pins tie order under equal timestamps. Scale
+    shape: ONE key-partitioned sort window computes both cumulatives
+    back-to-back (same partitioning, no second shuffle), then one
+    map-side-combined per-key aggregate. Returns (key, n_events,
+    final_equity, peak_equity, max_drawdown as doubles)."""
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+        F.col(val_col).cast("decimal(18,6)").alias("_v"),
+    )
+    curve = base.withColumn("_eq", F.sum("_v").over(w)).withColumn(
+        "_peak", F.max("_eq").over(w)
+    )
+    return (
+        curve.groupBy("_k")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max_by("_eq", F.struct("_t", "_id")).alias("_final"),
+            F.max("_peak").alias("_maxpeak"),
+            F.max(F.col("_peak") - F.col("_eq")).alias("_mdd"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_events",
+            F.col("_final").cast("double").alias("final_equity"),
+            F.col("_maxpeak").cast("double").alias("peak_equity"),
+            F.col("_mdd").cast("double").alias("max_drawdown"),
         )
     )

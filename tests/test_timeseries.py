@@ -135,3 +135,68 @@ def test_ohlc_bars_deterministic_ties(spark):
     # repartitioning must not change any bar (mergeable min_by/max_by)
     a = sorted(map(tuple, ohlc_bars(df.repartition(7)).collect()))
     assert a == sorted(map(tuple, ohlc_bars(df).collect()))
+
+
+def test_vwap_bars_hand_computed(spark):
+    from datetime import datetime
+
+    from eclipse_spark.operators.timeseries import vwap_bars
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 30), 10.0, 2.0),
+        ("A", datetime(2024, 1, 1, 1, 15), 20.0, 1.0),
+        ("A", datetime(2024, 1, 2, 0, 0), 100.0, 4.0),  # next day bar
+        ("B", datetime(2024, 1, 1, 0, 5), 5.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "p", "q"])
+    out = {
+        (r["k"], str(r["bar_start"])): (r["n_trades"], r["total_qty"],
+                                        r["notional"], r["vwap"])
+        for r in vwap_bars(df, "k", "ts", "p", "q", bucket="1 day").collect()
+    }
+    assert out[("A", "2024-01-01 00:00:00")] == (2, 3.0, 40.0, 40.0 / 3.0)
+    assert out[("A", "2024-01-02 00:00:00")] == (1, 4.0, 400.0, 100.0)
+    assert out[("B", "2024-01-01 00:00:00")] == (1, 10.0, 50.0, 5.0)
+
+
+def test_max_drawdown_hand_computed(spark):
+    from datetime import datetime
+
+    from eclipse_spark.operators.timeseries import max_drawdown
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # equity path: 10, 30, 15, 35, 5  -> peak path 10,30,30,35,35
+        # drawdowns:    0,  0, 15,  0, 30 -> mdd 30, final 5, peak 35
+        (1, t0.replace(hour=1), 1, 10.0),
+        (1, t0.replace(hour=2), 2, 20.0),
+        (1, t0.replace(hour=3), 3, -15.0),
+        (1, t0.replace(hour=4), 4, 20.0),
+        (1, t0.replace(hour=5), 5, -30.0),
+        # user 2: monotone up -> zero drawdown
+        (2, t0.replace(hour=1), 6, 1.0),
+        (2, t0.replace(hour=2), 7, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {r["user_id"]: r for r in max_drawdown(df).collect()}
+    assert got[1]["n_events"] == 5
+    assert got[1]["final_equity"] == 5.0
+    assert got[1]["peak_equity"] == 35.0
+    assert got[1]["max_drawdown"] == 30.0
+    assert got[2]["max_drawdown"] == 0.0 and got[2]["final_equity"] == 3.0
+
+
+def test_max_drawdown_tie_order_on_equal_ts(spark):
+    """Equal timestamps break on event_id, so the final-equity pick and
+    the running order are deterministic."""
+    from datetime import datetime
+
+    from eclipse_spark.operators.timeseries import max_drawdown
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 2, -5.0), (1, t, 1, 10.0)], ["user_id", "ts", "event_id", "value"]
+    )
+    r = max_drawdown(df).collect()[0]
+    # order is (id 1: +10) then (id 2: -5): final 5, peak 10, mdd 5
+    assert (r["final_equity"], r["peak_equity"], r["max_drawdown"]) == (5.0, 10.0, 5.0)
