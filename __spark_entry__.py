@@ -4762,6 +4762,26 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(ev, "value", "event_type", "click", "purchase")
 
 
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (profile.auc_roc) of the first embedding
+    dimension as a scorer for the parity of the class label, sliced
+    into 3 segments (label % 3): the Mann-Whitney rank formulation
+    with the tie term kept integral (auc_num2 = exact 2*numerator),
+    so the AUC is one IEEE division of exactly-agreed integers. The
+    distinct-score pre-aggregate keeps the ordered pass off the raw
+    rows — the 100 TB shape — and the oracle replays the identical
+    integer chain in SQL."""
+    from eclipse_spark.operators.profile import auc_roc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 3).alias("segment"),
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") % 2).alias("is_pos"),
+    )
+    return auc_roc(scored, "score", "is_pos", group_col="segment")
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6117,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_autoscale": q_semdedup_autoscale,
         "vwap_bars": q_vwap_bars,
         "max_drawdown": q_max_drawdown,
+        "auc_roc": q_auc_roc,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -8779,6 +8800,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events e JOIN b USING (event_type)
             GROUP BY 1
+        """,
+        "auc_roc": """
+            WITH labeled AS (
+              SELECT label % 3 AS segment,
+                     CAST(embedding[1] AS DOUBLE) AS s,
+                     CAST(label % 2 AS BIGINT) AS y
+              FROM embeddings),
+            per_s AS (
+              SELECT segment, s, sum(y) AS np, sum(1 - y) AS nn
+              FROM labeled GROUP BY segment, s),
+            cum AS (
+              SELECT segment, np, nn,
+                     sum(nn) OVER (PARTITION BY segment ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) - nn
+                       AS nn_lt
+              FROM per_s)
+            SELECT segment,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(sum(2 * np * nn_lt + np * nn) AS BIGINT)
+                     AS auc_num2,
+                   CAST(sum(2 * np * nn_lt + np * nn) AS DOUBLE)
+                     / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+            FROM cum GROUP BY segment
         """,
         "ks_drift": """
             WITH t AS (SELECT value AS v,

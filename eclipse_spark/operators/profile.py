@@ -39,6 +39,7 @@ __all__ = [
     "chi_square",
     "ks_statistic",
     "linear_fit",
+    "auc_roc",
 ]
 
 _NUMERIC = (
@@ -359,6 +360,78 @@ def ks_statistic(
         F.col("d_num").cast("long").alias("d_num"),
         F.col("n_x").cast("long").alias("n_x"),
         F.col("n_y").cast("long").alias("n_y"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label (1 = positive,
+    0 = negative; other label values are excluded) — the
+    Mann-Whitney/rank formulation: AUC = P(score_pos > score_neg)
+    + 0.5 * P(score_pos = score_neg), the standard model-quality gate
+    a training pipeline runs on every scored eval slice. Optional
+    ``group_col`` computes one AUC per group (per-slice evaluation).
+
+    ENGINE-EXACT: everything stays in INTEGERS until one final IEEE
+    division. Per distinct score s, with np(s)/nn(s) the
+    positive/negative counts at s and cum_nn_lt(s) the negatives
+    strictly below s:
+
+        2 * numerator = sum_s [ 2*np(s)*cum_nn_lt(s) + np(s)*nn(s) ]
+        AUC           = numerator / (P * N)
+
+    — the half-credit tie term stays integral because it is doubled.
+
+    Scale shape (the ks_statistic discipline): a per-distinct-
+    (group, score) count aggregate FIRST — map-side combinable, so the
+    ordered pass runs over distinct score values, never raw rows —
+    then one group-partitioned ordered window for the cumulative
+    negatives, then a per-group sum. No rank over the raw stream, no
+    global sort when a group column spreads the data. Returns
+    ([group_col,] n_pos, n_neg, auc_num2, auc) where ``auc_num2`` is
+    the exact integer 2*numerator (auditable: auc == auc_num2 /
+    (2*P*N))."""
+    gcols = [group_col] if group_col else []
+    labeled = df.select(
+        *[F.col(c) for c in gcols],
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).filter(F.col("_y").isin(0, 1))
+    per_s = labeled.groupBy(*gcols, "_s").agg(
+        F.sum("_y").alias("_np"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_s.withColumn("_cumnn", F.sum("_nn").over(w)).withColumn(
+        "_nn_lt", F.col("_cumnn") - F.col("_nn")
+    )
+    agg = cum.groupBy(*gcols).agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("_np") * F.col("_nn_lt")
+            + F.col("_np") * F.col("_nn")
+        )
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (
+            F.col("auc_num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
     )
 
 

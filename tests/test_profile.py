@@ -73,3 +73,39 @@ def test_profile_by_segments_expose_hidden_gaps(spark):
     assert rows[("s1", "v")].completeness == 1.0
     assert rows[("s2", "v")].completeness == 0.0  # invisible in a global profile
     assert rows[("s2", "v")].n_rows == 2
+
+
+def test_auc_roc_hand_computed_with_ties(spark):
+    """AUC = P(s_pos > s_neg) + 0.5 P(equal), verified against the
+    brute-force pair count; the integer auc_num2 audit holds."""
+    from eclipse_spark.operators.profile import auc_roc
+
+    rows = [(0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.9, 1)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = auc_roc(df, "score", "label").collect()[0]
+    # brute force over 3x3 pairs: wins + 0.5*ties
+    pos = [0.2, 0.3, 0.9]; neg = [0.1, 0.2, 0.3]
+    num2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert (r["n_pos"], r["n_neg"]) == (3, 3)
+    assert r["auc_num2"] == num2
+    assert r["auc"] == num2 / (2 * 9)
+
+    # perfect separation and labels outside {0,1} excluded
+    rows2 = [(1.0, 1), (2.0, 1), (0.1, 0), (0.5, 2)]
+    r2 = auc_roc(spark.createDataFrame(rows2, ["score", "label"]),
+                 "score", "label").collect()[0]
+    assert (r2["n_pos"], r2["n_neg"], r2["auc"]) == (2, 1, 1.0)
+
+
+def test_auc_roc_grouped_matches_ungrouped_slices(spark):
+    from eclipse_spark.operators.profile import auc_roc
+
+    rows = [("a", 0.1, 0), ("a", 0.9, 1), ("b", 0.5, 1), ("b", 0.6, 0),
+            ("b", 0.7, 1)]
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+    grouped = {r["g"]: r["auc"] for r in
+               auc_roc(df, "score", "label", group_col="g").collect()}
+    for g in ("a", "b"):
+        solo = auc_roc(df.filter(df.g == g), "score", "label").collect()[0]
+        assert grouped[g] == solo["auc"]
+    assert grouped["a"] == 1.0 and grouped["b"] == 0.5
