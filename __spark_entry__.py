@@ -4782,6 +4782,36 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_roc(scored, "score", "is_pos", group_col="segment")
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quasi-identifier k-anonymity / l-diversity audit
+    (privacy.k_anonymity_audit) over customers: QI = (nation,
+    mktsegment), sensitive = acctbal, k=10, l=5 — the
+    re-identification gate a dataset release runs before export. ONE
+    map-side-combinable aggregate (count + exact distinct) on the QI
+    key; verdict flags are integers so the audit hashes identically
+    in any engine."""
+    from eclipse_spark.operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=10, l=5
+    )
+
+
+def q_reid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row release-gate summary (privacy.reidentification_summary)
+    over the same audit: rows in sub-k groups (linkable), rows in
+    non-l-diverse groups, unique rows (certain linkage), totals — the
+    drill-up of q_k_anonymity, oracle re-derived from the same
+    grouped CTE."""
+    from eclipse_spark.operators.privacy import reidentification_summary
+
+    cust = _t(spark, sf_dir, "customer")
+    return reidentification_summary(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=10, l=5
+    )
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6138,6 +6168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_bars": q_vwap_bars,
         "max_drawdown": q_max_drawdown,
         "auc_roc": q_auc_roc,
+        "k_anonymity": q_k_anonymity,
+        "reid_summary": q_reid_summary,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -8800,6 +8832,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events e JOIN b USING (event_type)
             GROUP BY 1
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+                   CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END
+                     AS k_anonymous,
+                   CASE WHEN count(DISTINCT c_acctbal) >= 5 THEN 1 ELSE 0 END
+                     AS l_diverse
+            FROM customer GROUP BY 1, 2
+        """,
+        "reid_summary": """
+            WITH audit AS (
+              SELECT count(*) AS group_size,
+                     count(DISTINCT c_acctbal) AS n_sensitive
+              FROM customer GROUP BY c_nationkey, c_mktsegment)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(group_size) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN group_size < 10
+                                 THEN group_size ELSE 0 END) AS BIGINT)
+                     AS rows_below_k,
+                   CAST(sum(CASE WHEN n_sensitive < 5
+                                 THEN group_size ELSE 0 END) AS BIGINT)
+                     AS rows_below_l,
+                   CAST(sum(CASE WHEN group_size = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS unique_rows
+            FROM audit
         """,
         "auc_roc": """
             WITH labeled AS (
