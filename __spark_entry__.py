@@ -4812,6 +4812,26 @@ def q_reid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced export sharding (relational.serpentine_shards):
+    documents dealt into 8 shards serpentine by descending n_chars
+    (rank from the distributed dense_index two-pass — range partition
+    + broadcast offsets, no single-partition sort), summarized per
+    shard. The balance property is visible in the output (shard char
+    totals within ~one max-doc of each other) and the oracle replays
+    rank -> serpentine -> rollup with a plain window, so one wrong
+    rank or a flipped return pass hash-mismatches."""
+    from eclipse_spark.operators.relational import serpentine_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = serpentine_shards(docs, "n_chars", 8, ["doc_id"])
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6170,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_roc": q_auc_roc,
         "k_anonymity": q_k_anonymity,
         "reid_summary": q_reid_summary,
+        "shard_balance": q_shard_balance,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -8832,6 +8853,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events e JOIN b USING (event_type)
             GROUP BY 1
+        """,
+        "shard_balance": """
+            WITH ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       - 1 AS rk
+              FROM documents),
+            dealt AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN rk % 16 < 8 THEN rk % 16
+                          ELSE 15 - (rk % 16) END AS shard
+              FROM ranked)
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM dealt GROUP BY shard
         """,
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -495,6 +495,44 @@ def dense_index(
     )
 
 
+def serpentine_shards(
+    df: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    tiebreak: Sequence[str],
+    out_col: str = "shard",
+) -> DataFrame:
+    """Weight-balanced shard assignment for training-data export:
+    rank rows by ``weight_col`` DESC (ties broken by ``tiebreak``),
+    then deal them out serpentine (boustrophedon): with
+    ``r = rank % (2*n_shards)``, shard = ``r`` on the forward pass and
+    ``2*n_shards - 1 - r`` on the return pass. Heavy rows spread
+    first and each shard's k-th pick alternates big/small, so shard
+    weight totals track each other closely — the deterministic,
+    fully-parallel stand-in for first-fit-decreasing bin packing
+    (which is a sequential fold no shared-nothing engine should run).
+    The export step every tokenized-corpus writer needs: N balanced
+    output files with no shard hot-spotting the downstream loader.
+
+    Scale shape: the global rank comes from :func:`dense_index` (range
+    partition + broadcast offsets — NO single-partition sort); the
+    serpentine map is row-local codegen. Adds ``out_col`` (long).
+    Total order required: ``tiebreak`` must make (weight, *tiebreak)
+    unique, same contract as dense_index."""
+    neg = "_negw"
+    ranked = dense_index(
+        df.withColumn(neg, -F.col(weight_col)),
+        [neg, *tiebreak],
+        out_col="_rk",
+    )
+    period = 2 * n_shards
+    r = F.col("_rk") % period
+    return ranked.withColumn(
+        out_col,
+        F.when(r < n_shards, r).otherwise(period - 1 - r).cast("long"),
+    ).drop(neg, "_rk")
+
+
 def pps_systematic_sample(
     df: DataFrame,
     weight_col: str,

@@ -586,3 +586,31 @@ def test_pps_sample_invariants(spark):
         for r in pps_systematic_sample(df, "w", 10, ["k"]).collect()
     }
     assert again == hits
+
+
+def test_serpentine_shards_exact_and_balanced(spark):
+    """Ranks 0..11 over weight desc deal 4 shards serpentine
+    0,1,2,3,3,2,1,0,0,1,2,3; totals stay within one max-weight; a
+    repartitioned input assigns identically (dense_index invariance)."""
+    from eclipse_spark.operators.relational import serpentine_shards
+
+    rows = [(i, 100 - i) for i in range(12)]  # weight desc == id asc
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r["id"]: r["shard"] for r in
+           serpentine_shards(df, "w", 4, ["id"]).collect()}
+    assert [got[i] for i in range(12)] == [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3]
+
+    got2 = {r["id"]: r["shard"] for r in
+            serpentine_shards(df.repartition(5), "w", 4, ["id"]).collect()}
+    assert got2 == got
+
+    # balance on a skewed corpus: totals within one max weight
+    import random
+    rnd = random.Random(7)
+    big = [(i, rnd.randint(1, 1000)) for i in range(500)]
+    bdf = spark.createDataFrame(big, ["id", "w"])
+    sums = {}
+    for r in serpentine_shards(bdf, "w", 8, ["id"]).collect():
+        sums[r["shard"]] = sums.get(r["shard"], 0) + r["w"]
+    assert len(sums) == 8
+    assert max(sums.values()) - min(sums.values()) <= 1000
