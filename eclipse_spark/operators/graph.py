@@ -450,3 +450,71 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         ).alias("coeff"),
     )
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node of degree < ``k`` until none remains — the standard
+    dense-subgraph extractor (community cores, spam/bot rings,
+    near-clique candidate pruning before expensive triangle/clique
+    work). Returns the surviving nodes as (node, degree) with degree
+    measured INSIDE the core — the exact fixpoint, not a bound.
+
+    Input is an undirected simple edge list (either orientation, one
+    row per pair); self-loops are dropped and the list is symmetrized
+    internally.
+
+    Scale shape per round: one map-side-combinable degree aggregate
+    over the live edge list + two semi-joins against the surviving
+    node set (key-shuffled; broadcast when AQE sees it small). Round
+    count is the peel DEPTH of the graph (the degeneracy ordering's
+    layer count) — single digits on co-occurrence graphs — never
+    |V|. The live edge list localCheckpoints each productive round so
+    plan depth stays flat, and convergence is an O(1) driver
+    aggregate (node count + survivor count in ONE collect — the CC
+    discipline). Exhausting ``max_rounds`` RAISES — the budget is a
+    divergence alarm, and a silent partial peel would overstate the
+    core (same contract as connected_components)."""
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    adj = sym
+    for _ in range(max_rounds):
+        deg = adj.groupBy("u").agg(F.count("*").alias("degree")).localCheckpoint(
+            eager=True
+        )
+        n_nodes, n_good = deg.agg(
+            F.count("*"),
+            F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
+        ).collect()[0]
+        if n_nodes == 0:
+            return deg.select(
+                F.col("u").alias("node"), F.col("degree").cast("long")
+            )  # empty core, empty frame with the right schema
+        if n_good == n_nodes:
+            return deg.select(
+                F.col("u").alias("node"),
+                F.col("degree").cast("long").alias("degree"),
+            )
+        good = deg.filter(F.col("degree") >= k).select("u")
+        adj = (
+            adj.join(good, "u", "left_semi")
+            .join(good.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core: no fixpoint within max_rounds={max_rounds} "
+        f"(last round: {n_nodes - n_good} of {n_nodes} nodes below k={k}); "
+        "raise max_rounds — the peel depth of this graph exceeds the budget"
+    )

@@ -614,3 +614,58 @@ def test_serpentine_shards_exact_and_balanced(spark):
         sums[r["shard"]] = sums.get(r["shard"], 0) + r["w"]
     assert len(sums) == 8
     assert max(sums.values()) - min(sums.values()) <= 1000
+
+
+def test_k_core_hand_graph(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle
+    (peel cascades down the chain), 1-core keeps everything, 3-core is
+    empty; the round budget raises loudly when exhausted."""
+    import pytest as _pytest
+
+    from eclipse_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus chain 3-4-5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    core2 = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    core1 = {r["node"]: r["degree"] for r in k_core(edges, 1).collect()}
+    assert len(core1) == 6 and core1[3] == 3
+    assert k_core(edges, 3).count() == 0
+
+    # chain peel depth is ~len(chain): budget of 1 round must raise
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(edges, 2, max_rounds=1)
+
+
+def test_k_core_matches_python_peel(spark):
+    """Random sparse graph vs an independent driver-side peel."""
+    import collections
+    import random
+
+    from eclipse_spark.operators.graph import k_core
+
+    rnd = random.Random(13)
+    pairs = {(rnd.randint(0, 60), rnd.randint(0, 60)) for _ in range(150)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b); adj[b].add(a)
+    k = 3
+    while True:
+        bad = [n for n, s in adj.items() if len(s) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    exp = {n: len(s) for n, s in adj.items()}
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(
+            spark.createDataFrame(pairs, ["a", "b"]), k
+        ).collect()
+    }
+    assert got == exp
