@@ -3135,6 +3135,62 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.unionByName(snap)
 
 
+def q_atomic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof of the multi-table transaction pair: put_many
+    publishes fact (per-100-bucket order rollup) + dim (bucket ->
+    segment census) ATOMICALLY, twice (v1 then v2 with shifted
+    totals), and get_many reads the pair back pinned to one version
+    vector — the committed v2 state, never a v1/v2 mix. The returned
+    join carries both tables' versions on every row, so a torn read
+    (fact v2 against dim v1), a lost journal roll-forward, or a
+    version that failed to bump all hash-mismatch the oracle, which
+    recomputes the v2 state relationally."""
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="eclipse_snap_"), retain_versions=1
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def fact(shift: float):
+        return orders.groupBy(
+            (F.col("o_custkey") % 100).alias("bucket")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             + F.lit(shift).cast("decimal(18,2)")).alias("total"),
+        )
+
+    def dim(tag: str):
+        return cust.groupBy((F.col("c_custkey") % 100).alias("bucket")).agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.max("c_mktsegment").alias("top_segment"),
+            F.lit(tag).alias("gen"),
+        )
+
+    cat.put_many({"fact": fact(0.0), "dim": dim("v1")})
+    cat.put_many({"fact": fact(5.0), "dim": dim("v2")})
+    t = cat.get_many(["fact", "dim"])
+    vf, vd = cat.info("fact").version, cat.info("dim").version
+    return (
+        t["fact"]
+        .join(t["dim"], "bucket")
+        .select(
+            "bucket",
+            "n_orders",
+            F.col("total").cast("double").alias("total"),
+            "n_customers",
+            "top_segment",
+            "gen",
+            F.lit(vf).cast("long").alias("fact_version"),
+            F.lit(vd).cast("long").alias("dim_version"),
+        )
+    )
+
+
 def q_semcache_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver proof of Eclipse's flagship Icache feature (C3/C4: cache
     write keyed on (app, input), hit -> skip the map entirely;
@@ -6208,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reid_summary": q_reid_summary,
         "shard_balance": q_shard_balance,
         "kcore": q_kcore,
+        "atomic_snapshot": q_atomic_snapshot,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -8887,6 +8944,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id
             FROM dealt GROUP BY shard
+        """,
+        "atomic_snapshot": """
+            WITH fact AS (
+              SELECT o_custkey % 100 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       + CAST(5.0 AS DECIMAL(18,2)) AS total
+              FROM orders GROUP BY 1),
+            dim AS (
+              SELECT c_custkey % 100 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_customers,
+                     max(c_mktsegment) AS top_segment,
+                     'v2' AS gen
+              FROM customer GROUP BY 1)
+            SELECT f.bucket, f.n_orders,
+                   CAST(f.total AS DOUBLE) AS total,
+                   d.n_customers, d.top_segment, d.gen,
+                   CAST(2 AS BIGINT) AS fact_version,
+                   CAST(2 AS BIGINT) AS dim_version
+            FROM fact f JOIN dim d ON f.bucket = d.bucket
         """,
         "kcore": """
             WITH e AS MATERIALIZED (
