@@ -3468,6 +3468,33 @@ def q_semdedup_autoscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy kernel tier of SemDeDup
+    (dedup.semantic_dedup_scaled) on the SAME fixed-centroid planted
+    corpus as q_semdedup: assignment is one float64 GEMM per Arrow
+    batch (argmax ties to the lower cell, the exact tier's rule),
+    the pair stage one c^2-GEMM per cell via applyInPandas — the
+    100 TB path where interpreted per-pair folds are the bottleneck.
+    Oracle identical to q_semdedup's: on margin-separated data
+    (max non-dup within-cell cosine ~0.49 vs planted 1.0) the kernel
+    tier's verdicts are bit-stable, which is property-tested against
+    the exact tier in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.1)
+        ).alias("embedding"),
+    )
+    allv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return dedup.semantic_dedup_scaled(allv, threshold=0.95, centroids=cents)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First two BPE merge rounds over the corpus vocabulary
     (text.bpe_train): chars -> pair counts weighted by word freq ->
@@ -6265,6 +6292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance": q_shard_balance,
         "kcore": q_kcore,
         "atomic_snapshot": q_atomic_snapshot,
+        "semdedup_scaled": q_semdedup_scaled,
         "minhash_estimate": q_minhash_estimate,
         "lsh_s_curve": q_lsh_s_curve,
         "triangle_count": q_triangle_count,
@@ -10258,6 +10286,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN b USING (g) GROUP BY c.doc_id
         """.replace("{TOKENS}", TOKENS_SQL),
         "semdedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            planted AS (SELECT vec_id + 100000 AS vec_id,
+                               list_transform(v, x -> x * 1.1) AS v
+                        FROM e WHERE vec_id % 20 = 0),
+            allv AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+            cents AS (SELECT vec_id AS cell, v AS centroid
+                      FROM e WHERE vec_id < 8),
+            scored AS (SELECT a.vec_id, a.v, c.cell,
+                              list_cosine_similarity(a.v, c.centroid) AS sim
+                       FROM allv a, cents c),
+            assigned AS (SELECT vec_id, v, cell FROM scored
+                         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY sim DESC, cell) = 1),
+            dropped AS (SELECT DISTINCT b.vec_id AS did
+                        FROM assigned a JOIN assigned b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+            SELECT s.vec_id, s.cell,
+                   CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS kept
+            FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.did
+        """,
+        "semdedup_scaled": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
             planted AS (SELECT vec_id + 100000 AS vec_id,

@@ -1336,3 +1336,171 @@ def lsh_recall_curve(
             ),
         )
     )
+
+
+def semantic_dedup_scaled(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    target_cell_size: int = 1024,
+    n_iter: int = 1,
+    centroids: DataFrame | None = None,
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+    max_cell_factor: int = 64,
+) -> DataFrame:
+    """Arrow/numpy kernel tier of SemDeDup — IDENTICAL drop semantics
+    to :func:`semantic_dedup` / :func:`semantic_dedup_autoscale`
+    (nearest-centroid cells, drop the larger id of any within-cell
+    pair with cosine >= threshold), rebuilt for the 100 TB path where
+    the exact tier's per-pair higher-order-function dot product is the
+    bottleneck (repo-measured ~10-100x slower than vectorized kernels;
+    at 200k x 64-dim vectors and ~1000 cells the HOF assignment alone
+    is ~1.5e8 interpreted folds — hours locally, seconds as GEMMs):
+
+    - centroid ASSIGNMENT runs in ``mapInPandas``: one float64 GEMM
+      per Arrow batch against the broadcast (k x dim) centroid matrix;
+      ``argmax`` returns the FIRST maximum, i.e. ties break toward the
+      lower cell id — the same (sim DESC, cell ASC) rule as the exact
+      tier's window.
+    - optional Lloyd rounds recompute per-cell means with a vectorized
+      ``applyInPandas`` (cells are bounded, so each group is one tiny
+      matrix sum) and re-assign; centroids round-trip through a
+      driver-side (k x dim) array — megabytes at any realistic k.
+    - the PAIR stage is ``applyInPandas`` per cell: unit-normalize,
+      S = U @ U.T, and j drops iff some i < j has S[i,j] >= threshold
+      — one c^2 * dim GEMM per cell instead of c^2 shuffled pairs each
+      paying an interpreted fold. Within-cell work is (cell size)^2,
+      bounded because the cell count scales with the corpus
+      (``ceil(N / target_cell_size)``), exactly the autoscale
+      contract.
+
+    Guard: raises when any cell exceeds ``max_cell_factor *
+    target_cell_size`` — a degenerate centroid collapse would hand one
+    worker a c^2 similarity block; the audit is one O(k) aggregate on
+    the checkpointed assignment (same spirit as the exact tier's
+    max_pairs audit, but per-worker-block rather than global, because
+    blocks are the scaled tier's unit of cost).
+
+    Determinism caveat (why the ORACLE queries keep the exact tier):
+    float64 GEMM accumulates in a different order than the HOF fold,
+    so an assignment or drop can flip when two similarities sit within
+    ~1 ulp of each other or of the threshold. Property-tested equal to
+    the exact tier on margin-separated corpora (tests/), which is the
+    regime real near-dup thresholds operate in.
+
+    ``centroids``: pass a (cell, centroid) DataFrame to pin the cells
+    (skips derivation and Lloyd; the equivalence-test hook and the
+    "centroids come from a real clustering job" production path).
+    Returns (id_col, cell_col, kept) like the exact tier."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    sc = emb.sparkSession.sparkContext
+    pts = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    if centroids is not None:
+        rows = (
+            centroids.select(
+                F.col(cell_col).cast("long").alias("c"),
+                F.col(centroid_col).cast("array<double>").alias("v"),
+            )
+            .orderBy("c")
+            .collect()
+        )
+        cell_ids = np.array([r["c"] for r in rows], dtype=np.int64)
+        cmat = np.array([r["v"] for r in rows], dtype=np.float64)
+        lloyd_rounds = 0
+    else:
+        n = pts.count()
+        n_cells = max(1, math.ceil(n / target_cell_size))
+        seed_rows = pts.orderBy("_id").limit(n_cells).collect()
+        cell_ids = np.arange(len(seed_rows), dtype=np.int64)
+        cmat = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
+        lloyd_rounds = n_iter
+
+    def _assign_fn(cmat_bc, ids_bc):
+        def run(batches):
+            cm = cmat_bc.value
+            cn = cm / np.maximum(
+                np.linalg.norm(cm, axis=1, keepdims=True), 1e-300
+            )
+            ids = ids_bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                vn = v / np.maximum(
+                    np.linalg.norm(v, axis=1, keepdims=True), 1e-300
+                )
+                best = np.argmax(vn @ cn.T, axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_cell": ids[best], "_v": pdf["_v"]}
+                )
+        return run
+
+    def _assign(df, cm, ids):
+        cm_bc, ids_bc = sc.broadcast(cm), sc.broadcast(ids)
+        return df.mapInPandas(
+            _assign_fn(cm_bc, ids_bc),
+            schema="_id long, _cell long, _v array<double>",
+        )
+
+    for _ in range(lloyd_rounds):
+        assigned = _assign(pts, cmat, cell_ids)
+
+        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(pdf["_v"].to_numpy()).mean(axis=0)
+            return pd.DataFrame(
+                {"_cell": [int(pdf["_cell"].iloc[0])], "_c": [list(m)]}
+            )
+
+        mrows = (
+            assigned.groupBy("_cell")
+            .applyInPandas(_mean, schema="_cell long, _c array<double>")
+            .orderBy("_cell")
+            .collect()
+        )
+        cell_ids = np.array([r["_cell"] for r in mrows], dtype=np.int64)
+        cmat = np.array([r["_c"] for r in mrows], dtype=np.float64)
+
+    assigned = _assign(pts, cmat, cell_ids).localCheckpoint(eager=True)
+    sizes = assigned.groupBy("_cell").agg(F.count("*").alias("_n"))
+    biggest = sizes.agg(F.max("_n")).collect()[0][0] or 0
+    cap = max_cell_factor * target_cell_size
+    if biggest > cap:
+        raise RuntimeError(
+            f"semantic_dedup_scaled: largest cell has {biggest:,} vectors "
+            f"(> {cap:,} = max_cell_factor*target_cell_size) — centroids "
+            "collapsed; rerun with more Lloyd rounds or better seeds, or "
+            "raise max_cell_factor explicitly"
+        )
+
+    thr = float(threshold)
+
+    def _drop(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        u = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        s = u @ u.T
+        c = len(pdf)
+        hit = (s >= thr) & np.triu(np.ones((c, c), dtype=bool), k=1)
+        kept = (~hit.any(axis=0)).astype("int32")
+        return pd.DataFrame(
+            {"_id": pdf["_id"], "_cell": pdf["_cell"], "kept": kept}
+        )
+
+    out = assigned.groupBy("_cell").applyInPandas(
+        _drop, schema="_id long, _cell long, kept int"
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_cell").alias(cell_col),
+        "kept",
+    )

@@ -651,3 +651,65 @@ def test_lsh_recall_curve_exact_dup_folds_into_top_decile(spark):
     rows = lsh_recall_curve(df, portable=True).collect()
     assert [r.bin for r in rows] == [9]
     assert rows[0].n_pairs == 1
+
+
+def test_semantic_dedup_scaled_matches_exact_tier(spark):
+    """The Arrow/numpy kernel tier must reproduce the exact tier's
+    (id, cell, kept) verdicts on a margin-separated corpus — same
+    centroids injected, same threshold, same tie rule."""
+    import random
+
+    from eclipse_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_scaled,
+    )
+
+    rnd = random.Random(23)
+    base = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    # planted scaled copies (cosine 1.0) every 10th vector
+    planted = [
+        (1000 + i, [2.0 * x for x in v]) for i, v in base if i % 10 == 0
+    ]
+    emb = spark.createDataFrame(base + planted, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(j, base[j][1]) for j in range(6)], ["cell", "centroid"]
+    )
+    exact = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            emb, cents, threshold=0.95, max_pairs=None
+        ).collect()
+    }
+    scaled = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup_scaled(
+            emb, threshold=0.95, centroids=cents
+        ).collect()
+    }
+    assert scaled == exact
+    assert sum(1 for _, k in exact.values() if k == 0) == len(planted)
+
+
+def test_semantic_dedup_scaled_autoscale_path_and_guard(spark):
+    import pytest as _pytest
+
+    from eclipse_spark.operators.dedup import semantic_dedup_scaled
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i * 13 % 97)]) for i in range(90)]
+        + [(500, [3.0, 3.0 * (5 * 13 % 97)])],  # copy of id 5
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup_scaled(emb, target_cell_size=16, n_iter=1)
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(rows) == 91 and rows[5] == 1 and rows[500] == 0
+
+    # degenerate collapse: every vector identical -> one giant cell
+    flat = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(64)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(RuntimeError, match="max_cell_factor"):
+        semantic_dedup_scaled(flat, target_cell_size=2, n_iter=0,
+                              max_cell_factor=4)
