@@ -171,6 +171,20 @@ HEADLINE = [
     "mg_heavy_hitters",
     "semcache_subplan",
     "ohlc_bars",
+    # round 8 additions: auto-scaled + Arrow/numpy-kernel SemDeDup,
+    # VWAP bars, max drawdown, exact ROC AUC, k-anonymity release
+    # gates, serpentine export sharding, k-core peeling, atomic
+    # multi-table snapshot round-trip
+    "semdedup_autoscale",
+    "semdedup_scaled",
+    "vwap_bars",
+    "max_drawdown",
+    "auc_roc",
+    "k_anonymity",
+    "reid_summary",
+    "shard_balance",
+    "kcore",
+    "atomic_snapshot",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the
@@ -257,12 +271,21 @@ def main() -> None:
     def _one_job() -> None:
         wc(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Both runs recorded per N (VERDICT r7 task 7): the 64-job point
+    # drifted +18% across two rounds of unchanged scheduler code, so
+    # the many-job probe gets the same min+spread+flag treatment as
+    # the headline queries.
     many_job: dict[str, float] = {}
+    many_job_runs: dict[str, list[float]] = {}
     _one_job()  # warm (codegen + parquet footers), adjacent to the clock
     for n in (1, 4, 16, 64):
-        t0 = time.perf_counter()
-        run_concurrent(spark, [_one_job] * n)
-        many_job[str(n)] = round(time.perf_counter() - t0, 3)
+        both_mj: list[float] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_concurrent(spark, [_one_job] * n)
+            both_mj.append(round(time.perf_counter() - t0, 3))
+        many_job[str(n)] = min(both_mj)
+        many_job_runs[str(n)] = both_mj
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -302,8 +325,39 @@ def main() -> None:
                     if n in prev_sigs
                     else None,
                 }
+        # many-job drift flags (VERDICT r7 task 7), same 1.5x bar
+        prev_mj = prev.get("many_job", {})
+        mj_drift = {
+            n: {"prev_sec": prev_mj[n], "cur_sec": cur}
+            for n, cur in many_job.items()
+            if prev_mj.get(n) and cur > 1.5 * prev_mj[n]
+        }
+        if mj_drift:
+            drift["many_job"] = mj_drift
     except (OSError, ValueError):
         pass
+
+    # Third timed run for noise-flagged queries (VERDICT r7 task 8):
+    # a >1.5x regression with an UNCHANGED plan signature has been host
+    # noise two rounds running (dau_mau, time_weighted_avg) — min-of-3
+    # keeps real plan regressions from hiding behind the noise-flag
+    # habit. Queries whose plan DID change keep their flag untouched:
+    # that is a genuine regression signal, not noise.
+    for n, info in list(drift.items()):
+        if n == "many_job" or info.get("plan_changed") is not False:
+            continue
+        fn = queries[n]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        third = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        runs[n].append(third)
+        timings[n] = min(runs[n])
+        info["third_run_sec"] = third
+        info["cur_sec"] = timings[n]
+        if timings[n] <= 1.5 * info["prev_sec"]:
+            info["resolved_by_third_run"] = True
+    total = round(sum(timings.values()), 3)
 
     full = {
         "metric": "headline_suite_total",
@@ -314,6 +368,7 @@ def main() -> None:
         "plan_sigs": plan_sigs,
         "drift_vs_prev": drift,
         "many_job": many_job,
+        "many_job_runs": many_job_runs,  # both runs: min + spread per N
         "sf": sf,
         "n_queries": len(timings),
     }

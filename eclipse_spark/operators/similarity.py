@@ -764,40 +764,12 @@ def random_projection(
     ).select(id_col, "_e.proj_pos", "_e.value")
 
 
-def allpairs_cosine(
-    docs: DataFrame,
-    id_col: str,
-    tokens_col: str,
-    threshold_sq_pct: int = 81,
-) -> DataFrame:
-    """All-pairs set-cosine similarity self-join with PREFIX FILTERING
-    (Bayardo/Chaudhuri APSS) — "find every pair of documents whose
-    binary token-set cosine >= t" without the quadratic all-pairs scan.
-
-    ``threshold_sq_pct`` is ``t^2 * 100`` as an INTEGER (81 -> t=0.9),
-    so the qualifying test ``100*c^2 >= pct*n*m`` (c = |A∩B|,
-    n = |A|, m = |B|) is pure integer arithmetic — engine-exact, no
-    float threshold boundary.
-
-    Pruning logic: order tokens by ascending global document frequency
-    (rarest first; ties by token). For cosine >= t, any qualifying
-    pair must share a token inside BOTH docs' prefixes of length
-    ``n - ceil(t^2 * n) + 1``: if all common tokens sat past A's
-    prefix, c <= ceil(t^2*n)-1 < t^2*n, while sim >= t forces
-    m >= t^2*n and hence c >= t*sqrt(nm) >= t^2*n — contradiction.
-    So joining prefix tokens against prefix tokens has guaranteed
-    recall, and the exact verify (array_intersect on the full sorted
-    token arrays) makes precision exact too.
-
-    Scale shape: one df aggregate, one rank-ordered prefix slice, one
-    equi-join on (rare) prefix tokens — candidate volume tracks how
-    many pairs share a RARE token, not corpus^2 — then a verify join
-    that moves token arrays only for candidate ids. On a pathological
-    corpus where every doc shares rare tokens the candidate set
-    degrades toward all-pairs (data property, not plan property);
-    the MinHash/SimHash tier (operators/dedup.py) is the probabilistic
-    fallback there. Output: id_a < id_b, overlap, n_a, n_b,
-    cos_sim (round-9)."""
+def _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct):
+    """Shared candidate construction for the APSS tier: returns the
+    lazily-persisted distinct (doc, token) table and the prefix-filter
+    candidate pair set (id_a < id_b, n_a, n_b). Factored out so the
+    scaling probe can COUNT candidates (work, not just wall-time)
+    through the identical plan the verify stage consumes."""
     # the exploded token table feeds four consumers (sizes, document
     # frequencies, the ranked prefix, and the verify arrays); persist()
     # LAZILY so the tokenize+explode runs once — plan-level reuse via
@@ -832,6 +804,59 @@ def allpairs_cosine(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
+    return toks, cand
+
+
+def allpairs_cosine_candidates(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_sq_pct: int = 81,
+) -> DataFrame:
+    """The APSS prefix-filter CANDIDATE set, before the exact verify —
+    the work-audit tier: the scaling probe counts these per scale so a
+    flat wall-time ratio provably means "the plan scales" rather than
+    "the synthetic corpus degenerated" (VERDICT r7 task 2). Identical
+    construction to :func:`allpairs_cosine` (shared helper)."""
+    _, cand = _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct)
+    return cand
+
+
+def allpairs_cosine(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_sq_pct: int = 81,
+) -> DataFrame:
+    """All-pairs set-cosine similarity self-join with PREFIX FILTERING
+    (Bayardo/Chaudhuri APSS) — "find every pair of documents whose
+    binary token-set cosine >= t" without the quadratic all-pairs scan.
+
+    ``threshold_sq_pct`` is ``t^2 * 100`` as an INTEGER (81 -> t=0.9),
+    so the qualifying test ``100*c^2 >= pct*n*m`` (c = |A∩B|,
+    n = |A|, m = |B|) is pure integer arithmetic — engine-exact, no
+    float threshold boundary.
+
+    Pruning logic: order tokens by ascending global document frequency
+    (rarest first; ties by token). For cosine >= t, any qualifying
+    pair must share a token inside BOTH docs' prefixes of length
+    ``n - ceil(t^2 * n) + 1``: if all common tokens sat past A's
+    prefix, c <= ceil(t^2*n)-1 < t^2*n, while sim >= t forces
+    m >= t^2*n and hence c >= t*sqrt(nm) >= t^2*n — contradiction.
+    So joining prefix tokens against prefix tokens has guaranteed
+    recall, and the exact verify (array_intersect on the full sorted
+    token arrays) makes precision exact too.
+
+    Scale shape: one df aggregate, one rank-ordered prefix slice, one
+    equi-join on (rare) prefix tokens — candidate volume tracks how
+    many pairs share a RARE token, not corpus^2 — then a verify join
+    that moves token arrays only for candidate ids. On a pathological
+    corpus where every doc shares rare tokens the candidate set
+    degrades toward all-pairs (data property, not plan property);
+    the MinHash/SimHash tier (operators/dedup.py) is the probabilistic
+    fallback there. Output: id_a < id_b, overlap, n_a, n_b,
+    cos_sim (round-9)."""
+    toks, cand = _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct)
     # exact verify: full sorted token arrays only for candidate ids
     arrays = toks.groupBy("_id").agg(F.sort_array(F.collect_list("tok")).alias("arr"))
     verified = (

@@ -8,6 +8,16 @@ skew, any accidental quadratic.
 
 Ratios are wall-clock min-of-2 after one warm run, same protocol as
 bench.py. Run: python tools/scale_probe.py
+
+WORK counts (VERDICT r7 task 2): wall-time ratios alone cannot
+distinguish "the plan scales" from "the synthetic corpus degenerated"
+(the derived replicas are deliberately decorrelated, so candidate
+volume need not grow 10x). For the three candidate-generating
+pipelines (apss_cosine prefix-filter pairs, minhash_candidates LSH
+pairs, semdedup within-cell pairs) the probe counts the ACTUAL
+candidate sets at every scale and records them next to the seconds —
+a flat time ratio is then interpretable against the measured work
+ratio.
 """
 
 from __future__ import annotations
@@ -48,6 +58,103 @@ PROBE = [
     "cc_star",
     "ann_int8",
 ]
+
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _apss_docs(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+            ).alias("toks"),
+        )
+    )
+
+
+def _apss_cand_count(spark, sf_dir) -> int:
+    from eclipse_spark.operators.similarity import allpairs_cosine_candidates
+
+    return allpairs_cosine_candidates(
+        _apss_docs(spark, sf_dir), "doc_id", "toks", 81
+    ).count()
+
+
+def _minhash_cand_count(spark, sf_dir) -> int:
+    import __spark_entry__ as em
+
+    return em.queries()["minhash_candidates"](spark, sf_dir).count()
+
+
+def _semdedup_allv_cents(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.1)
+        ).alias("embedding"),
+    )
+    allv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return allv, cents
+
+
+def _semdedup_pair_count(spark, sf_dir) -> int:
+    """Within-cell pair count under q_semdedup's pinned 8 centroids —
+    the quantity the max_pairs guard audits, counted per scale so the
+    guarded sf10 refusal is backed by the measured pair curve."""
+    from pyspark.sql import Window
+
+    from eclipse_spark.operators.similarity import cosine_sim
+
+    allv, cents = _semdedup_allv_cents(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        allv.crossJoin(F.broadcast(cents.select(
+            "cell", F.col("centroid").cast("array<double>").alias("_c"))))
+        .withColumn("_sim", cosine_sim(F.col("embedding"), F.col("_c")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    row = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.sum(
+            (F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1)) / 2
+        ).alias("_p"))
+        .collect()[0]
+    )
+    return int(row["_p"] or 0)
+
+
+def _semdedup_scaled_probe(spark, sf_dir):
+    """Auto-scaled SemDeDup completion row (VERDICT r7 task 4): the
+    Arrow/numpy kernel tier with cells scaled to the corpus
+    (target 512), on the same planted corpus — the configuration that
+    must COMPLETE at sf10 where the pinned-k exact tier correctly
+    refuses."""
+    from eclipse_spark.operators.dedup import semantic_dedup_scaled
+
+    allv, _ = _semdedup_allv_cents(spark, sf_dir)
+    return semantic_dedup_scaled(
+        allv, threshold=0.95, target_cell_size=512, n_iter=1
+    )
+
+
+WORK_COUNTS = {
+    "apss_cosine": _apss_cand_count,
+    "minhash_candidates": _minhash_cand_count,
+    "semdedup": _semdedup_pair_count,
+}
 
 
 def _time(fn, spark, sf_dir) -> float:
@@ -107,7 +214,18 @@ def main() -> None:
             "sf1_sec": round(t_big, 3),
             "ratio": round(ratio, 2),
         }
-        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x",
+        if name in WORK_COUNTS:
+            wc = WORK_COUNTS[name]
+            n_small, n_big = wc(spark, small), wc(spark, big)
+            spark.catalog.clearCache()
+            out[name]["n_candidates_sf0.1"] = n_small
+            out[name]["n_candidates_sf1"] = n_big
+            out[name]["work_ratio"] = round(
+                n_big / n_small if n_small else float("inf"), 2
+            )
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x"
+              + (f"  work {out[name]['work_ratio']}x"
+                 if "work_ratio" in out[name] else ""),
               flush=True)
     # semdedup's probe query pins k=8 centroids, so its cost is
     # quadratic in CELL SIZE by design — the operator now enforces this
@@ -136,12 +254,35 @@ def main() -> None:
     big10 = os.path.join(REPO, "benchdata", "sf10")
     if os.path.exists(os.path.join(big10, "documents.parquet")):
         deep = {}
-        for name in ("apss_cosine", "semdedup"):
-            fn = queries[name]
-            t1 = out[name]["sf1_sec"] if name in out else _time(fn, spark, big)
+        # clustering_coeff joined the deep tier as the steepest
+        # unguarded 10x ratio (VERDICT r7 task 3); it needs the sf10
+        # lineitem derivative and, at ~100x the sf0.1 co-order graph,
+        # gets a single timed run (no warm) to keep the probe bounded.
+        # semdedup_scaled is the auto-scaled kernel-tier completion row
+        # (task 4): it must FINISH at the scale the pinned-k exact tier
+        # correctly refuses.
+        deep_names = ["apss_cosine", "semdedup", "semdedup_scaled"]
+        if os.path.exists(os.path.join(big10, "lineitem.parquet")):
+            deep_names.append("clustering_coeff")
+        single_run = {"clustering_coeff"}
+        for name in deep_names:
+            fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
+                  else queries[name])
+            if name == "semdedup_scaled":
+                t1 = _time(fn, spark, big)
+            elif name in out:
+                t1 = out[name]["sf1_sec"]
+            else:
+                t1 = _time(fn, spark, big)
             spark.catalog.clearCache()
             try:
-                t10 = _time_strict(fn, spark, big10)
+                if name in single_run:
+                    t0 = time.perf_counter()
+                    fn(spark, big10).write.format("noop").mode(
+                        "overwrite").save()
+                    t10 = time.perf_counter() - t0
+                else:
+                    t10 = _time_strict(fn, spark, big10)
             except Exception as exc:
                 # a candidate-budget guard tripping IS the designed
                 # outcome for a plan that would go superlinear here
@@ -151,6 +292,11 @@ def main() -> None:
                     "sf10_sec": None,
                     "guarded": str(exc)[:300],
                 }
+                if name in WORK_COUNTS:
+                    # back the refusal with the measured pair curve
+                    deep[name]["n_candidates_sf10"] = WORK_COUNTS[name](
+                        spark, big10
+                    )
                 print(f"[100x] {name}: GUARDED — {str(exc)[:120]}",
                       flush=True)
                 spark.catalog.clearCache()
@@ -161,6 +307,15 @@ def main() -> None:
                 "sf10_sec": round(t10, 3),
                 "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
             }
+            if name in single_run:
+                deep[name]["runs"] = 1
+            if name in WORK_COUNTS:
+                n10 = WORK_COUNTS[name](spark, big10)
+                spark.catalog.clearCache()
+                deep[name]["n_candidates_sf10"] = n10
+                base = out.get(name, {}).get("n_candidates_sf1")
+                if base:
+                    deep[name]["work_ratio"] = round(n10 / base, 2)
             print(f"[100x] {name}: {t1:.2f}s -> {t10:.2f}s  "
                   f"ratio {deep[name]['ratio']:.1f}x", flush=True)
         payload["sf10"] = {
