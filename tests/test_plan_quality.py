@@ -562,3 +562,61 @@ def test_ohlc_bars_single_shuffle_partial_agg(spark, sf_smoke):
     # partial/final pair straddling the single exchange
     assert "partial_min_by" in plan and plan.count("SortAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_vwap_bars_single_shuffle_partial_agg(spark, sf_smoke):
+    """VWAP bars share ohlc_bars' contract: ONE map-side-combined
+    aggregate — a single Exchange sized by bar count, partial/final
+    HashAggregates straddling it, no window over the tick stream."""
+    plan = _plan(QUERIES["vwap_bars"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_max_drawdown_one_shuffle_window_agg_colocated(spark, sf_smoke):
+    """The nested cummax-over-cumsum windows and the final per-key
+    aggregate are all keyed on user_id — they must share ONE exchange
+    (a second shuffle would mean the agg failed to reuse the window's
+    partitioning)."""
+    plan = _plan(QUERIES["max_drawdown"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_auc_roc_distinct_score_preagg_before_window(spark, sf_smoke):
+    """The ordered cumulative pass must run over DISTINCT (segment,
+    score) rows, never the raw stream: the per-score aggregate comes
+    first (its partial/final pair), then one segment-partitioned
+    window, then the final rollup reusing the partitioning — 2
+    exchanges total, no join, no python."""
+    plan = _plan(QUERIES["auc_roc"](spark, sf_smoke))
+    assert _n_exchanges(plan) == 2
+    assert "Window" in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymity_pure_grouped_aggregate(spark, sf_smoke):
+    """The audit is one grouped count + exact distinct (Spark's
+    two-phase distinct plan): no join, no window, no python, and the
+    scan reads only the three columns involved."""
+    plan = _plan(QUERIES["k_anonymity"](spark, sf_smoke))
+    assert _n_exchanges(plan) <= 2
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "c_name" not in read_schema
+
+
+def test_shard_balance_distributed_rank_no_global_sort(spark, sf_smoke):
+    """Serpentine sharding must rank via dense_index's two-pass shape:
+    a RANGE exchange (not a single-partition global sort of the data),
+    the tiny per-partition offset table broadcast back, and no
+    cartesian/python anywhere."""
+    plan = _plan(QUERIES["shard_balance"](spark, sf_smoke))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _n_exchanges(plan) <= 5
