@@ -4931,6 +4931,101 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core(edges, k=10)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (graph.k_truss, k=4) of the part co-order
+    graph on every-8th orders — EDGE peeling to the exact fixpoint:
+    every surviving edge sits in >= 2 triangles inside the truss.
+    Per round the support count comes from triangle_count's
+    degree-oriented adjacency intersection (no wedge-set blowup), the
+    live edges localCheckpoint, convergence is an O(1) count, and the
+    round budget RAISES on exhaustion. The oracle unrolls the peel as
+    chained MATERIALIZED CTEs (converged rounds are no-ops) and
+    returns (a, b, support) of the fixpoint, so a premature stop, a
+    miscounted support, or a missed cascade all hash-mismatch."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 8 == 0), "l_orderkey", "l_partkey"
+    )
+    return graph.k_truss(edges, k=4)
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel as chained MATERIALIZED CTEs (the kcore
+    oracle pattern: plain CTEs would inline the 3-references-per-round
+    chain exponentially). Round i: enumerate triangles x<y<z over the
+    live canonical edge set r{i} (one join through the shared middle
+    endpoint + one closure probe), count per-edge support, keep edges
+    with support >= k-2. ``rounds`` must exceed the peel depth; extra
+    rounds are no-ops, and the final SELECT reads the support computed
+    over the FIXPOINT edge set."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 8 = 0),
+            r0 AS MATERIALIZED (SELECT a, b FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM r{i} e1 JOIN r{i} e2 ON e2.a = e1.b
+              JOIN r{i} e3 ON e3.a = e1.a AND e3.b = e2.b),
+            s{i} AS MATERIALIZED (
+              SELECT a, b, count(*) AS sup FROM (
+                SELECT x AS a, y AS b FROM t{i}
+                UNION ALL SELECT x AS a, z AS b FROM t{i}
+                UNION ALL SELECT y AS a, z AS b FROM t{i})
+              GROUP BY a, b),
+            r{i + 1} AS MATERIALIZED (
+              SELECT a, b FROM s{i} WHERE sup >= {k - 2})"""
+        )
+    parts.append(
+        f"""SELECT s.a, s.b, CAST(s.sup AS BIGINT) AS support
+            FROM s{rounds - 1} s
+            JOIN r{rounds} r ON s.a = r.a AND s.b = r.b"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (Catalog.compact — Delta OPTIMIZE's role):
+    events land deliberately fragmented as 48 round-robin part files,
+    compact rewrites them into ceil(bytes/64MB) = 1 size-targeted file
+    through the same staged tmp + park-aside + rename path as a
+    versioned put (crash leaves old layout or new, never half). The
+    returned per-type rollup reads the COMPACTED copy, so any row
+    loss/duplication in the rewrite breaks the relational oracle;
+    files_before/files_after/version are exact literals (48 round-robin
+    partitions of 10k rows are all non-empty; put then compact = 2
+    version bumps), so a compaction that didn't actually change the
+    layout — or forgot to bump — also hash-mismatches."""
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="eclipse_cmp_"), retain_versions=1
+    )
+    ev = _events(spark, sf_dir)
+    cat.put("ev", ev.repartition(48))
+    fb, fa = cat.compact("ev", target_file_mb=64)
+    t = cat.get("ev")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            _dsum("value", "total_value", 6),
+        )
+        .withColumn("files_before", F.lit(fb).cast("long"))
+        .withColumn("files_after", F.lit(fa).cast("long"))
+        .withColumn("version", F.lit(cat.info("ev").version).cast("long"))
+    )
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6291,6 +6386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reid_summary": q_reid_summary,
         "shard_balance": q_shard_balance,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
+        "storage_compact": q_storage_compact,
         "atomic_snapshot": q_atomic_snapshot,
         "semdedup_scaled": q_semdedup_scaled,
         "minhash_estimate": q_minhash_estimate,
@@ -8992,6 +9089,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS fact_version,
                    CAST(2 AS BIGINT) AS dim_version
             FROM fact f JOIN dim d ON f.bucket = d.bucket
+        """,
+        "ktruss": _ktruss_oracle(k=4, rounds=8),
+        "storage_compact": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_value,
+                   CAST(48 AS BIGINT) AS files_before,
+                   CAST(1 AS BIGINT) AS files_after,
+                   CAST(2 AS BIGINT) AS version
+            FROM events GROUP BY event_type
         """,
         "kcore": """
             WITH e AS MATERIALIZED (

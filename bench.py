@@ -185,6 +185,8 @@ HEADLINE = [
     "shard_balance",
     "kcore",
     "atomic_snapshot",
+    "ktruss",
+    "storage_compact",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

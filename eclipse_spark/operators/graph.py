@@ -518,3 +518,135 @@ def k_core(
         f"(last round: {n_nodes - n_good} of {n_nodes} nodes below k={k}); "
         "raise max_rounds — the peel depth of this graph exceeds the budget"
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 50,
+    broadcast_limit_bytes: int = 64 << 20,
+) -> DataFrame:
+    """k-truss decomposition by edge peeling: repeatedly delete every
+    edge supported by fewer than ``k - 2`` triangles until none
+    remains — the EDGE-level dense-subgraph extractor (stricter than
+    :func:`k_core`: every surviving edge sits in k-2 triangles, so
+    trusses are near-cliques, the standard community-core refinement
+    after a core cut). Returns the surviving canonical edges as
+    ``(a, b, support)`` with support measured INSIDE the truss — the
+    exact fixpoint, not a bound.
+
+    Input is an undirected simple edge list (either orientation);
+    self-loops are dropped and edges canonicalize to ``a < b``.
+
+    Scale shape per round, inherited from :func:`triangle_count`'s
+    degree-oriented adjacency form rather than a wedge join (sum of
+    outdeg² wedge rows never materializes): one degree aggregate, one
+    adjacency collect_list keyed on the oriented source (out-degree
+    capped at O(sqrt(m)) by the orientation), a codegen
+    array_intersect + explode that emits each triangle once, and one
+    (a, b)-keyed support count. The adjacency side broadcasts only
+    while its estimate fits ``broadcast_limit_bytes`` (same fail-safe
+    default as triangle_count). Round count is the truss peel depth —
+    single digits on co-occurrence graphs — never |E|; the live edge
+    list localCheckpoints each productive round so plan depth stays
+    flat, and convergence is an O(1) driver count. Exhausting
+    ``max_rounds`` RAISES — a silent partial peel would overstate the
+    truss (same contract as k_core / connected_components).
+    """
+    if k < 3:
+        raise ValueError(f"k_truss requires k >= 3, got k={k}")
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_before = e.count()
+    for _ in range(max_rounds):
+        if n_before == 0:
+            return e.withColumn("support", F.lit(0).cast("long"))
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        with_deg = e.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b"
+        )
+        fwd = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        oriented = with_deg.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        ).persist()
+        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        est = deg.agg(
+            F.count("*").alias("n"), F.sum("deg").alias("s")
+        ).collect()[0]
+        est_bytes = (est["n"] or 0) * 32 + (est["s"] or 0) * 8
+        maybe_bc = (
+            F.broadcast if est_bytes <= broadcast_limit_bytes else (lambda d: d)
+        )
+        tri = (
+            oriented.join(
+                maybe_bc(
+                    adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("_nu"))
+                ),
+                F.col("src") == F.col("_u"),
+            )
+            .join(
+                maybe_bc(
+                    adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("_nv"))
+                ),
+                F.col("dst") == F.col("_v"),
+            )
+            .select(
+                F.col("src").alias("x"),
+                F.col("dst").alias("y"),
+                F.explode(F.array_intersect("_nu", "_nv")).alias("z"),
+            )
+        )
+        canon = [
+            tri.select(_c_lo("x", "y").alias("a"), _c_hi("x", "y").alias("b")),
+            tri.select(_c_lo("x", "z").alias("a"), _c_hi("x", "z").alias("b")),
+            tri.select(_c_lo("y", "z").alias("a"), _c_hi("y", "z").alias("b")),
+        ]
+        sup = (
+            canon[0]
+            .unionAll(canon[1])
+            .unionAll(canon[2])
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+        survivors = sup.filter(F.col("support") >= k - 2).localCheckpoint(
+            eager=True
+        )
+        oriented.unpersist()
+        n_after = survivors.count()
+        if n_after == n_before:
+            return survivors
+        e = survivors.select("a", "b")
+        n_before = n_after
+    raise RuntimeError(
+        f"k_truss: no fixpoint within max_rounds={max_rounds} "
+        f"(still peeling at {n_before} edges, k={k}); raise max_rounds — "
+        "the truss peel depth of this graph exceeds the budget"
+    )
+
+
+def _c_lo(x: str, y: str):
+    return F.least(F.col(x), F.col(y))
+
+
+def _c_hi(x: str, y: str):
+    return F.greatest(F.col(x), F.col(y))

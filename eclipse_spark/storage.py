@@ -160,6 +160,94 @@ class Catalog:
                 removed += 1
         return removed
 
+    def compact(
+        self,
+        name: str,
+        target_partitions: int | None = None,
+        target_file_mb: int = 128,
+    ) -> tuple[int, int]:
+        """Small-file compaction (Delta OPTIMIZE's role over the
+        rename-snapshot log): rewrite the current copy into
+        size-targeted files and publish the rewrite through the same
+        staged tmp + park-aside + rename path as a versioned put, so a
+        crash at any point leaves either the old layout or the new one,
+        never a half-compacted table.
+
+        Streaming ingest and high-parallelism writes leave a table as
+        hundreds of KB-sized part files; at warehouse scale that means
+        task-per-tiny-file scheduling overhead, open/close churn, and
+        row groups too small for effective column statistics. Target
+        file count = ``target_partitions`` when given explicitly, else
+        ceil(current_bytes / target_file_mb); shrinking uses
+        ``coalesce`` (narrow — no shuffle, tasks just concatenate
+        input splits), so compaction costs one read + one write of the
+        table; an explicit grow falls back to ``repartition``. Row
+        content and schema are untouched; hive-partitioned tables are
+        detected from the directory layout and rewritten with the same
+        ``partitionBy`` (each of the ``n_target`` coalesced tasks
+        writes one file per partition value it holds, so per-partition
+        file counts are capped at ``n_target``).
+
+        Returns (files_before, files_after) part-file counts. The
+        version bumps: a compaction is a visible write, so semantic-
+        cache keys and ``get(version=)`` snapshots stay coherent.
+        """
+        path = self.path_of(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"compact: no such table {name!r}")
+
+        def _parts(p: str) -> list[str]:
+            out = []
+            for root, _dirs, files in os.walk(p):
+                out += [
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+            return out
+
+        before = _parts(path)
+        total = sum(os.path.getsize(f) for f in before)
+        if target_partitions is not None:
+            n_target = target_partitions
+        else:
+            n_target = max(1, -(-total // (target_file_mb << 20)))
+        # hive partition columns, read off the directory layout
+        # (key=value path segments under the table root)
+        part_cols: list[str] = []
+        probe = path
+        while True:
+            subs = [
+                d for d in os.listdir(probe)
+                if "=" in d and os.path.isdir(os.path.join(probe, d))
+            ]
+            if not subs:
+                break
+            part_cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
+        df = self.spark.read.parquet(path)
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sized = (
+            df.repartition(int(n_target))
+            if n_target > len(before)
+            else df.coalesce(int(n_target))
+        )
+        writer = sized.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        marker = self.read_marker(name)
+        if marker is not None:
+            # a compaction is a layout rewrite, not a logical write:
+            # carry the committed marker so idempotent sinks keyed on
+            # it (streaming IVM) don't mistake the rewrite for a replay
+            with open(os.path.join(tmp, "_commit.json"), "w") as fh:
+                json.dump(marker, fh)
+        self._replace_current(name, tmp)
+        self._bump(name)
+        return len(before), len(_parts(path))
+
     def _replace_current(self, name: str, tmp: str) -> None:
         """Swap staged data in as the current copy. With retention on,
         the current copy retires as a snapshot (``_retire_current``);
@@ -371,27 +459,6 @@ class Catalog:
             return False
         os.rename(self._version_path(name, hist[-1]), self.path_of(name))
         return True
-
-    def compact(self, name: str, target_partitions: int) -> str:
-        """Small-files compaction: rewrite a table at a chosen file
-        count. The standing operational fix for streaming/append sinks
-        that accrue many tiny files — at 100 TB, scan task count and
-        NameNode/liststatus pressure are both file-count problems.
-        Uses coalesce (no shuffle) when shrinking.
-
-        Swap is crash-safe: the rewrite lands in a ``.parquet.tmp`` path
-        (invisible to :meth:`ls`/:meth:`path_of`, which key on the
-        ``.parquet`` suffix), the original is renamed aside, the new data
-        renamed in, and only then is the old copy deleted — at no point
-        can a crash lose the table or surface a half-written one."""
-        df = self.get(name)
-        cur = df.rdd.getNumPartitions()
-        out = (
-            df.coalesce(target_partitions)
-            if target_partitions < cur
-            else df.repartition(target_partitions)
-        )
-        return self._swap_rewrite(name, out)
 
     def _swap_rewrite(self, name: str, out: DataFrame) -> str:
         """Crash-safe in-place rewrite of a table that ``out`` still

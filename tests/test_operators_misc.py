@@ -669,3 +669,104 @@ def test_k_core_matches_python_peel(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_k_truss_hand_graph(spark):
+    """K4 + a pendant triangle sharing one vertex: every K4 edge sits
+    in 2 triangles (4-truss), the pendant triangle's edges in 1
+    (3-truss only); 5-truss is empty; k<3 is rejected; an exhausted
+    round budget raises loudly."""
+    import pytest as _pytest
+
+    from eclipse_spark.operators.graph import k_truss
+
+    # K4 on 1-4, pendant triangle 4-5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)],
+        ["a", "b"],
+    )
+    t4 = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, 4).collect()}
+    assert set(t4) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in t4.values())
+    t3 = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, 3).collect()}
+    assert len(t3) == 9 and t3[(4, 5)] == 1 and t3[(1, 2)] == 2
+    assert k_truss(edges, 5).count() == 0
+    with _pytest.raises(ValueError, match="k >= 3"):
+        k_truss(edges, 2)
+
+    # a strip of triangles peels one from each end per round: budget 1
+    # must raise for k=4 (nothing survives, but not in one round)
+    strip = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(i, i + 2) for i in range(7)],
+        ["a", "b"],
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        k_truss(strip, 4, max_rounds=1)
+
+
+def test_k_truss_matches_python_peel(spark):
+    """Random sparse graph vs an independent driver-side edge peel."""
+    import itertools
+    import random
+
+    from eclipse_spark.operators.graph import k_truss
+
+    rnd = random.Random(29)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rnd.randint(0, 40), rnd.randint(0, 40)) for _ in range(260)
+        )
+        if a != b
+    }
+    edges = sorted(pairs)
+
+    def supports(es):
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {}
+        for a, b in es:
+            sup[(a, b)] = len(nbrs[a] & nbrs[b])
+        return sup
+
+    for k in (3, 4):
+        live = set(edges)
+        while True:
+            sup = supports(live)
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                break
+            live -= drop
+        exp = {e: s for e, s in supports(live).items()}
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(
+                spark.createDataFrame(edges, ["a", "b"]), k
+            ).collect()
+        }
+        assert got == exp, f"k={k}"
+
+
+def test_k_truss_degenerate_inputs(spark):
+    """Triangle-free graphs truss to empty with the right schema
+    (columns a, b, support — support typed long); self-loops and
+    duplicate/reversed orientations collapse to canonical edges."""
+    from eclipse_spark.operators.graph import k_truss
+
+    # a path has no triangles: 3-truss is empty, schema intact
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    out = k_truss(path, 3)
+    assert out.columns == ["a", "b", "support"]
+    assert dict(out.dtypes)["support"] == "bigint"
+    assert out.count() == 0
+
+    # loops + both orientations + dups of a triangle: one canonical
+    # triangle, every edge supported by exactly it
+    messy = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (3, 3)],
+        ["a", "b"],
+    )
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(messy, 3).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}

@@ -435,3 +435,65 @@ def test_recover_restores_old_park_aside(spark, tmp_path):
     cat2 = Catalog(spark, root)
     assert not os.path.exists(cat2.path_of("t") + ".old")
     assert cat2.get("t").count() == 5
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """48-way fragmented table compacts to ceil(bytes/target)=1 file;
+    content is row-identical, the version bumps (a compaction is a
+    visible write), and with retention on the pre-compaction layout
+    survives as a readable snapshot."""
+    import glob
+
+    cat = Catalog(spark, str(tmp_path / "cat"), retain_versions=1)
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS grp")
+    cat.put("t", df.repartition(12))
+    before, after = cat.compact("t", target_file_mb=64)
+    assert before == 12 and after == 1
+    assert len(glob.glob(str(tmp_path / "cat" / "t.parquet" / "*.parquet"))) == 1
+    assert cat.info("t").version == 2
+    got = sorted(r["id"] for r in cat.get("t").collect())
+    assert got == list(range(5000))
+    # pre-compaction snapshot: same rows, old 12-file layout
+    snap = cat.get("t", version=1)
+    assert snap.count() == 5000
+    assert (
+        len(glob.glob(str(tmp_path / "cat" / "t.parquet.v1" / "*.parquet")))
+        == 12
+    )
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """A hive-partitioned table keeps its partitionBy layout through
+    compaction: partition directories survive, per-partition file
+    count drops to the coalesce target, rows round-trip."""
+    import glob
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(0, 3000).selectExpr("id", "CAST(id % 3 AS INT) AS p")
+    cat.put("t", df.repartition(8), partition_by=["p"])
+    root = tmp_path / "cat" / "t.parquet"
+    assert len(glob.glob(str(root / "p=1" / "*.parquet"))) == 8
+    before, after = cat.compact("t", target_file_mb=64)
+    assert before == 24 and after == 3  # one file per partition value
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("p=")
+    ) == ["p=0", "p=1", "p=2"]
+    assert len(glob.glob(str(root / "p=1" / "*.parquet"))) == 1
+    got = cat.get("t")
+    assert got.count() == 3000
+    assert sorted(r["p"] for r in got.select("p").distinct().collect()) == [
+        0, 1, 2,
+    ]
+
+
+def test_compact_carries_commit_marker(spark, tmp_path):
+    """The _commit.json marker committed with the data survives a
+    compaction — idempotent sinks keyed on it must not mistake the
+    layout rewrite for a replayed or missing batch."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(0, 100).selectExpr("id")
+    cat.put("t", df.repartition(4), marker={"batch_id": 7})
+    cat.compact("t", target_file_mb=64)
+    assert cat.read_marker("t") == {"batch_id": 7}
+    assert cat.get("t").count() == 100
