@@ -117,7 +117,13 @@ def triangle_count(
         ).collect()[0]
         est_bytes = (est["n"] or 0) * 32 + (est["s"] or 0) * 8
         broadcast_adjacency = est_bytes <= broadcast_limit_bytes
-    maybe_bc = F.broadcast if broadcast_adjacency else (lambda df: df)
+    # partitioned fallback prefers hash join over sort-merge: SMJ sorts
+    # rows carrying O(sqrt(m))-element array payloads (measured 2x)
+    maybe_bc = (
+        F.broadcast
+        if broadcast_adjacency
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     tri = (
         oriented.join(
             maybe_bc(adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("_nu"))),
@@ -373,19 +379,33 @@ def shortest_paths(
     return dist
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(
+    edges: DataFrame,
+    broadcast_adjacency: bool | None = None,
+    broadcast_limit_bytes: int = 64 << 20,
+) -> DataFrame:
     """Per-node local clustering coefficient over an undirected edge
     list (columns ``a``, ``b``): triangles through the node divided by
     its wedge count ``deg*(deg-1)/2`` — the community-tightness score
     per node, where :func:`triangle_count` gives only the global sum.
 
-    Same degree-oriented wedge join as the global counter (out-degree
-    capped at O(sqrt(m)) after (degree, id) orientation, so the wedge
-    fan-out survives power-law hubs), but each closed wedge credits
-    ALL THREE corners: the triangle list flows through one explode and
-    a per-node count, then joins degrees. The coefficient is one
-    integer-ratio division ``2*tri / (deg*(deg-1))`` rounded at 9 —
-    a single float op on exact integers, engine-deterministic.
+    Same degree-oriented adjacency kernel as the global counter: orient
+    each edge toward the larger (degree, id) endpoint (out-degree
+    capped at O(sqrt(m))), build per-node out-adjacency arrays, and
+    enumerate each triangle ONCE per oriented edge via a codegen
+    ``array_intersect`` explode — so only triangle rows ever cross a
+    shuffle, never the sum(outdeg²)-sized wedge set (the former wedge
+    join measured superlinear at the 100x decade: 23.5 s → 485 s,
+    ratio 20.6 on 10x more edges, because wedge volume grows m^1.5
+    while triangles track the community structure). Each enumerated
+    triangle credits ALL THREE corners through one explode and a
+    per-node count, then joins degrees. The adjacency side broadcasts
+    only while its size estimate fits ``broadcast_limit_bytes``
+    (size-aware default, pin with ``broadcast_adjacency=``) — at
+    cluster scale the partitioned join keyed on node id is the
+    fail-safe shape. The coefficient is one integer-ratio division
+    ``2*tri / (deg*(deg-1))`` rounded at 9 — a single float op on
+    exact integers, engine-deterministic.
     Returns (node, degree, n_triangles, coeff); degree-1 nodes get
     coeff NULL (no wedge exists, 0/0)."""
     sym = (
@@ -397,10 +417,10 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     # deg feeds the orientation twice AND the final coefficient; the
-    # oriented edge list feeds three consumers (two wedge legs + the
-    # closing-edge probe). persist() both LAZILY — without plan-level
-    # reuse every consumer replays the whole sym->deg->join subtree
-    # (the audit measured 69 shuffles in this plan; 20 with reuse)
+    # oriented edge list feeds the adjacency build plus the probe side.
+    # persist() both LAZILY — without plan-level reuse every consumer
+    # replays the whole sym->deg->join subtree (the audit measured 69
+    # shuffles in the old plan; 20 with reuse)
     deg = (
         sym.select(F.col("x").alias("n")).union(sym.select(F.col("y").alias("n")))
         .groupBy("n")
@@ -424,13 +444,36 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .select("e.s", "e.t")
         .persist()
     )
-    w1 = e.select(F.col("s").alias("c"), F.col("t").alias("p"))
-    w2 = e.select(F.col("s").alias("c"), F.col("t").alias("q"))
-    wedges = w1.join(w2, "c").filter(F.col("p") < F.col("q"))
-    closing = e.select(
-        F.least("s", "t").alias("p"), F.greatest("s", "t").alias("q")
-    ).distinct()
-    tris = wedges.join(closing, ["p", "q"]).select("c", "p", "q")
+    adj = e.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
+    if broadcast_adjacency is None:
+        est = deg.agg(
+            F.count("*").alias("n"), F.sum("deg").alias("d")
+        ).collect()[0]
+        est_bytes = (est["n"] or 0) * 32 + (est["d"] or 0) * 8
+        broadcast_adjacency = est_bytes <= broadcast_limit_bytes
+    # partitioned fallback: hash join, NOT sort-merge — SMJ must sort
+    # rows carrying the O(sqrt(m))-element array payloads (measured 2x
+    # end-to-end on the 12M-edge sf1 co-order graph: 8.2s -> 4.0s warm)
+    maybe_bc = (
+        F.broadcast
+        if broadcast_adjacency
+        else (lambda df: df.hint("shuffle_hash"))
+    )
+    tris = (
+        e.join(
+            maybe_bc(adj.select(F.col("s").alias("_u"), F.col("nbrs").alias("_nu"))),
+            F.col("s") == F.col("_u"),
+        )
+        .join(
+            maybe_bc(adj.select(F.col("s").alias("_v"), F.col("nbrs").alias("_nv"))),
+            F.col("t") == F.col("_v"),
+        )
+        .select(
+            F.col("s").alias("c"),
+            F.col("t").alias("p"),
+            F.explode(F.array_intersect("_nu", "_nv")).alias("q"),
+        )
+    )
     per_node = (
         tris.select(F.explode(F.array("c", "p", "q")).alias("n"))
         .groupBy("n")
@@ -595,7 +638,9 @@ def k_truss(
         ).collect()[0]
         est_bytes = (est["n"] or 0) * 32 + (est["s"] or 0) * 8
         maybe_bc = (
-            F.broadcast if est_bytes <= broadcast_limit_bytes else (lambda d: d)
+            F.broadcast
+            if est_bytes <= broadcast_limit_bytes
+            else (lambda d: d.hint("shuffle_hash"))
         )
         tri = (
             oriented.join(

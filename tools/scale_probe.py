@@ -268,7 +268,16 @@ def main() -> None:
         for name in deep_names:
             fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
                   else queries[name])
-            if name == "semdedup_scaled":
+            if name in single_run:
+                # single-run deep queries compare COLD sf1 vs COLD
+                # sf10 — the min-of-2-warm sf1 number conflates cache
+                # state (and any size-triggered plan-shape flip, e.g.
+                # broadcast -> partitioned adjacency join) with scaling
+                t0 = time.perf_counter()
+                fn(spark, big).write.format("noop").mode(
+                    "overwrite").save()
+                t1 = time.perf_counter() - t0
+            elif name == "semdedup_scaled":
                 t1 = _time(fn, spark, big)
             elif name in out:
                 t1 = out[name]["sf1_sec"]
