@@ -5026,6 +5026,31 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (bloom.bloom_semi_join): lineitem rows
+    whose partkey belongs to the selective small-size part set, pruned
+    INSIDE the scan stage by a broadcast 10-bit/key 6-hash bitmap
+    built from xxhash64 + bit_or words (operators/bloom.py) before the
+    exact semi-join drops the ~0.8% false positives. The result is
+    row-identical to a plain semi-join at ANY false-positive rate —
+    which is exactly what the SQL oracle checks — so the filter only
+    ever changes shuffle volume, never output. Rolled up per
+    returnflag/linestatus to keep the driver row small while every
+    survivor row still feeds the aggregate."""
+    from eclipse_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    small = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 4).select(
+        "p_partkey"
+    )
+    rows = bloom_semi_join(li, small, "l_partkey", "p_partkey")
+    return rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_price"),
+    )
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6388,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "storage_compact": q_storage_compact,
+        "bloom_prune_join": q_bloom_prune_join,
         "atomic_snapshot": q_atomic_snapshot,
         "semdedup_scaled": q_semdedup_scaled,
         "minhash_estimate": q_minhash_estimate,
@@ -9091,6 +9117,18 @@ def oracle_sql() -> dict[str, str]:
             FROM fact f JOIN dim d ON f.bucket = d.bucket
         """,
         "ktruss": _ktruss_oracle(k=4, rounds=8),
+        "bloom_prune_join": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_size <= 4)
+            GROUP BY l_returnflag, l_linestatus
+        """,
         "storage_compact": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

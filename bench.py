@@ -187,6 +187,7 @@ HEADLINE = [
     "atomic_snapshot",
     "ktruss",
     "storage_compact",
+    "bloom_prune_join",
     # NOTE: incremental_dedup_cached is deliberately NOT a headliner:
     # the self-contained query rebuilds its index artifact every call,
     # so its bench number would measure index construction, not the

@@ -620,3 +620,54 @@ def test_shard_balance_distributed_rank_no_global_sort(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert _n_exchanges(plan) <= 5
+
+
+def test_bloom_prune_join_filter_below_exchange(spark, sf_smoke):
+    """Bloom pruning must fire INSIDE the big side's scan stage: the
+    getbit probe conjunction is a literal-bitmap Filter that predicate
+    pushdown pins onto the fact scan branch, BELOW the semi-join — so
+    at scale only survivors reach the exchange. Checked under
+    autoBroadcastJoinThreshold=-1 (the 100 TB regime where the key set
+    does NOT broadcast; at smoke scale Catalyst would just broadcast
+    the semi-join and the filter's position would be untestable). No
+    python, no cross/nested-loop join anywhere (the former one-row
+    crossJoin attach let the join reorderer float the prune above the
+    exchange it exists to shrink)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["bloom_prune_join"](spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "getbit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # tree prints parents above children: the fact-side getbit Filter
+    # must appear AFTER (deeper than) the semi join node
+    tree = plan.split("\n\n")[0]
+    semi_at = tree.find("LeftSemi")
+    getbit_at = tree.find("getbit")
+    # the Filter node itself sits in the detail section; in the tree,
+    # assert the semi join exists and a shuffle Exchange feeds it from
+    # the fact branch while getbit appears in the plan details
+    assert semi_at != -1
+    det_getbit = plan.find("getbit")
+    assert det_getbit != -1
+    # the getbit filter's node id must be <= the fact-side Exchange's
+    # node id (ids are assigned bottom-up within a branch, so a
+    # smaller id = deeper = before the shuffle)
+    import re as _re
+
+    filt_ids = [
+        int(m.group(1))
+        for m in _re.finditer(r"\((\d+)\) Filter", plan)
+        if "getbit" in plan[m.end():m.end() + 2000]
+    ]
+    exch_ids = [
+        int(m.group(1)) for m in _re.finditer(r"\((\d+)\) Exchange", plan)
+    ]
+    assert filt_ids and exch_ids
+    assert min(filt_ids) < min(exch_ids), (
+        "bloom getbit Filter must sit below every shuffle Exchange"
+    )
