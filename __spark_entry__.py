@@ -5051,6 +5051,51 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (sketch.hll_rollup): per-day
+    Datasketches HLL sketches of user_id, union-merged per event_type
+    — the summary-table pattern that makes COUNT(DISTINCT)
+    re-aggregable at 100 TB (the shuffle carries one ~4KB sketch per
+    day cell, never user rows; late shards are one more union input).
+    Driver row per type: exact distinct users + exact shard count
+    (both SQL-recomputable), a 5%-bound flag on the merged estimate
+    (lgk=12 -> rsd 1.6%, so 5% ≈ 3 sd; sketches are seed-fixed and
+    deterministic), and a merge-consistency flag asserting
+    union(day sketches) estimates within 2% of one direct whole-type
+    sketch — the re-aggregability property the pattern rests on
+    (equality holds in sparse mode but not past the dense HLL
+    transition, where the HLL_8 union accumulator and a direct HLL_4
+    sketch legitimately disagree inside the rsd)."""
+    from eclipse_spark.operators.sketch import hll_rollup
+
+    _utc(spark)
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    rolled = hll_rollup(ev, ["event_type"], ["day"], "user_id")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .cast("long")
+        .alias("_direct"),
+        F.countDistinct("user_id").cast("long").alias("nd_users"),
+    )
+    return rolled.join(direct, "event_type").select(
+        "event_type",
+        "n_shards",
+        "nd_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("nd_users"))
+            <= 0.05 * F.col("nd_users")
+        )
+        .cast("int")
+        .alias("within_5pct"),
+        (
+            F.abs(F.col("distinct_est") - F.col("_direct"))
+            <= 0.02 * F.col("_direct")
+        )
+        .cast("int")
+        .alias("merge_consistent"),
+    )
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 24h rolling distinct users per hour
     (timeseries.rolling_distinct): per-hour distinct-key arrays on a
@@ -6414,6 +6459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "storage_compact": q_storage_compact,
         "bloom_prune_join": q_bloom_prune_join,
+        "hll_rollup": q_hll_rollup,
         "atomic_snapshot": q_atomic_snapshot,
         "semdedup_scaled": q_semdedup_scaled,
         "minhash_estimate": q_minhash_estimate,
@@ -9117,6 +9163,15 @@ def oracle_sql() -> dict[str, str]:
             FROM fact f JOIN dim d ON f.bucket = d.bucket
         """,
         "ktruss": _ktruss_oracle(k=4, rounds=8),
+        "hll_rollup": """
+            SELECT event_type,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                     AS n_shards,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users,
+                   1 AS within_5pct,
+                   1 AS merge_consistent
+            FROM events GROUP BY event_type
+        """,
         "bloom_prune_join": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n_rows,

@@ -770,3 +770,51 @@ def test_k_truss_degenerate_inputs(spark):
     )
     got = {(r["a"], r["b"]): r["support"] for r in k_truss(messy, 3).collect()}
     assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+
+def test_hll_rollup_merge_consistency(spark):
+    """union(per-shard sketches) must track a direct whole-group
+    sketch within 2% (dense-mode union vs direct build), land within
+    5% of exact, count shards exactly, and be deterministic."""
+    import pyspark.sql.functions as F
+
+    from eclipse_spark.operators.sketch import hll_rollup
+
+    df = spark.range(0, 120000).selectExpr(
+        "id % 3 AS g", "id % 11 AS shard", "(id * 7919) % 5000 AS v"
+    )
+    out = hll_rollup(df, ["g"], ["shard"], "v")
+    direct = df.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12)))
+        .cast("long")
+        .alias("d"),
+        F.countDistinct("v").alias("nd"),
+    )
+    rows = {r["g"]: r for r in out.join(direct, "g").collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["n_shards"] == 11
+        # union accumulates in HLL_8; a direct sketch is HLL_4 — past
+        # the dense transition they disagree within the rsd, so assert
+        # consistency, not equality
+        assert abs(r["distinct_est"] - r["d"]) <= 0.02 * r["d"]
+        assert abs(r["distinct_est"] - r["nd"]) <= 0.05 * r["nd"]
+    again = {r["g"]: r["distinct_est"] for r in out.collect()}
+    assert again == {g: r["distinct_est"] for g, r in rows.items()}
+
+
+def test_hll_rollup_multi_key_and_empty(spark):
+    """Composite rollup keys and an empty input both behave: key
+    tuples group independently; empty input -> zero rows."""
+    from eclipse_spark.operators.sketch import hll_rollup
+
+    df = spark.range(0, 5000).selectExpr(
+        "id % 2 AS a", "id % 3 AS b", "id % 4 AS shard", "id % 100 AS v"
+    )
+    out = hll_rollup(df, ["a", "b"], ["shard"], "v")
+    assert out.count() == 6
+    # CRT: fixing (id%2, id%3) pins id mod 6, so id%4 hits exactly 2
+    # of its 4 classes per key pair
+    assert all(r["n_shards"] == 2 for r in out.collect())
+    empty = spark.createDataFrame([], "a int, shard int, v int")
+    assert hll_rollup(empty, ["a"], ["shard"], "v").count() == 0

@@ -671,3 +671,27 @@ def test_bloom_prune_join_filter_below_exchange(spark, sf_smoke):
     assert min(filt_ids) < min(exch_ids), (
         "bloom getbit Filter must sit below every shuffle Exchange"
     )
+
+
+def test_hll_rollup_mapside_sketch_partials(spark, sf_smoke):
+    """The mergeable-sketch rollup must be two map-side-combined
+    aggregate stages: partial ObjectHashAggregates BEFORE each of the
+    two Exchanges (the shuffle carries sketches, never value rows) —
+    no join, window, or python in the rollup path."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.sketch import hll_rollup
+
+    ev = QUERIES["events_resample"].__globals__["_events"](spark, sf_smoke)
+    plan = _plan(
+        hll_rollup(
+            ev.withColumn("day", F.to_date("ts")),
+            ["event_type"],
+            ["day"],
+            "user_id",
+        )
+    )
+    assert _n_exchanges(plan) == 2
+    assert plan.count("ObjectHashAggregate") >= 4  # partial+final x2
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
