@@ -4990,6 +4990,62 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     return ",\n".join(parts[:-1]) + "\n" + parts[-1]
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (graph.coreness): the exact core
+    number of every node in the part co-order graph on every-8th
+    orders, by the distributed Montresor h-index fixpoint — estimates
+    start at degree and each round takes the h-index of neighbor
+    estimates (row_number window + max(least(est, rn)), never a
+    per-node array), localCheckpointed, O(1) convergence checksum,
+    loud raise on budget exhaustion (this graph converges in 16
+    rounds; budget 40). The oracle unrolls 20 synchronous h-index
+    rounds as chained MATERIALIZED CTEs (extra rounds past the
+    fixpoint are no-ops) — a premature stop, a mis-ranked window, or
+    any deviation from the exact fixpoint hash-mismatches."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 8 == 0), "l_orderkey", "l_partkey"
+    )
+    return graph.coreness(edges, max_rounds=40)
+
+
+def _coreness_oracle(rounds: int) -> str:
+    """Unrolled Montresor h-index iteration (see q_coreness): round i
+    pushes estimates onto the symmetric edge list and takes, per node,
+    max(least(est, rank)) over neighbors ranked by estimate descending
+    — the h-index. MATERIALIZED keeps the 1-reference-per-round chain
+    from inlining; ``rounds`` must be >= the convergence round (16 at
+    sf0.01), extras are no-ops."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              WHERE a.l_orderkey % 8 = 0),
+            deg AS MATERIALIZED (
+              SELECT u, CAST(count(*) AS BIGINT) AS degree
+              FROM e GROUP BY u),
+            r0 AS MATERIALIZED (SELECT u, degree AS est FROM deg)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+              SELECT v AS u, CAST(max(least(est, rn)) AS BIGINT) AS est
+              FROM (
+                SELECT e.v, r{i}.est,
+                       row_number() OVER (
+                         PARTITION BY e.v ORDER BY r{i}.est DESC) AS rn
+                FROM e JOIN r{i} ON r{i}.u = e.u)
+              GROUP BY v)"""
+        )
+    parts.append(
+        f"""SELECT d.u AS node, d.degree, r.est AS core
+            FROM deg d JOIN r{rounds} r ON r.u = d.u"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
 def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (Catalog.compact — Delta OPTIMIZE's role):
     events land deliberately fragmented as 48 round-robin part files,
@@ -6457,6 +6513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance": q_shard_balance,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
+        "coreness": q_coreness,
         "storage_compact": q_storage_compact,
         "bloom_prune_join": q_bloom_prune_join,
         "hll_rollup": q_hll_rollup,
@@ -9163,6 +9220,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fact f JOIN dim d ON f.bucket = d.bucket
         """,
         "ktruss": _ktruss_oracle(k=4, rounds=8),
+        "coreness": _coreness_oracle(rounds=20),
         "hll_rollup": """
             SELECT event_type,
                    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)

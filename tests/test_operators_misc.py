@@ -818,3 +818,86 @@ def test_hll_rollup_multi_key_and_empty(spark):
     assert all(r["n_shards"] == 2 for r in out.collect())
     empty = spark.createDataFrame([], "a int, shard int, v int")
     assert hll_rollup(empty, ["a"], ["shard"], "v").count() == 0
+
+
+def test_coreness_hand_graph(spark):
+    """K4 + pendant triangle + a tail: K4 nodes are core 3 (node 4 too
+    — it's in the K4), triangle-only nodes core 2, tail node core 1;
+    degree column is the raw degree, not the core."""
+    from eclipse_spark.operators.graph import coreness
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (4, 6), (5, 6), (6, 7)],
+        ["a", "b"],
+    )
+    got = {r["node"]: (r["degree"], r["core"]) for r in coreness(edges).collect()}
+    assert got == {
+        1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (5, 3),
+        5: (2, 2), 6: (3, 2), 7: (1, 1),
+    }
+
+
+def test_coreness_matches_python_peel(spark):
+    """Random sparse graph vs the independent Batagelj-Zaveršnik-style
+    min-degree peel on the driver."""
+    import random
+
+    from eclipse_spark.operators.graph import coreness
+
+    rnd = random.Random(31)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rnd.randint(0, 60), rnd.randint(0, 60)) for _ in range(400))
+        if a != b
+    }
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    live = dict(deg)
+    alive = {v: set(ns) for v, ns in nbrs.items()}
+    core = {}
+    k = 0
+    while live:
+        k = max(k, min(live.values()))
+        drop = [v for v, d in live.items() if d <= k]
+        while drop:
+            v = drop.pop()
+            if v not in live:
+                continue
+            core[v] = k
+            del live[v]
+            for u in alive[v]:
+                alive[u].discard(v)
+                if u in live:
+                    live[u] -= 1
+                    if live[u] <= k:
+                        drop.append(u)
+    got = {
+        r["node"]: r["core"]
+        for r in coreness(
+            spark.createDataFrame(sorted(pairs), ["a", "b"])
+        ).collect()
+    }
+    assert got == core
+
+
+def test_coreness_budget_and_degenerates(spark):
+    """Exhausted round budget raises loudly; loops/dup orientations
+    canonicalize; a single edge gives two core-1 nodes."""
+    import pytest as _pytest
+
+    from eclipse_spark.operators.graph import coreness
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(i, i + 2) for i in range(29)],
+        ["a", "b"],
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        coreness(chain, max_rounds=1)
+
+    messy = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], ["a", "b"])
+    got = {r["node"]: r["core"] for r in coreness(messy).collect()}
+    assert got == {1: 1, 2: 1}
