@@ -896,3 +896,45 @@ def test_exact_substring_dedup_matches_reference(spark, docs):
         for r in text.exact_substring_dedup(df, k=3).collect()
     }
     assert got == _ref_exactsubstr(rows, k=3)
+
+
+@SETTINGS
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.sampled_from([2, 3, 4]),
+)
+def test_coreness_consistent_with_k_core(spark, pairs, k):
+    """Cross-operator invariant: the k-core's node set equals exactly
+    {v : coreness(v) >= k} — the two decompositions must agree on
+    every random graph, or one of the fixpoints is wrong."""
+    from eclipse_spark.operators.graph import coreness, k_core
+
+    edges = spark.createDataFrame(sorted(pairs), ["a", "b"])
+    cores = {r["node"]: r["core"] for r in coreness(edges).collect()}
+    in_core = {r["node"] for r in k_core(edges, k).collect()}
+    assert in_core == {v for v, c in cores.items() if c >= k}
+
+
+@SETTINGS
+@given(
+    members=st.sets(st.integers(-10**9, 10**9), min_size=1, max_size=200),
+    extra=st.sets(st.integers(-10**9, 10**9), min_size=0, max_size=200),
+)
+def test_bloom_semi_join_equals_plain_semi_join(spark, members, extra):
+    """The exactness contract on arbitrary int keys: bloom_semi_join
+    == plain semi-join (no false negatives ever, false positives
+    always re-checked), including keys far outside the member set."""
+    from eclipse_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(v,) for v in sorted(members | extra)], "k: bigint"
+    )
+    small = spark.createDataFrame([(v,) for v in sorted(members)], "k: bigint")
+    got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    assert got == sorted(members)
