@@ -4990,6 +4990,29 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     return ",\n".join(parts[:-1]) + "\n" + parts[-1]
 
 
+def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact Jaccard join at t=0.8
+    (similarity.allpairs_jaccard, PPJoin-family prefix filtering) —
+    the exact tier behind the MinHash estimate, same df-ordered prefix
+    machinery as apss_cosine but the LINEAR bound (prefix length
+    n - ceil(t*n) + 1; qualify 100*c >= 80*(n+m-c), all integer).
+    Same 1-in-5 doc slice as the cosine tier; hypothesis-tested equal
+    to brute force on arbitrary token sets."""
+    from eclipse_spark.operators.similarity import allpairs_jaccard
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+            ).alias("toks"),
+        )
+    )
+    return allpairs_jaccard(docs, "doc_id", "toks", 80)
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition (graph.coreness): the exact core
     number of every node in the part co-order graph on every-8th
@@ -6514,6 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "coreness": q_coreness,
+        "apss_jaccard": q_apss_jaccard,
         "storage_compact": q_storage_compact,
         "bloom_prune_join": q_bloom_prune_join,
         "hll_rollup": q_hll_rollup,
@@ -9221,6 +9245,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ktruss": _ktruss_oracle(k=4, rounds=8),
         "coreness": _coreness_oracle(rounds=20),
+        "apss_jaccard": """
+            WITH d AS (SELECT doc_id, list_distinct({TOKENS}) AS toks
+                       FROM documents WHERE doc_id % 5 = 0),
+            tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, CAST(c AS BIGINT) AS overlap,
+                   CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+                   round(c / CAST(x.n + y.n - c AS DOUBLE), 9) AS jaccard
+            FROM ov JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+            WHERE 100 * c >= 80 * (x.n + y.n - c)
+        """.replace("{TOKENS}", TOKENS_SQL),
         "hll_rollup": """
             SELECT event_type,
                    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)

@@ -188,6 +188,8 @@ HEADLINE = [
     "ktruss",
     "storage_compact",
     "bloom_prune_join",
+    "hll_rollup",
+    "apss_jaccard",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

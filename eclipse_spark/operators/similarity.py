@@ -1016,3 +1016,67 @@ def lsh_topk_multiprobe(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def allpairs_jaccard(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """All-pairs set-JACCARD similarity self-join with prefix filtering
+    (PPJoin-family pruning; Xiao/Wang/Lin/Yu) — the EXACT tier behind
+    the MinHash estimate: every pair with ``J = |A∩B| / |A∪B| >=
+    threshold_pct/100``, no quadratic scan, no probabilistic miss.
+
+    ``threshold_pct`` is ``t * 100`` as an INTEGER, so the qualifying
+    test ``100 * c >= pct * (n + m - c)`` is pure integer arithmetic —
+    engine-exact, no float threshold boundary.
+
+    Pruning logic (same df-ordered prefix machinery as
+    :func:`allpairs_cosine`, different bound): with tokens ranked by
+    ascending document frequency, a qualifying pair must share a token
+    inside BOTH prefixes of length ``n - ceil(t*n) + 1``. Proof: if
+    every common token sat past A's prefix, c <= ceil(t*n) - 1 < t*n;
+    but J >= t gives c(1+t) >= t(n+m) and m >= c, so
+    c >= t(n+m)/(1+t) >= t(n + t*n)/(1+t) = t*n — contradiction.
+    (Cosine passes t²·100 to the shared helper because its bound
+    involves c² ; Jaccard's is linear in c, hence t·100.)
+
+    Scale shape identical to the cosine tier: candidate volume tracks
+    rare-token co-occurrence, verify moves token arrays only for
+    candidate ids. Output: id_a < id_b, overlap, n_a, n_b,
+    jaccard (round-9 of the exact integer ratio).
+    """
+    toks, cand = _apss_candidate_pairs(docs, id_col, tokens_col, threshold_pct)
+    arrays = toks.groupBy("_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("arr")
+    )
+    verified = (
+        cand.join(
+            arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("_id").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(
+            F.lit(100) * F.col("overlap")
+            >= F.lit(threshold_pct)
+            * (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("overlap")
+            / (F.col("n_a") + F.col("n_b") - F.col("overlap")).cast("double"),
+            9,
+        ).alias("jaccard"),
+    )

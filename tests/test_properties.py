@@ -938,3 +938,35 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, members, extra):
     small = spark.createDataFrame([(v,) for v in sorted(members)], "k: bigint")
     got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
     assert got == sorted(members)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.sets(st.integers(0, 15), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    pct=st.sampled_from([50, 70, 90]),
+)
+def test_allpairs_jaccard_equals_bruteforce(spark, docs, pct):
+    """Prefix-filtered exact Jaccard join == brute-force all pairs at
+    the integer threshold, on arbitrary small token sets (the recall
+    proof exercised across prefix boundaries and ties)."""
+    from eclipse_spark.operators.similarity import allpairs_jaccard
+
+    rows = [(i, sorted(f"t{x}" for x in s)) for i, s in enumerate(docs)]
+    got = {
+        (r["id_a"], r["id_b"]): (r["overlap"], r["n_a"], r["n_b"])
+        for r in allpairs_jaccard(
+            spark.createDataFrame(rows, ["id", "toks"]), "id", "toks", pct
+        ).collect()
+    }
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i]), set(docs[j])
+            c = len(a & b)
+            if 100 * c >= pct * (len(a) + len(b) - c):
+                exp[(i, j)] = (c, len(a), len(b))
+    assert got == exp
