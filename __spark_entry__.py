@@ -6501,12 +6501,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time_travel, merge_upsert, mv_refresh, streaming IVM + as-of),
     the ANN tier (int8/pq/dense), linkage (temporal/fuzzy/er), graph
     (bfs/label-prop/pagerank), and a TPC-H spread, capped by the three
-    canonical reference apps and the semantic-cache demo. New round-8
-    queries are inserted inside the window (positions 10+) so they get
-    driver rows in the same round they land. Everything rotated out
-    retains its prior round's driver-green row (CORRECTNESS_r01..r07)
-    and every query at every position stays locally oracle-checked by
-    tests/test_oracle_parity.py."""
+    canonical reference apps and the semantic-cache demo. ALL sixteen
+    round-8 additions sit inside the window (positions 17-32:
+    semdedup_autoscale, vwap_bars, max_drawdown, auc_roc, k_anonymity,
+    reid_summary, shard_balance, kcore, ktruss, coreness,
+    apss_jaccard, storage_compact, bloom_prune_join, hll_rollup,
+    atomic_snapshot, semdedup_scaled) so they get driver rows in the
+    same round they land — with round-8 green, every query in the
+    272-entry registry is driver-evidenced and the round-9 window can
+    be pure re-confirmations plus whatever round 9 adds. Everything
+    rotated out retains its prior round's driver-green row
+    (CORRECTNESS_r01..r07) and every query at every position stays
+    locally oracle-checked by tests/test_oracle_parity.py."""
     return {
         # ===== positions 1-9: round-8 rotation queue (VERDICT r7 task 1)
         # the nine round-7 additions, never driver-checked =====
