@@ -57,6 +57,13 @@ PROBE = [
     "substring_dedup",
     "cc_star",
     "ann_int8",
+    # round-8 additions: the exact Jaccard tier (same candidate-volume
+    # cost model as apss_cosine), bloom pruning (should be flat — one
+    # scan + a literal filter + a key shuffle of survivors), and the
+    # mergeable HLL rollup (sketch-sized shuffles)
+    "apss_jaccard",
+    "bloom_prune_join",
+    "hll_rollup",
 ]
 
 
