@@ -4990,6 +4990,51 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     return ",\n".join(parts[:-1]) + "\n" + parts[-1]
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the
+    companion to the n-gram tier (q_decontaminate): corpus vectors
+    whose cosine against ANY benchmark vector clears 0.98 are flagged
+    with their hit count, best-matching benchmark id, and max
+    similarity. Vectors vec_id < 8 play the eval set; the corpus gets
+    PLANTED contamination (exact copies at id+100000 -> cos 1.0, far
+    from the threshold boundary). Scale shape: the eval suite is tiny
+    by nature, so it BROADCASTS and the corpus streams once through a
+    codegen cosine filter — no shuffle of the corpus at all until the
+    per-survivor aggregate; at 100 TB this is one scan + a
+    flagged-rows-sized groupBy. Cosine is the same IEEE-sequential
+    double arithmetic the oracle replays (list_transform order), so
+    the 0.98 comparison is engine-exact on identical bits."""
+    from eclipse_spark.operators.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    planted = bench.select(
+        (F.col("bench_id") + 100000).alias("vec_id"), F.col("bv").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8).unionByName(planted)
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("_cos", cosine_sim(F.col("v"), F.col("bv")))
+        .filter(F.col("_cos") >= 0.98)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("bench_id"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bench_hits"),
+            F.max(F.when(F.col("_rk") == 1, F.col("bench_id")))
+            .cast("long")
+            .alias("best_bench"),
+            F.round(F.max("_cos"), 6).alias("max_sim"),
+        )
+    )
+
+
 def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact Jaccard join at t=0.8
     (similarity.allpairs_jaccard, PPJoin-family prefix filtering) —
@@ -6477,6 +6522,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_curation_pipeline(spark, "/root/testdata/sf0.001")
 
 
+def _oracle_semantic_decontaminate() -> str:
+    """Replay of q_semantic_decontaminate: cross join the 8 benchmark
+    vectors against the corpus (+ planted exact copies), the SAME
+    sequential double cosine as the engine (identical IEEE bits, so
+    the 0.98 threshold cannot straddle), then the per-survivor count /
+    argmax / round-6 max."""
+    dim = _emb_dim()
+    dot = (
+        f"list_sum(list_transform(range(1,{dim + 1}), "
+        "i -> c.v[i]::DOUBLE * b.bv[i]::DOUBLE))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1,%d), "
+        "i -> %s[i]::DOUBLE * %s[i]::DOUBLE)))"
+    )
+    nc = nrm % (dim + 1, "c.v", "c.v")
+    nb = nrm % (dim + 1, "b.bv", "b.bv")
+    return f"""
+        WITH bench AS (
+          SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+          WHERE vec_id < 8),
+        corpus AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 8
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings
+          WHERE vec_id < 8),
+        s AS (
+          SELECT c.vec_id, b.bench_id,
+                 {dot} / ({nc} * {nb}) AS cos
+          FROM corpus c, bench b),
+        h AS (SELECT * FROM s WHERE cos >= 0.98)
+        SELECT vec_id,
+               CAST(count(*) AS BIGINT) AS n_bench_hits,
+               CAST(max(CASE WHEN rk = 1 THEN bench_id END) AS BIGINT)
+                 AS best_bench,
+               round(max(cos), 6) AS max_sim
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+              FROM h)
+        GROUP BY vec_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates onto the
@@ -6501,15 +6589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time_travel, merge_upsert, mv_refresh, streaming IVM + as-of),
     the ANN tier (int8/pq/dense), linkage (temporal/fuzzy/er), graph
     (bfs/label-prop/pagerank), and a TPC-H spread, capped by the three
-    canonical reference apps and the semantic-cache demo. ALL sixteen
-    round-8 additions sit inside the window (positions 17-32:
+    canonical reference apps and the semantic-cache demo. ALL seventeen
+    round-8 additions sit inside the window (positions 17-33:
     semdedup_autoscale, vwap_bars, max_drawdown, auc_roc, k_anonymity,
     reid_summary, shard_balance, kcore, ktruss, coreness,
-    apss_jaccard, storage_compact, bloom_prune_join, hll_rollup,
-    atomic_snapshot, semdedup_scaled) so they get driver rows in the
-    same round they land — with round-8 green, every query in the
-    272-entry registry is driver-evidenced and the round-9 window can
-    be pure re-confirmations plus whatever round 9 adds. Everything
+    apss_jaccard, semantic_decontaminate, storage_compact,
+    bloom_prune_join, hll_rollup, atomic_snapshot, semdedup_scaled) so
+    they get driver rows in the same round they land — with round-8
+    green, every query in the 273-entry registry is driver-evidenced
+    and the round-9 window can be pure re-confirmations plus whatever
+    round 9 adds. Everything
     rotated out retains its prior round's driver-green row
     (CORRECTNESS_r01..r07) and every query at every position stays
     locally oracle-checked by tests/test_oracle_parity.py."""
@@ -6544,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "coreness": q_coreness,
         "apss_jaccard": q_apss_jaccard,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "storage_compact": q_storage_compact,
         "bloom_prune_join": q_bloom_prune_join,
         "hll_rollup": q_hll_rollup,
@@ -9251,6 +9341,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ktruss": _ktruss_oracle(k=4, rounds=8),
         "coreness": _coreness_oracle(rounds=20),
+        "semantic_decontaminate": _oracle_semantic_decontaminate(),
         "apss_jaccard": """
             WITH d AS (SELECT doc_id, list_distinct({TOKENS}) AS toks
                        FROM documents WHERE doc_id % 5 = 0),

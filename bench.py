@@ -190,6 +190,7 @@ HEADLINE = [
     "bloom_prune_join",
     "hll_rollup",
     "apss_jaccard",
+    "semantic_decontaminate",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

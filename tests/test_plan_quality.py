@@ -695,3 +695,22 @@ def test_hll_rollup_mapside_sketch_partials(spark, sf_smoke):
     assert plan.count("ObjectHashAggregate") >= 4  # partial+final x2
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontaminate_corpus_never_shuffles_unfiltered(
+    spark, sf_smoke
+):
+    """The eval suite broadcasts and the corpus streams ONCE through
+    the fused cosine filter — the only shuffle carries flagged
+    survivors (the Exchange sits above the BroadcastNestedLoopJoin,
+    never below it), no python anywhere."""
+    plan = _plan(QUERIES["semantic_decontaminate"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _n_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    exch = tree.find("Exchange")
+    bnlj = tree.find("BroadcastNestedLoopJoin")
+    assert exch != -1 and bnlj != -1 and exch < bnlj, (
+        "survivor shuffle must sit ABOVE the broadcast filter join"
+    )
