@@ -5035,6 +5035,73 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-set overlap matrix between event types via the KMV
+    bottom-k sketch (sketch.kmv_sketch + kmv_self_pairs) — "how many
+    users do these two sources share" answered from k=512-long
+    sketches, never by re-joining the sources (the pair join moves
+    sketches, not user sets; the build pass keeps k smallest hashes
+    per group per partition in bounded Arrow state, MG-style). Driver
+    row per type pair: EXACT user counts and exact Jaccard (both
+    SQL-recomputable anchors) plus a 10%-bound flag on the sketch
+    estimate (rsd ~ sqrt(J(1-J)/512) ≈ 2.2% at J=0.5, so 10% > 4 sd;
+    seed-fixed xxhash64 makes the estimate deterministic). When a
+    group is smaller than k the sketch IS its distinct hash set and
+    the estimate collapses to exact — graceful small-group behavior
+    under the same code path."""
+    from eclipse_spark.operators.sketch import kmv_self_pairs, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=512)
+    est = kmv_self_pairs(sk, "event_type", k=512).select(
+        F.col("group_a").alias("type_a"),
+        F.col("group_b").alias("type_b"),
+        "j_est",
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ex = (
+        users.selectExpr("event_type AS type_a", "user_id")
+        .join(users.selectExpr("event_type AS type_b", "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sizes = users.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        ex.join(sizes.selectExpr("event_type AS type_a", "n AS n_a"), "type_a")
+        .join(sizes.selectExpr("event_type AS type_b", "n AS n_b"), "type_b")
+        .join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("j_exact"),
+            (
+                F.abs(
+                    F.col("j_est")
+                    - F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                        "double"
+                    )
+                )
+                <= 0.1
+            )
+            .cast("int")
+            .alias("within_10pct"),
+        )
+    )
+
+
 def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact Jaccard join at t=0.8
     (similarity.allpairs_jaccard, PPJoin-family prefix filtering) —
@@ -6589,16 +6656,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time_travel, merge_upsert, mv_refresh, streaming IVM + as-of),
     the ANN tier (int8/pq/dense), linkage (temporal/fuzzy/er), graph
     (bfs/label-prop/pagerank), and a TPC-H spread, capped by the three
-    canonical reference apps and the semantic-cache demo. ALL seventeen
-    round-8 additions sit inside the window (positions 17-33:
+    canonical reference apps and the semantic-cache demo. ALL eighteen
+    round-8 additions sit inside the window (positions 17-34:
     semdedup_autoscale, vwap_bars, max_drawdown, auc_roc, k_anonymity,
     reid_summary, shard_balance, kcore, ktruss, coreness,
-    apss_jaccard, semantic_decontaminate, storage_compact,
-    bloom_prune_join, hll_rollup, atomic_snapshot, semdedup_scaled) so
-    they get driver rows in the same round they land — with round-8
-    green, every query in the 273-entry registry is driver-evidenced
-    and the round-9 window can be pure re-confirmations plus whatever
-    round 9 adds. Everything
+    apss_jaccard, semantic_decontaminate, kmv_overlap,
+    storage_compact, bloom_prune_join, hll_rollup, atomic_snapshot,
+    semdedup_scaled) so they get driver rows in the same round they
+    land — with round-8 green, every query in the 274-entry registry
+    is driver-evidenced and the round-9 window can be pure
+    re-confirmations plus whatever round 9 adds. Everything
     rotated out retains its prior round's driver-green row
     (CORRECTNESS_r01..r07) and every query at every position stays
     locally oracle-checked by tests/test_oracle_parity.py."""
@@ -6634,6 +6701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "apss_jaccard": q_apss_jaccard,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "kmv_overlap": q_kmv_overlap,
         "storage_compact": q_storage_compact,
         "bloom_prune_join": q_bloom_prune_join,
         "hll_rollup": q_hll_rollup,
@@ -9342,6 +9410,22 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_oracle(k=4, rounds=8),
         "coreness": _coreness_oracle(rounds=20),
         "semantic_decontaminate": _oracle_semantic_decontaminate(),
+        "kmv_overlap": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            sz AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+            ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          count(*) AS c
+                   FROM u a JOIN u b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+                   CAST(c AS BIGINT) AS n_common,
+                   round(c / CAST(x.n + y.n - c AS DOUBLE), 9) AS j_exact,
+                   1 AS within_10pct
+            FROM ov JOIN sz x ON type_a = x.event_type
+                    JOIN sz y ON type_b = y.event_type
+        """,
         "apss_jaccard": """
             WITH d AS (SELECT doc_id, list_distinct({TOKENS}) AS toks
                        FROM documents WHERE doc_id % 5 = 0),

@@ -191,6 +191,7 @@ HEADLINE = [
     "hll_rollup",
     "apss_jaccard",
     "semantic_decontaminate",
+    "kmv_overlap",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

@@ -38,7 +38,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_candidates", "heavy_hitters_exact", "hll_rollup"]
+__all__ = [
+    "misra_gries_candidates",
+    "heavy_hitters_exact",
+    "hll_rollup",
+    "kmv_sketch",
+    "kmv_jaccard",
+    "kmv_self_pairs",
+]
 
 
 def misra_gries_candidates(
@@ -176,4 +183,152 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("_sk", F.lit(True)))
         .cast("long")
         .alias("distinct_est"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """K-minimum-values (KMV / bottom-k) distinct sketch per group —
+    the MERGEABLE set-overlap tier next to HLL (distinct counts) and
+    Misra-Gries (frequencies): because every sketch keeps the k
+    smallest ``xxhash64`` values of its set, the sketch of a UNION is
+    just the k smallest of the concatenated sketches, and two groups'
+    Jaccard similarity is estimable from their sketches alone
+    (:func:`kmv_jaccard`) — "how many users do these two sources
+    share" answered without re-scanning either source.
+
+    Build shape mirrors :func:`misra_gries_candidates`: one
+    Arrow-batched pass keeps the k smallest hashes per group per
+    partition (bounded memory, the stream itself never shuffles), then
+    one merge aggregate takes the k smallest of the per-partition
+    survivors — at most ``k * n_partitions`` hash rows per group cross
+    the exchange. NULL values are excluded (they are not set members).
+
+    Returns (group_cols..., n_hashes int, kmin array<bigint>) with
+    ``kmin`` ascending; ``n_hashes < k`` means the group's EXACT
+    distinct hash set is present (small groups degrade gracefully to
+    exact). Hashes are signed 64-bit xxhash64 — uniform on the full
+    signed range, so ascending order is the correct bottom-k.
+    """
+
+    def _partial(batches) -> "pd.DataFrame":
+        import heapq
+
+        tops: dict = {}  # group -> max-heap of negated hashes, size <= k
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = tuple(row[:-1])
+                h = row[-1]
+                heap = tops.setdefault(key, [])
+                if len(heap) < k:
+                    heapq.heappush(heap, -h)
+                elif -heap[0] > h:
+                    heapq.heapreplace(heap, -h)
+        rows = [
+            key + (sorted(-x for x in heap),) for key, heap in tops.items()
+        ]
+        # column names from the captured group list, never the batch —
+        # an empty partition yields zero batches and pdf is unbound
+        yield pd.DataFrame(rows, columns=list(group_cols) + ["_hs"])
+
+    hashed = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(*group_cols, F.xxhash64("_v").alias("_h"))
+        .distinct()
+    )
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in hashed.drop("_h").dtypes)
+        + ", _hs array<bigint>"
+    )
+    partials = hashed.mapInPandas(lambda it: _partial(it), schema=schema)
+    return partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_hs")))),
+            1,
+            k,
+        ).alias("kmin")
+    ).select(
+        *group_cols,
+        F.size("kmin").cast("int").alias("n_hashes"),
+        "kmin",
+    )
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    on: list[str],
+    k: int = 512,
+) -> DataFrame:
+    """Jaccard similarity estimate between two KMV-sketched set
+    families joined on ``on`` — the classic bottom-k estimator
+    (Bar-Yossef et al.; Beyer et al., "On synopses for distinct-value
+    estimation"): merge the two sketches, truncate to the k smallest
+    of the union (one codegen array expression), and count how many of
+    those sit in BOTH input sketches; that count over the merged size
+    is an unbiased Jaccard estimate with rsd ~ sqrt(J(1-J)/k).
+
+    When both sketches are exact (n_hashes < k — the group was smaller
+    than the sketch), the estimate IS the exact Jaccard: the merged
+    "sample" is the whole union. Deterministic for a given dataset
+    (seed-fixed xxhash64), so driver oracles can anchor on exact
+    values plus a bound flag. Returns (on..., j_est double,
+    n_common int, n_merged int).
+    """
+    a = sketch_a.select(*on, F.col("kmin").alias("_ka"))
+    b = sketch_b.select(*on, F.col("kmin").alias("_kb"))
+    merged = a.join(b, on).withColumn(
+        "_m",
+        F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k),
+    )
+    return merged.select(
+        *on,
+        F.round(
+            F.size(F.array_intersect(F.array_intersect("_m", "_ka"), "_kb"))
+            / F.size("_m").cast("double"),
+            9,
+        ).alias("j_est"),
+        F.size(F.array_intersect(F.array_intersect("_m", "_ka"), "_kb"))
+        .cast("int")
+        .alias("n_common"),
+        F.size("_m").cast("int").alias("n_merged"),
+    )
+
+
+def kmv_self_pairs(sketch: DataFrame, group_col: str, k: int = 512) -> DataFrame:
+    """All-pairs Jaccard estimates within one sketched family: every
+    ``group_a < group_b`` pair of :func:`kmv_sketch` rows with the
+    bottom-k merged-sample estimate of :func:`kmv_jaccard`. The join
+    moves only sketches (k longs per group), never the underlying sets
+    — overlap matrices over hundreds of sources cost sketch-squared,
+    not data-squared. Returns (group_a, group_b, j_est, n_common,
+    n_merged)."""
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), F.col("kmin").alias("_ka")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), F.col("kmin").alias("_kb")
+    )
+    merged = (
+        a.crossJoin(b)
+        .filter(F.col("group_a") < F.col("group_b"))
+        .withColumn(
+            "_m", F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k)
+        )
+        .withColumn(
+            "_c",
+            F.size(F.array_intersect(F.array_intersect("_m", "_ka"), "_kb")),
+        )
+    )
+    return merged.select(
+        "group_a",
+        "group_b",
+        F.round(F.col("_c") / F.size("_m").cast("double"), 9).alias("j_est"),
+        F.col("_c").cast("int").alias("n_common"),
+        F.size("_m").cast("int").alias("n_merged"),
     )

@@ -901,3 +901,80 @@ def test_coreness_budget_and_degenerates(spark):
     messy = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], ["a", "b"])
     got = {r["node"]: r["core"] for r in coreness(messy).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_kmv_sketch_and_jaccard(spark):
+    """KMV bottom-k: the estimate lands within 4 sd of truth on a
+    controlled-overlap pair; small groups collapse to exact mode
+    (n_hashes < k -> estimate IS the exact Jaccard); sketches are
+    ascending and deduplicated."""
+    from eclipse_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    df = spark.range(0, 80000).selectExpr(
+        "CASE WHEN id < 40000 THEN 'A' ELSE 'B' END AS g",
+        "CASE WHEN id < 40000 THEN id ELSE id - 20000 END AS v",
+    )  # A = 0..39999, B = 20000..59999 -> J = 20000/60000
+    sk = kmv_sketch(df, ["g"], "v", k=512)
+    rows = {r["g"]: r for r in sk.collect()}
+    for r in rows.values():
+        assert r["n_hashes"] == 512
+        assert r["kmin"] == sorted(set(r["kmin"]))
+    a = sk.filter("g='A'").selectExpr("1 AS j", "kmin")
+    b = sk.filter("g='B'").selectExpr("1 AS j", "kmin")
+    est = kmv_jaccard(a, b, ["j"], k=512).collect()[0]
+    true_j = 20000 / 60000
+    sd = (true_j * (1 - true_j) / 512) ** 0.5
+    assert abs(est["j_est"] - true_j) <= 4 * sd
+    assert est["n_merged"] == 512
+
+    small = spark.createDataFrame(
+        [("X", i) for i in range(10)] + [("Y", i) for i in range(5, 20)],
+        ["g", "v"],
+    )
+    sks = kmv_sketch(small, ["g"], "v", k=512)
+    x = sks.filter("g='X'").selectExpr("1 AS j", "kmin")
+    y = sks.filter("g='Y'").selectExpr("1 AS j", "kmin")
+    e2 = kmv_jaccard(x, y, ["j"], k=512).collect()[0]
+    assert e2["j_est"] == 5 / 20 and e2["n_merged"] == 20
+
+
+def test_kmv_merge_is_lossless(spark):
+    """Bottom-k's defining algebraic property (unlike HLL's dense-mode
+    drift): k smallest of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B),
+    EXACTLY — asserted element-for-element against a sketch built from
+    the concatenated data."""
+    import pyspark.sql.functions as F
+
+    from eclipse_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(0, 30000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'P' ELSE 'Q' END AS g", "id % 9000 AS v"
+    )
+    k = 256
+    parts = {r["g"]: r["kmin"] for r in kmv_sketch(df, ["g"], "v", k=k).collect()}
+    merged = sorted(set(parts["P"]) | set(parts["Q"]))[:k]
+    direct = kmv_sketch(
+        df.selectExpr("'all' AS g", "v"), ["g"], "v", k=k
+    ).collect()[0]["kmin"]
+    assert merged == list(direct)
+
+
+def test_kmv_self_pairs_and_nulls(spark):
+    """kmv_self_pairs emits every a<b pair once; NULL set members are
+    excluded from the sketch (not hashed as a value)."""
+    from eclipse_spark.operators.sketch import kmv_self_pairs, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", None), ("B", 2), ("B", 3), ("C", 9)],
+        "g string, v int",
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=16)
+    rows = {r["g"]: r for r in sk.collect()}
+    assert rows["A"]["n_hashes"] == 2  # NULL excluded
+    pairs = {
+        (r["group_a"], r["group_b"]): r["j_est"]
+        for r in kmv_self_pairs(sk, "g", k=16).collect()
+    }
+    assert set(pairs) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert pairs[("A", "B")] == round(1 / 3, 9)
+    assert pairs[("A", "C")] == 0.0
