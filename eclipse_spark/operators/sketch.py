@@ -218,18 +218,27 @@ def kmv_sketch(
     def _partial(batches) -> "pd.DataFrame":
         import heapq
 
-        tops: dict = {}  # group -> max-heap of negated hashes, size <= k
+        # group -> (max-heap of negated hashes, member set) — the set
+        # mirrors the heap (<= k entries) so duplicate stream values
+        # dedup INSIDE the bounded state; no upstream distinct, so the
+        # stream genuinely never shuffles
+        tops: dict = {}
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 key = tuple(row[:-1])
                 h = row[-1]
-                heap = tops.setdefault(key, [])
+                heap, members = tops.setdefault(key, ([], set()))
+                if h in members:
+                    continue
                 if len(heap) < k:
                     heapq.heappush(heap, -h)
+                    members.add(h)
                 elif -heap[0] > h:
-                    heapq.heapreplace(heap, -h)
+                    members.discard(-heapq.heapreplace(heap, -h))
+                    members.add(h)
         rows = [
-            key + (sorted(-x for x in heap),) for key, heap in tops.items()
+            key + (sorted(-x for x in heap),)
+            for key, (heap, _m) in tops.items()
         ]
         # column names from the captured group list, never the batch —
         # an empty partition yields zero batches and pdf is unbound
@@ -239,7 +248,6 @@ def kmv_sketch(
         df.select(*group_cols, F.col(value_col).alias("_v"))
         .filter(F.col("_v").isNotNull())
         .select(*group_cols, F.xxhash64("_v").alias("_h"))
-        .distinct()
     )
     schema = (
         ", ".join(f"{c} {t}" for c, t in hashed.drop("_h").dtypes)

@@ -714,3 +714,21 @@ def test_semantic_decontaminate_corpus_never_shuffles_unfiltered(
     assert exch != -1 and bnlj != -1 and exch < bnlj, (
         "survivor shuffle must sit ABOVE the broadcast filter join"
     )
+
+
+def test_kmv_sketch_stream_never_shuffles(spark, sf_smoke):
+    """The KMV build's only Exchange is the <= k*n_partitions partial
+    merge: the Arrow bottom-k stage (in-heap dedup — no upstream
+    distinct) sits BELOW it, so the value stream itself never crosses
+    a shuffle."""
+    from eclipse_spark.operators.sketch import kmv_sketch
+
+    ev = QUERIES["events_resample"].__globals__["_events"](spark, sf_smoke)
+    plan = _plan(kmv_sketch(ev, ["event_type"], "user_id", k=64))
+    assert _n_exchanges(plan) == 1
+    tree = plan.split("\n\n")[0]
+    exch = tree.find("Exchange")
+    arrow = max(tree.find("MapInPandas"), tree.find("ArrowEval"))
+    assert exch != -1 and arrow != -1 and arrow > exch, (
+        "the Arrow bottom-k stage must sit below the merge Exchange"
+    )
