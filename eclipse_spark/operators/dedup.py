@@ -823,15 +823,15 @@ def semantic_dedup(
     # penalty on doc_fingerprint), so the aggregate must not live in
     # the lambda.
     if max_pairs is not None:
-        # audit + pair join + final map read this 3x: materialize ONCE
-        # via localCheckpoint — lineage is cut, the blocks are released
-        # with the result's GC instead of pinning session storage the
-        # way an explicit never-unpersisted persist() did (ADVICE r7).
-        # LAZY (VERDICT r8): the audit aggregate right below is the
-        # first action and materializes the checkpoint inside its own
-        # job — eager=True paid a separate materialization job that
-        # cost ~2.7 s of the sf0.1 wall for nothing.
-        assigned = assigned.localCheckpoint(eager=False)
+        # audit + pair join + final map read this 3x: persist() so the
+        # re-reads hit the COLUMNAR InMemoryRelation (measured 2x the
+        # whole operator vs a row-serialized localCheckpoint at sf0.1 —
+        # the vectors deserialize per read otherwise; VERDICT r8 task
+        # 5). The r7 leak is still fixed: the operator's RESULT is
+        # materialized before return (eager localCheckpoint of the
+        # small fixed-width (id, cell, kept) frame) and `assigned` is
+        # unpersisted right after — no block outlives the call.
+        assigned = assigned.persist()
         audit = (
             assigned.groupBy("_cell")
             .agg(F.count("*").alias("_n"))
@@ -846,6 +846,7 @@ def semantic_dedup(
         )
         n_pairs = int(audit["_pairs"] or 0)
         if n_pairs > max_pairs:
+            assigned.unpersist()
             raise RuntimeError(
                 f"semantic_dedup: within-cell pair count {n_pairs:,} exceeds "
                 f"max_pairs={max_pairs:,} (largest cell {audit['_maxcell']:,} "
@@ -874,7 +875,7 @@ def semantic_dedup(
         .select(F.col("b._id").alias("_did"))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(dropped, assigned._id == dropped._did, "left")
         .select(
             F.col("_id").alias(id_col),
@@ -882,6 +883,13 @@ def semantic_dedup(
             F.when(F.col("_did").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+    if max_pairs is not None:
+        # materialize the small (id, cell, kept) result so `assigned`
+        # can be released NOW — the checkpoint blocks GC with the
+        # returned frame, and no persisted RDD survives the call
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
+    return out
 
 
 def semantic_dedup_autoscale(
