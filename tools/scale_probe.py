@@ -64,6 +64,23 @@ PROBE = [
     "apss_jaccard",
     "bloom_prune_join",
     "hll_rollup",
+    # round-9 additions (VERDICT r8 task 1): the bounded-state KMV
+    # overlap sketch (must be scan-linear — k longs per group cap the
+    # shuffle) and the staged-rewrite compaction (read + write of the
+    # table, nothing quadratic to hide)
+    "kmv_overlap",
+    "storage_compact",
+]
+
+# Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
+# COLD run per scale — warm+min-of-2 would triple a minutes-long sf1
+# peel, and cold-vs-cold is the like-for-like protocol the deep tier
+# already uses for clustering_coeff (warm-vs-cold conflated cache state
+# with scaling there, r8 lesson).
+PROBE_COLD = [
+    "kcore",
+    "ktruss",
+    "coreness",
 ]
 
 
@@ -157,10 +174,40 @@ def _semdedup_scaled_probe(spark, sf_dir):
     )
 
 
+def _apss_jaccard_cand_count(spark, sf_dir) -> int:
+    """PPJoin prefix-filter candidate count at t=0.8 — the work metric
+    behind apss_jaccard's wall curve (the jaccard prefix bound is
+    LINEAR in t vs cosine's t², so its candidate volume is the thing
+    to watch as dictionaries saturate)."""
+    from eclipse_spark.operators.similarity import _apss_candidate_pairs
+
+    toks, cand = _apss_candidate_pairs(
+        _apss_docs(spark, sf_dir), "doc_id", "toks", 80
+    )
+    n = cand.count()
+    toks.unpersist()
+    return n
+
+
+def _ktruss_tri_count(spark, sf_dir) -> int:
+    """Total triangle count of the co-order graph q_ktruss peels — the
+    round-0 support work that dominates the delta-peel kernel."""
+    from eclipse_spark.operators import graph
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 8 == 0), "l_orderkey", "l_partkey"
+    )
+    row = graph.triangle_count(edges).collect()[0]
+    return int(row["n_triangles"] or 0)
+
+
 WORK_COUNTS = {
     "apss_cosine": _apss_cand_count,
     "minhash_candidates": _minhash_cand_count,
     "semdedup": _semdedup_pair_count,
+    "apss_jaccard": _apss_jaccard_cand_count,
+    "ktruss": _ktruss_tri_count,
 }
 
 
@@ -234,6 +281,38 @@ def main() -> None:
               + (f"  work {out[name]['work_ratio']}x"
                  if "work_ratio" in out[name] else ""),
               flush=True)
+    # iterative peel kernels: ONE cold run per scale (see PROBE_COLD)
+    for name in PROBE_COLD:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, small).write.format("noop").mode("overwrite").save()
+        t_small = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, big).write.format("noop").mode("overwrite").save()
+        t_big = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(ratio, 2),
+            "runs": 1,
+        }
+        if name in WORK_COUNTS:
+            wc = WORK_COUNTS[name]
+            n_small, n_big = wc(spark, small), wc(spark, big)
+            spark.catalog.clearCache()
+            out[name]["n_candidates_sf0.1"] = n_small
+            out[name]["n_candidates_sf1"] = n_big
+            out[name]["work_ratio"] = round(
+                n_big / n_small if n_small else float("inf"), 2
+            )
+        print(f"[cold] {name}: {t_small:.2f}s -> {t_big:.2f}s  "
+              f"ratio {ratio:.1f}x"
+              + (f"  work {out[name]['work_ratio']}x"
+                 if "work_ratio" in out[name] else ""),
+              flush=True)
     # semdedup's probe query pins k=8 centroids, so its cost is
     # quadratic in CELL SIZE by design — the operator now enforces this
     # contract with the max_pairs guard (raises at the sf10 tier below)
@@ -268,10 +347,14 @@ def main() -> None:
         # semdedup_scaled is the auto-scaled kernel-tier completion row
         # (task 4): it must FINISH at the scale the pinned-k exact tier
         # correctly refuses.
-        deep_names = ["apss_cosine", "semdedup", "semdedup_scaled"]
+        # apss_jaccard joined the deep tier in round 9: its first
+        # decade (8.36) was the steepest unguarded curve — the second
+        # decade + candidate counts decide linear vs saturating
+        deep_names = ["apss_cosine", "semdedup", "semdedup_scaled",
+                      "apss_jaccard"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
             deep_names.append("clustering_coeff")
-        single_run = {"clustering_coeff"}
+        single_run = {"clustering_coeff", "apss_jaccard"}
         for name in deep_names:
             fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
                   else queries[name])
