@@ -6632,92 +6632,227 @@ def _oracle_semantic_decontaminate() -> str:
     """
 
 
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (sketch.count_min_build /
+    count_min_estimate; width=1024, depth=4, the portable md5 hash
+    family) — the sketch family's point-query tier next to MG (top-k)
+    / HLL (distinct) / KMV (overlap). Probes = every token with exact
+    frequency >= 64; emits (item, exact freq, cms_est, overcount).
+    The hash family is seed-fixed, so the estimate is DETERMINISTIC
+    and the oracle rebuilds the entire depth x width sketch in SQL —
+    a single flipped counter anywhere hash-mismatches; overcount >= 0
+    certifies the never-undercount guarantee row by row."""
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    sk = count_min_build(toks, "tok", width=1024, depth=4)
+    exact = (
+        toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") >= 64)
+    )
+    est = count_min_estimate(
+        sk, exact.select(F.col("item").alias("tok")), "tok", width=1024, depth=4
+    )
+    return exact.join(est, "item").select(
+        "item",
+        "freq",
+        "cms_est",
+        (F.col("cms_est") - F.col("freq")).cast("long").alias("overcount"),
+    )
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (skew.skew_audit) on a deliberately
+    hot-keyed stream: every third order's lineitems collapse onto one
+    'HOT' key while the rest keep their partkey — the measurement half
+    of the salting toolkit (share_ppm / skew_x are exact integer floor
+    divisions, so the report hashes identically in any engine; skew_x
+    IS the salting fan-out a mitigation would use). One count
+    aggregate + a broadcast 1-row total + top-n heap — the audit costs
+    the audited join's shuffle minus its payload."""
+    from eclipse_spark.operators.skew import skew_audit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.col("l_partkey").cast("string"))
+        .alias("jk")
+    )
+    return skew_audit(li, "jk", top_n=10)
+
+
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs via perceptual dHash
+    (multimodal.dhash_bands -> dhash_near_pairs): TEXTURED BMPs per
+    doc_id (encode_textured_bmp — the linear pattern corpus collapses
+    to ~200 distinct hashes and 43k degenerate pairs; the textured one
+    is 1 hash per image) plus planted exact-duplicate payloads under
+    shifted ids (every 10th), REAL pixel decode -> 9x8 integer-NN
+    downsample -> integer luma -> 64 gradient bits as four 16-bit LSH
+    bands -> banded self-join -> exact Hamming <= 3 verify (pigeonhole
+    recall guarantee at 4 bands). The oracle replays the ENTIRE hash
+    from the pixel FORMULA — resize index rule, luma division, band
+    packing, XOR bit counts — so a hash match proves the engine parsed
+    the bytes and computed the same 64 bits; planted duplicates must
+    surface at hamming 0."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    bmps = multimodal.encode_textured_bmp(ids, id_col="id")
+    planted = bmps.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    hs = multimodal.dhash_bands(
+        bmps.unionByName(planted), id_col="id", bytes_col="bytes"
+    )
+    return multimodal.dhash_near_pairs(hs, max_hamming=3)
+
+
+def q_storage_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table branching (Catalog.branch — shallow-clone via
+    hard links, no data copied) driving the experiment workflow it
+    exists for: branch the orders table, run a backfill on the BRANCH
+    (merge-upsert +1.00 on every third orderkey), and roll both tables
+    up side by side. The source must be bit-untouched (base_total) and
+    the branch exactly diverged (exp_total = base + n/3 dollars) — a
+    branch that aliased its source's files mutably, or a merge that
+    leaked across the hard links, breaks the relational oracle. The
+    result is materialized before the scratch catalog is removed."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    work = tempfile.mkdtemp(prefix="eclipse_branch_")
+    try:
+        cat = Catalog(spark, work)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat.put("t", orders)
+        cat.branch("t", "exp")
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        cat.merge("exp", upd, on=["o_orderkey"])
+        base = cat.get("t").groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            _dsum("o_totalprice", "base_total", 2),
+        )
+        exp = cat.get("exp").groupBy("o_orderstatus").agg(
+            _dsum("o_totalprice", "exp_total", 2),
+        )
+        out = base.join(exp, "o_orderstatus").select(
+            "o_orderstatus", "n_orders", "base_total", "exp_total"
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    checks the FIRST 50 keys, so each round the window rotates onto the
-    queries that still lack driver evidence. Round-8 window (VERDICT r7
-    task 1): positions 1-9 are the nine round-7 additions that closed
-    round 7 at the registry tail without a driver row yet -- Gopher
-    quality-rule verdicts, hashing-trick featurization, the real
-    WAV/PCM codec pair and the EBMV indexed-video frame sampler
-    (completing the image/audio/video modality triad under driver
-    evidence), join-view IVM with the two-sided signed delta rule,
-    Misra-Gries heavy hitters, cross-query semantic-cache subplan
-    reuse, and OHLC tick-to-bar downsampling. With these green, every
-    query ever added to the registry is driver-evidenced.
+    checks the FIRST 50 keys, so each round the window rotates onto
+    the queries that still lack driver evidence. Round-9 window:
+    positions 1-4 are the four round-9 additions (same-round evidence
+    discipline) — Count-Min point frequencies with a full SQL-rebuilt
+    sketch, the join-key skew audit, perceptual dHash image near-dup
+    over real BMP decode, and the zero-copy hard-link table branch.
 
-    Positions 10-50 backfill with high-value RE-CONFIRMATIONS,
-    weighted toward code paths touched by this round's hardening
-    (dedup/graph persist-lifecycle fixes, SemDeDup auto-scaling,
-    heavy-hitters candidate broadcast, storage put_many/get_many
-    atomicity): the heavy operators (apss_cosine, cc_star,
-    substring_dedup, shortest_path, clustering_coeff, semdedup,
-    minhash/lsh, triangle_count), the storage suite (storage_layouts,
-    time_travel, merge_upsert, mv_refresh, streaming IVM + as-of),
-    the ANN tier (int8/pq/dense), linkage (temporal/fuzzy/er), graph
-    (bfs/label-prop/pagerank), and a TPC-H spread, capped by the three
-    canonical reference apps and the semantic-cache demo. ALL eighteen
-    round-8 additions sit inside the window (positions 17-34:
-    semdedup_autoscale, vwap_bars, max_drawdown, auc_roc, k_anonymity,
-    reid_summary, shard_balance, kcore, ktruss, coreness,
-    apss_jaccard, semantic_decontaminate, kmv_overlap,
-    storage_compact, bloom_prune_join, hll_rollup, atomic_snapshot,
-    semdedup_scaled) so they get driver rows in the same round they
-    land — with round-8 green, every query in the 274-entry registry
-    is driver-evidenced and the round-9 window can be pure
-    re-confirmations plus whatever round 9 adds. Everything
-    rotated out retains its prior round's driver-green row
-    (CORRECTNESS_r01..r07) and every query at every position stays
-    locally oracle-checked by tests/test_oracle_parity.py."""
+    Positions 5-50 are RE-CONFIRMATIONS weighted toward the code paths
+    round 9 touched: the vectorized Misra-Gries/KMV partial passes
+    (mg_heavy_hitters, heavy_hitters, kmv_overlap), the
+    semantic-dedup persist-lifecycle + distributed-seeding work
+    (semdedup, semdedup_autoscale, semdedup_scaled, curation_pipeline),
+    the lazy-checkpoint substring_dedup, incremental dedup + table
+    diff (the two remaining r8 wall regressions), the ungrouped-AUC
+    two-pass (auc_roc), Bloom key-dtype coercion (bloom_prune_join),
+    reader-derived compact partitioning + get_many version pinning
+    (storage_compact, atomic_snapshot, time_travel, merge_upsert,
+    storage_layouts), the delta-peel k_truss plus its graph siblings
+    (kcore, coreness, triangle_count, clustering_coeff, cc_star,
+    shortest_path), the APSS pair probed at the second decade this
+    round (apss_cosine, apss_jaccard), and the rest of the round-8
+    cohort — capped (47-50) by the three canonical reference apps and
+    the semantic-cache demo. Everything rotated out retains its prior
+    round's driver-green row (CORRECTNESS_r01..r08) and every query at
+    every position stays locally oracle-checked by
+    tests/test_oracle_parity.py."""
     return {
-        # ===== positions 1-9: round-8 rotation queue (VERDICT r7 task 1)
-        # the nine round-7 additions, never driver-checked =====
+        # ===== positions 1-4: the round-9 additions (same-round
+        # evidence discipline): CMS point frequencies, join-key skew
+        # audit, dHash image near-dup, zero-copy table branch =====
+        "cms_token_freq": q_cms_token_freq,
+        "skew_audit": q_skew_audit,
+        "media_dhash": q_media_dhash,
+        "storage_branch": q_storage_branch,
+        # ===== positions 5-50: re-confirmations, weighted toward the
+        # code paths round 9 touched (vectorized MG/KMV partials,
+        # bloom dtype coercion, semantic_dedup persist lifecycle,
+        # distributed SemDeDup seeding, ktruss delta peel, get_many
+        # version pinning, compact partition inference, ungrouped-AUC
+        # two-pass) =====
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "heavy_hitters": q_heavy_hitters,
+        "kmv_overlap": q_kmv_overlap,
+        "semdedup": q_semdedup,
+        "semdedup_autoscale": q_semdedup_autoscale,
+        "semdedup_scaled": q_semdedup_scaled,
+        "substring_dedup": q_substring_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_cached": q_incremental_dedup_cached,
+        "table_diff": q_table_diff,
+        "auc_roc": q_auc_roc,
+        "bloom_prune_join": q_bloom_prune_join,
+        "storage_compact": q_storage_compact,
+        "atomic_snapshot": q_atomic_snapshot,
+        "time_travel": q_time_travel,
+        "merge_upsert": q_merge_upsert,
+        "storage_layouts": q_storage_layouts,
+        "ktruss": q_ktruss,
+        "kcore": q_kcore,
+        "coreness": q_coreness,
+        "curation_pipeline": q_curation_pipeline,
+        "apss_cosine": q_apss_cosine,
+        "apss_jaccard": q_apss_jaccard,
+        "cc_star": q_cc_star,
+        "shortest_path": q_shortest_path,
+        "clustering_coeff": q_clustering_coeff,
+        "triangle_count": q_triangle_count,
+        "vwap_bars": q_vwap_bars,
+        "max_drawdown": q_max_drawdown,
+        "k_anonymity": q_k_anonymity,
+        "reid_summary": q_reid_summary,
+        "shard_balance": q_shard_balance,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "hll_rollup": q_hll_rollup,
+        "minhash_estimate": q_minhash_estimate,
+        "lsh_s_curve": q_lsh_s_curve,
+        "mv_refresh": q_mv_refresh,
+        "mv_refresh_join": q_mv_refresh_join,
+        "events_stream_ivm": q_events_stream_ivm,
+        "events_stream_asof": q_events_stream_asof,
+        "int8_quantize": q_int8_quantize,
+        "ann_int8": q_ann_int8,
+        # window cap (positions 47-50): the three canonical reference
+        # apps + the semantic-cache demo, the round-8 practice
+        "word_count": q_word_count,
+        "inverted_index": q_inverted_index,
+        "aggregation": q_aggregation,
+        "semcache_demo": q_semcache_demo,
+        # ===== below the 50-line: everything here has a prior-round
+        # driver row and stays locally oracle-checked =====
         "gopher_rules": q_gopher_rules,
         "feature_hash": q_feature_hash,
         "media_decode_wav": q_media_decode_wav,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
-        "mv_refresh_join": q_mv_refresh_join,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
         "semcache_subplan": q_semcache_subplan,
         "ohlc_bars": q_ohlc_bars,
-        # ===== positions 10-50: re-confirmations + round-8 additions =====
-        "curation_pipeline": q_curation_pipeline,
-        "apss_cosine": q_apss_cosine,
-        "cc_star": q_cc_star,
-        "substring_dedup": q_substring_dedup,
-        "shortest_path": q_shortest_path,
-        "clustering_coeff": q_clustering_coeff,
-        "semdedup": q_semdedup,
-        "semdedup_autoscale": q_semdedup_autoscale,
-        "vwap_bars": q_vwap_bars,
-        "max_drawdown": q_max_drawdown,
-        "auc_roc": q_auc_roc,
-        "k_anonymity": q_k_anonymity,
-        "reid_summary": q_reid_summary,
-        "shard_balance": q_shard_balance,
-        "kcore": q_kcore,
-        "ktruss": q_ktruss,
-        "coreness": q_coreness,
-        "apss_jaccard": q_apss_jaccard,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "kmv_overlap": q_kmv_overlap,
-        "storage_compact": q_storage_compact,
-        "bloom_prune_join": q_bloom_prune_join,
-        "hll_rollup": q_hll_rollup,
-        "atomic_snapshot": q_atomic_snapshot,
-        "semdedup_scaled": q_semdedup_scaled,
-        "minhash_estimate": q_minhash_estimate,
-        "lsh_s_curve": q_lsh_s_curve,
-        "triangle_count": q_triangle_count,
-        "storage_layouts": q_storage_layouts,
-        "time_travel": q_time_travel,
-        "merge_upsert": q_merge_upsert,
-        "mv_refresh": q_mv_refresh,
-        "events_stream_ivm": q_events_stream_ivm,
-        "events_stream_asof": q_events_stream_asof,
-        "int8_quantize": q_int8_quantize,
-        "ann_int8": q_ann_int8,
         "ann_pq_cached": q_ann_pq_cached,
         "dense_index": q_dense_index,
         "temporal_join": q_temporal_join,
@@ -6726,7 +6861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "label_propagation": q_label_propagation,
         "pagerank": q_pagerank,
-        "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
         "minhash_dedup": q_minhash_dedup,
         "dedup_cc": q_dedup_cc,
@@ -6737,10 +6871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q21": q_tpch_q21,
-        "word_count": q_word_count,
-        "inverted_index": q_inverted_index,
-        "aggregation": q_aggregation,
-        "semcache_demo": q_semcache_demo,
         # everything below retains its prior round's driver-green row
         # (CORRECTNESS_r01..r07.json); every query at every position stays
         # locally oracle-checked by tests/test_oracle_parity.py
@@ -6795,7 +6925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc": q_source_orc,
         "media_resize": q_media_resize,
         "quality_classifier": q_quality_classifier,
-        "incremental_dedup": q_incremental_dedup,
         "dataset_split": q_dataset_split,
         "skew_salted_join": q_skew_salted_join,
         "bpe_encode": q_bpe_encode,
@@ -6807,7 +6936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "math_funcs": q_math_funcs,
         "map_funcs": q_map_funcs,
-        "incremental_dedup_cached": q_incremental_dedup_cached,
         "mixture_sample_rows": q_mixture_sample_rows,
         "ann_ivf_recall": q_ann_ivf_recall,
         "approx_distinct_err": q_approx_distinct_err,
@@ -6816,7 +6944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_select_best": q_dedup_select_best,
         "data_profile": q_data_profile,
         "data_constraints": q_data_constraints,
-        "table_diff": q_table_diff,
         "pq_encode": q_pq_encode,
         "ann_pq": q_ann_pq,
         "random_projection": q_random_projection,
@@ -10067,6 +10194,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS part_within_5pct,
                    CAST(1 AS INT) AS order_within_5pct
             FROM lineitem
+        """,
+        "cms_token_freq": """
+            WITH t AS (SELECT unnest({TOKENS}) AS item FROM documents),
+            sk AS (SELECT d.d AS d,
+                          ('0x' || substr(md5(item || ':' ||
+                                CAST(d.d AS VARCHAR)), 1, 15))::BIGINT
+                            % 1024 AS bucket,
+                          count(*) AS cnt
+                   FROM t
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+                   GROUP BY 1, 2),
+            ex AS (SELECT item, CAST(count(*) AS BIGINT) AS freq
+                   FROM t GROUP BY 1 HAVING count(*) >= 64),
+            est AS (SELECT ex.item, min(coalesce(sk.cnt, 0)) AS cms_est
+                    FROM ex
+                    CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+                    LEFT JOIN sk ON sk.d = dd.d
+                      AND sk.bucket = ('0x' || substr(md5(ex.item || ':' ||
+                            CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT % 1024
+                    GROUP BY 1)
+            SELECT ex.item, ex.freq,
+                   CAST(est.cms_est AS BIGINT) AS cms_est,
+                   CAST(est.cms_est - ex.freq AS BIGINT) AS overcount
+            FROM ex JOIN est ON ex.item = est.item
+        """.replace("{TOKENS}", TOKENS_SQL),
+        "skew_audit": """
+            WITH k AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'HOT'
+                                   ELSE CAST(l_partkey AS VARCHAR) END AS key
+                       FROM lineitem),
+            per AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+                    FROM k GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                           CAST(count(*) AS BIGINT) AS n_keys FROM per)
+            SELECT key, cnt,
+                   CAST((cnt * 1000000) // total_rows AS BIGINT) AS share_ppm,
+                   CAST((cnt * n_keys) // total_rows AS BIGINT) AS skew_x,
+                   total_rows, n_keys
+            FROM per, tot
+            ORDER BY cnt DESC, key ASC
+            LIMIT 10
+        """,
+        "media_dhash": """
+            WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, doc_id FROM documents
+                         WHERE doc_id % 10 = 0),
+            dims AS (SELECT id, pid, 8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            lum AS (SELECT id, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
+                      ) // 1000 AS l
+                    FROM dims
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2),
+            ham AS (SELECT a.id AS id_a, b.id AS id_b,
+                           CAST(sum(bit_count(xor(a.val, b.val))) AS BIGINT)
+                             AS hamming
+                    FROM bands a
+                    JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "storage_branch": """
+            WITH base AS (SELECT o_orderstatus,
+                                 CAST(count(*) AS BIGINT) AS n_orders,
+                                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                      AS DOUBLE) AS base_total
+                          FROM orders GROUP BY 1),
+            exp AS (SELECT o_orderstatus,
+                           CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0
+                                              THEN o_totalprice + 1.0
+                                              ELSE o_totalprice END
+                                         AS DECIMAL(18,2))) AS DOUBLE)
+                             AS exp_total
+                    FROM orders GROUP BY 1)
+            SELECT base.o_orderstatus, n_orders, base_total, exp_total
+            FROM base JOIN exp ON base.o_orderstatus = exp.o_orderstatus
         """,
         "approx_quantiles_err": """
             SELECT l_linestatus,

@@ -192,6 +192,12 @@ HEADLINE = [
     "apss_jaccard",
     "semantic_decontaminate",
     "kmv_overlap",
+    # round 9 additions: Count-Min point frequencies, join-key skew
+    # audit, perceptual dHash image near-dup, zero-copy table branch
+    "cms_token_freq",
+    "skew_audit",
+    "media_dhash",
+    "storage_branch",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

@@ -45,6 +45,8 @@ __all__ = [
     "kmv_sketch",
     "kmv_jaccard",
     "kmv_self_pairs",
+    "count_min_build",
+    "count_min_estimate",
 ]
 
 
@@ -203,6 +205,118 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("_sk", F.lit(True)))
         .cast("long")
         .alias("distinct_est"),
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch over an item stream — the POINT-FREQUENCY tier
+    completing the sketch family (Misra-Gries = top-k superset, HLL =
+    distinct counts, KMV = set overlap, CMS = "how often did THIS item
+    occur" for items you name after the fact). Returns the sketch as a
+    (d int, bucket int, cnt long) DataFrame of ``depth`` rows of
+    ``width`` counters: cnt = number of stream rows whose row-``d``
+    hash lands in ``bucket``. Estimates (:func:`count_min_estimate`)
+    never undercount and overcount by <= 2N/width with probability
+    1 - 2^-depth (Cormode & Muthukrishnan).
+
+    Hashes are the repo's portable 60-bit md5 family (item || ':' ||
+    d), so an external SQL engine can rebuild the ENTIRE sketch and
+    every estimate bit-for-bit — the same determinism discipline as
+    kmv/minhash. Scale shape: one map-side-combinable count aggregate
+    over (d, bucket); after partial aggregation at most
+    ``depth * width`` rows per partition cross the exchange, never the
+    stream. Sketches are mergeable: union two builds and re-sum.
+
+    NULL items are dropped (consistent with the rest of the family).
+    """
+    from eclipse_spark.functions.scalar import portable_hash60
+
+    items = df.select(F.col(item_col).cast("string").alias("_i")).filter(
+        F.col("_i").isNotNull()
+    )
+    ex = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            portable_hash60(
+                                F.md5(F.concat_ws(":", F.col("_i"), F.lit(str(d)))),
+                                0,
+                            )
+                            % width
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    return ex.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for a probe item set against a
+    :func:`count_min_build` sketch (same width/depth/hash family):
+    est(item) = min over d of the counter at hash_d(item) — the classic
+    CMS read, never below the true count. Returns (item string,
+    cms_est long).
+
+    Scale shape: probes fan out to ``depth`` (d, bucket) keys and join
+    the sketch — the sketch side is <= depth*width rows, so Spark
+    broadcasts it and the probe side never shuffles; an empty bucket
+    reads as 0 (the groupBy build emits no row for it)."""
+    from eclipse_spark.functions.scalar import portable_hash60
+
+    p = probes.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    ).distinct()
+    keyed = p.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            portable_hash60(
+                                F.md5(
+                                    F.concat_ws(":", F.col("item"), F.lit(str(d)))
+                                ),
+                                0,
+                            )
+                            % width
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("item", "s.d", "s.bucket")
+    return (
+        keyed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
     )
 
 

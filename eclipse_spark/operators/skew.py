@@ -58,6 +58,57 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew DIAGNOSIS — the measurement half of
+    this module's mitigation tools (the operational question before
+    any salt/two-phase decision is "is this key skewed, and by how
+    much"): one row per top-``top_n`` heaviest key with
+
+    - ``cnt``: the key's row count,
+    - ``share_ppm``: floor(1e6 * cnt / total_rows) — its share of the
+      stream in parts-per-million (integer, engine-exact),
+    - ``skew_x``: floor(cnt * n_keys / total_rows) — how many times an
+      AVERAGE key's volume this key carries (the direct salting
+      multiplier: a key at skew_x=40 wants ~40-way fan-out),
+
+    plus the stream-level denominators (total_rows, n_keys) on every
+    row so the report is self-contained. NULL keys count as a real
+    group (NULL is the classic accidental hot key). Deterministic
+    order: cnt DESC, key ASC.
+
+    Scale shape: ONE map-side-combinable count aggregate over the key,
+    one 1-row total aggregate joined by literal-free crossJoin of a
+    broadcast single row, and a top-n via ORDER BY cnt LIMIT n (Spark
+    TakeOrderedAndProject — per-partition heaps, never a global
+    sort). The per-key table is the only shuffle and it is exactly the
+    shuffle the audited join would pay, minus the payload.
+    """
+    per_key = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = per_key.orderBy(F.desc("cnt"), F.asc_nulls_first("key")).limit(top_n)
+    # integer `div` on BIGINT is exact floor division in both engines
+    # (double-division + cast can round up across an integer boundary)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        F.expr("(cnt * CAST(1000000 AS BIGINT)) div total_rows")
+        .cast("long")
+        .alias("share_ppm"),
+        F.expr("(cnt * n_keys) div total_rows").cast("long").alias("skew_x"),
+        "total_rows",
+        "n_keys",
+    )
+
+
 def skew_join_salted(
     big: DataFrame,
     small: DataFrame,

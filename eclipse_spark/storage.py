@@ -318,6 +318,31 @@ class Catalog:
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def branch(self, src: str, dst: str) -> str:
+        """Zero-copy table branch (Delta SHALLOW CLONE / Iceberg branch
+        in spirit): publish ``src``'s CURRENT copy as a new independent
+        table ``dst`` via a hard-link clone — no data bytes move, just
+        directory entries. Safe because every mutation path in this
+        catalog is copy-on-write at file granularity (puts/compactions
+        stage whole new part files and rename; appends only ADD files;
+        nothing ever edits a shared file in place), so the two tables
+        share immutable files until either side writes, then diverge
+        naturally. The experimentation workflow this exists for:
+        branch the production table, run a cleanup/backfill against
+        the branch, diff, then merge or drop — without 2x storage or a
+        long copy. The branch starts its own version history (bump to
+        v1 of ``dst``); it does NOT inherit src's retained snapshots."""
+        if not self.exists(src):
+            raise FileNotFoundError(f"branch: no such table {src!r}")
+        if self.exists(dst):
+            raise ValueError(f"branch: target table {dst!r} already exists")
+        tmp = self.path_of(dst) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._clone_dir(self.path_of(src), tmp)
+        os.rename(tmp, self.path_of(dst))
+        self._bump(dst)
+        return self.path_of(dst)
+
     def restore(self, name: str, version: int) -> str:
         """Roll a table back to a retained snapshot: the snapshot data
         becomes the new CURRENT copy under a NEW version number (like

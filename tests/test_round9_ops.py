@@ -1,0 +1,196 @@
+"""Round-9 additions: count-min sketch, skew audit, dHash image
+near-dup, zero-copy table branch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- count-min sketch ---------------------------------------------------
+
+
+def _stream(spark):
+    rows = [("a",)] * 500 + [("b",)] * 120 + [(f"t{i}",) for i in range(400)]
+    return spark.createDataFrame(rows, ["tok"]).repartition(8)
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = _stream(spark)
+    sk = count_min_build(df, "tok", width=256, depth=4)
+    exact = {r["tok"]: r["c"] for r in df.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    probes = df.select("tok").distinct()
+    est = {
+        r["item"]: r["cms_est"]
+        for r in count_min_estimate(sk, probes, "tok", width=256, depth=4).collect()
+    }
+    n = sum(exact.values())
+    for tok, c in exact.items():
+        assert est[tok] >= c, f"CMS undercounted {tok}"
+        # e*N bound with e = 2/width; generous 4x slack for tiny width
+        assert est[tok] <= c + 4 * (2 * n // 256 + 1)
+
+
+def test_cms_deterministic_and_mergeable(spark):
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = _stream(spark)
+    a = df.filter(F.col("tok") < "m")
+    b = df.filter(~(F.col("tok") < "m"))
+    whole = count_min_build(df, "tok", width=128, depth=3)
+    merged = (
+        count_min_build(a, "tok", width=128, depth=3)
+        .unionByName(count_min_build(b, "tok", width=128, depth=3))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(whole.collect()) == key(merged.collect())
+    # absent item: estimate is collision noise only, never negative
+    ghost = spark.createDataFrame([("zzz-never-seen",)], ["tok"])
+    e = count_min_estimate(whole, ghost, "tok", width=128, depth=3).collect()[0]
+    assert 0 <= e["cms_est"] < 200
+
+
+# -- skew audit ---------------------------------------------------------
+
+
+def test_skew_audit_exact_values(spark):
+    from eclipse_spark.operators.skew import skew_audit
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(99)] + [(None,)] * 1
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    out = skew_audit(df, "k", top_n=3).collect()
+    assert out[0]["key"] == "hot" and out[0]["cnt"] == 900
+    assert out[0]["total_rows"] == 1000 and out[0]["n_keys"] == 101
+    assert out[0]["share_ppm"] == 900 * 1_000_000 // 1000
+    assert out[0]["skew_x"] == 900 * 101 // 1000
+    # null key is a real group and sorts into the tail ties by key
+    assert len(out) == 3 and all(r["cnt"] >= 1 for r in out)
+
+
+def test_skew_audit_null_hot_key(spark):
+    from eclipse_spark.operators.skew import skew_audit
+
+    rows = [(None,)] * 50 + [("x",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_audit(df, "k", top_n=1).collect()
+    assert out[0]["key"] is None and out[0]["cnt"] == 50
+
+
+# -- dHash image near-dup -----------------------------------------------
+
+
+def _dhash_py(payload: bytes):
+    import numpy as np
+
+    from eclipse_spark.operators.multimodal import bmp_decode
+
+    w0, h0, arr = bmp_decode(payload)
+    ys = (np.arange(8) * h0) // 8
+    xs = (np.arange(9) * w0) // 9
+    small = arr[ys][:, xs].astype(np.int64)
+    luma = (299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]) // 1000
+    bits = (luma[:, 1:] > luma[:, :-1]).astype(np.int64)
+    pos = (np.arange(8)[:, None] % 2) * 8 + np.arange(8)[None, :]
+    vals = bits << pos
+    return tuple(int(vals[2 * t : 2 * t + 2].sum()) for t in range(4))
+
+
+def test_dhash_matches_reference_and_pairs_complete(spark):
+    """dhash_bands equals the pure-python reference per image, and
+    dhash_near_pairs returns EXACTLY the brute-force hamming<=3 pairs
+    (pigeonhole completeness + verify exactness)."""
+    from eclipse_spark.operators import multimodal
+
+    ids = spark.range(0, 60).select(F.col("id"))
+    bmps = multimodal.encode_pattern_bmp(ids, id_col="id")
+    # plant exact duplicates: same bytes, shifted id
+    dup = bmps.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1000).alias("id"), "bytes"
+    )
+    corpus = bmps.unionByName(dup)
+    hs = multimodal.dhash_bands(corpus, id_col="id", bytes_col="bytes")
+    got_h = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in hs.collect()}
+    raw = {r["id"]: bytes(r["bytes"]) for r in corpus.collect()}
+    ref_h = {i: _dhash_py(b) for i, b in raw.items()}
+    assert got_h == ref_h
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    exp = {
+        (i, j, ham(ref_h[i], ref_h[j]))
+        for i in ref_h
+        for j in ref_h
+        if i < j and ham(ref_h[i], ref_h[j]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.dhash_near_pairs(hs, max_hamming=3).collect()
+    }
+    assert got == exp
+    # the planted exact dups are all in there at hamming 0
+    assert all((i, i + 1000, 0) in got for i in range(0, 60, 10))
+
+
+def test_dhash_near_pairs_rejects_unguaranteed_threshold(spark):
+    from eclipse_spark.operators import multimodal
+
+    hs = spark.createDataFrame([(1, 0, 0, 0, 0)], ["id", "b0", "b1", "b2", "b3"])
+    with pytest.raises(ValueError):
+        multimodal.dhash_near_pairs(hs, max_hamming=4)
+
+
+# -- zero-copy table branch ----------------------------------------------
+
+
+def test_branch_is_independent_and_zero_copy(spark, tmp_path):
+    import os
+
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cat.put("t", base)
+    cat.branch("t", "t2")
+    assert sorted(cat.ls()) == ["t", "t2"]
+    # zero-copy: branch files are hard links (same inode), not copies
+    src_files = {
+        f: os.stat(os.path.join(cat.path_of("t"), f)).st_ino
+        for f in os.listdir(cat.path_of("t"))
+        if f.endswith(".parquet")
+    }
+    dst_files = {
+        f: os.stat(os.path.join(cat.path_of("t2"), f)).st_ino
+        for f in os.listdir(cat.path_of("t2"))
+        if f.endswith(".parquet")
+    }
+    assert src_files == dst_files and src_files
+    # mutate the branch: source must not move
+    cat.merge("t2", spark.createDataFrame([(5, 999)], ["id", "v"]), on=["id"])
+    assert cat.get("t").filter("id = 5").collect()[0]["v"] == 10
+    assert cat.get("t2").filter("id = 5").collect()[0]["v"] == 999
+    assert cat.get("t").count() == cat.get("t2").count() == 100
+    # dropping the branch leaves the source readable
+    cat.rm("t2")
+    assert cat.get("t").count() == 100
+
+
+def test_branch_refuses_collisions(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    cat.put("a", spark.range(3))
+    with pytest.raises(FileNotFoundError):
+        cat.branch("missing", "b")
+    with pytest.raises(ValueError):
+        cat.branch("a", "a")
