@@ -6711,6 +6711,102 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_near_pairs(hs, max_hamming=3)
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches
+    (sketch.count_min_join_size — the CMS inner-product estimator):
+    |orders ⋈ customer ON custkey| predicted from two depth-4 x
+    width-2048 sketch tables without re-touching either input — the
+    planner's "how big is this join" primitive, mergeable across
+    shards like the sketches themselves. The portable hash family
+    makes the estimate deterministic, so the oracle rebuilds BOTH
+    sketches and the min-of-inner-products in SQL; overcount >= 0
+    certifies the never-undercount guarantee against the exact join
+    count computed alongside."""
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_join_size,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sa = count_min_build(orders, "o_custkey", width=2048, depth=4)
+    sb = count_min_build(cust, "c_custkey", width=2048, depth=4)
+    est = count_min_join_size(sa, sb)
+    exact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count("*").cast("long").alias("exact_join"))
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "exact_join",
+        (F.col("join_size_est") - F.col("exact_join"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KMV set-cardinality algebra (sketch.kmv_set_cardinalities
+    — the theta-sketch role): per event_type, the user sets of two
+    overlapping event slices (even event_ids vs every-3rd event_ids)
+    are sketched with bottom-k (k=512) and |A|, |B|, |A∪B|, |A∩B| are
+    estimated from the sketches alone — "how many NEW users does this
+    slice add" without re-joining the sources. Driver row: EXACT set
+    cardinalities (SQL-recomputable anchors) plus bound flags on every
+    estimate (rsd ~ 1/sqrt(512) ≈ 4.4%; 15% > 3 sd for the direct
+    estimates, 25% for the composed intersection which stacks the
+    Jaccard and union errors; seed-fixed xxhash64 makes every estimate
+    deterministic). Groups smaller than k collapse to exact under the
+    same code path."""
+    from eclipse_spark.operators.sketch import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    ev = _events(spark, sf_dir)
+    a_src = ev.filter(F.col("event_id") % 2 == 0)
+    b_src = ev.filter(F.col("event_id") % 3 == 0)
+    sa = kmv_sketch(a_src, ["event_type"], "user_id", k=512)
+    sb = kmv_sketch(b_src, ["event_type"], "user_id", k=512)
+    est = kmv_set_cardinalities(sa, sb, ["event_type"], k=512)
+    ua = a_src.select("event_type", "user_id").distinct()
+    ub = b_src.select("event_type", "user_id").distinct()
+    n_a = ua.groupBy("event_type").agg(F.count("*").cast("long").alias("n_a"))
+    n_b = ub.groupBy("event_type").agg(F.count("*").cast("long").alias("n_b"))
+    n_u = (
+        ua.unionByName(ub)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_union"))
+    )
+    n_i = (
+        ua.join(ub, ["event_type", "user_id"], "semi")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    exact = n_a.join(n_b, "event_type").join(n_u, "event_type").join(
+        n_i, "event_type"
+    )
+
+    def _ok(est_c, ex_c, tol):
+        return (
+            F.abs(F.col(est_c) - F.col(ex_c))
+            <= F.lit(tol) * F.col(ex_c).cast("double")
+        ).cast("int")
+
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        _ok("est_a", "n_a", 0.15).alias("ok_a"),
+        _ok("est_b", "n_b", 0.15).alias("ok_b"),
+        _ok("est_union", "n_union", 0.15).alias("ok_union"),
+        _ok("est_intersection", "n_inter", 0.25).alias("ok_inter"),
+    )
+
+
 def q_storage_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy table branching (Catalog.branch — shallow-clone via
     hard links, no data copied) driving the experiment workflow it
@@ -6758,12 +6854,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates onto
     the queries that still lack driver evidence. Round-9 window:
-    positions 1-4 are the four round-9 additions (same-round evidence
+    positions 1-6 are the six round-9 additions (same-round evidence
     discipline) — Count-Min point frequencies with a full SQL-rebuilt
     sketch, the join-key skew audit, perceptual dHash image near-dup
-    over real BMP decode, and the zero-copy hard-link table branch.
+    over real BMP decode, the zero-copy hard-link table branch, the
+    CMS inner-product join-size estimator, and the KMV set-cardinality
+    algebra (exact anchors + bound flags).
 
-    Positions 5-50 are RE-CONFIRMATIONS weighted toward the code paths
+    Positions 7-50 are RE-CONFIRMATIONS weighted toward the code paths
     round 9 touched: the vectorized Misra-Gries/KMV partial passes
     (mg_heavy_hitters, heavy_hitters, kmv_overlap), the
     semantic-dedup persist-lifecycle + distributed-seeding work
@@ -6790,7 +6888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": q_skew_audit,
         "media_dhash": q_media_dhash,
         "storage_branch": q_storage_branch,
-        # ===== positions 5-50: re-confirmations, weighted toward the
+        "cms_join_size": q_cms_join_size,
+        "kmv_set_ops": q_kmv_set_ops,
+        # ===== positions 7-50: re-confirmations, weighted toward the
         # code paths round 9 touched (vectorized MG/KMV partials,
         # bloom dtype coercion, semantic_dedup persist lifecycle,
         # distributed SemDeDup seeding, ktruss delta peel, get_many
@@ -6836,8 +6936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_refresh_join": q_mv_refresh_join,
         "events_stream_ivm": q_events_stream_ivm,
         "events_stream_asof": q_events_stream_asof,
-        "int8_quantize": q_int8_quantize,
-        "ann_int8": q_ann_int8,
         # window cap (positions 47-50): the three canonical reference
         # apps + the semantic-cache demo, the round-8 practice
         "word_count": q_word_count,
@@ -6853,6 +6951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "semcache_subplan": q_semcache_subplan,
         "ohlc_bars": q_ohlc_bars,
+        "int8_quantize": q_int8_quantize,
+        "ann_int8": q_ann_int8,
         "ann_pq_cached": q_ann_pq_cached,
         "dense_index": q_dense_index,
         "temporal_join": q_temporal_join,
@@ -10219,6 +10319,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(est.cms_est - ex.freq AS BIGINT) AS overcount
             FROM ex JOIN est ON ex.item = est.item
         """.replace("{TOKENS}", TOKENS_SQL),
+        "cms_join_size": """
+            WITH sa AS (SELECT d.d AS d,
+                               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                    || ':' || CAST(d.d AS VARCHAR)), 1, 15)
+                               )::BIGINT % 2048 AS bucket,
+                               count(*) AS cnt
+                        FROM orders
+                        CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+                        GROUP BY 1, 2),
+            sb AS (SELECT d.d AS d,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                               || ':' || CAST(d.d AS VARCHAR)), 1, 15)
+                          )::BIGINT % 2048 AS bucket,
+                          count(*) AS cnt
+                   FROM customer
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+                   GROUP BY 1, 2),
+            ip AS (SELECT sa.d, sum(sa.cnt * sb.cnt) AS ip
+                   FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+                   GROUP BY 1),
+            ex AS (SELECT count(*) AS exact_join
+                   FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS join_size_est,
+                   CAST(exact_join AS BIGINT) AS exact_join,
+                   CAST((SELECT min(ip) FROM ip) - exact_join AS BIGINT)
+                     AS overcount
+            FROM ex
+        """,
+        "kmv_set_ops": """
+            WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE event_id % 2 = 0),
+            b AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE event_id % 3 = 0),
+            na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+                   FROM a GROUP BY 1),
+            nb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b
+                   FROM b GROUP BY 1),
+            nu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_union
+                   FROM (SELECT * FROM a UNION SELECT * FROM b)
+                   GROUP BY 1),
+            ni AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM a JOIN b ON a.event_type = b.event_type
+                              AND a.user_id = b.user_id
+                   GROUP BY 1)
+            SELECT na.event_type, n_a, n_b, n_union, n_inter,
+                   CAST(1 AS INT) AS ok_a, CAST(1 AS INT) AS ok_b,
+                   CAST(1 AS INT) AS ok_union, CAST(1 AS INT) AS ok_inter
+            FROM na JOIN nb ON na.event_type = nb.event_type
+                    JOIN nu ON na.event_type = nu.event_type
+                    JOIN ni ON na.event_type = ni.event_type
+        """,
         "skew_audit": """
             WITH k AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'HOT'
                                    ELSE CAST(l_partkey AS VARCHAR) END AS key

@@ -47,6 +47,9 @@ __all__ = [
     "kmv_self_pairs",
     "count_min_build",
     "count_min_estimate",
+    "count_min_join_size",
+    "kmv_distinct_est",
+    "kmv_set_cardinalities",
 ]
 
 
@@ -317,6 +320,108 @@ def count_min_estimate(
             .cast("long")
             .alias("cms_est")
         )
+    )
+
+
+def count_min_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two Count-Min sketches built
+    with the SAME width/depth/hash family — the CMS inner-product
+    estimator (Cormode & Muthukrishnan §4.2): the true join size
+    ``sum_k fa(k) * fb(k)`` never exceeds ``min_d sum_w a_d[w] *
+    b_d[w]`` (every colliding pair only ADDS to the product), so the
+    estimate NEVER undercounts and overshoots by <= 2·Na·Nb/width with
+    probability 1 - 2^-depth. This is the planner question — "how big
+    is this join" — answered from two sketch tables without touching
+    either input again, and because both sketches are mergeable the
+    estimate composes across shards/days exactly like the sketches do.
+
+    Returns ONE row (join_size_est long). Scale shape: a (d, bucket)
+    equi-join of two <= depth*width-row tables (inner join — a bucket
+    absent from either side contributes 0 to the product), one tiny
+    per-d sum, one min."""
+    a = sketch_a.select("d", "bucket", F.col("cnt").alias("_ca"))
+    b = sketch_b.select("d", "bucket", F.col("cnt").alias("_cb"))
+    per_d = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_d.agg(F.min("_ip").cast("long").alias("join_size_est"))
+
+
+def kmv_distinct_est(kmin: "F.Column", n_hashes: "F.Column", k: int):
+    """Distinct-count estimate COLUMN from a KMV bottom-k sketch
+    (Bar-Yossef et al.): when the group held fewer than k distinct
+    hashes the sketch IS the set and the count is exact; otherwise the
+    k-th smallest hash U estimates the quantile p = (U + 2^63) / 2^64
+    of the uniform signed-64 hash space and D ≈ (k - 1) / p. Pure
+    arithmetic on the sketch (deterministic for a fixed dataset —
+    both engines compute the identical IEEE expression), rounded at 6.
+    """
+    kth = F.element_at(kmin, k).cast("double")
+    p = (kth + F.lit(float(2**63))) / F.lit(float(2**64))
+    return F.round(
+        F.when(n_hashes < k, n_hashes.cast("double")).otherwise(
+            F.lit(float(k - 1)) / p
+        ),
+        6,
+    )
+
+
+def kmv_set_cardinalities(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    on: list[str],
+    k: int = 512,
+) -> DataFrame:
+    """Full set-cardinality algebra between two KMV-sketched families
+    joined on ``on`` — the theta-sketch role: from two bottom-k
+    sketches alone, estimate |A|, |B|, |A ∪ B| (merge the sketches,
+    bottom-k of the union, same estimator), |A ∩ B| = J_est · |A ∪ B|
+    (the bottom-k Jaccard on the merged sample), and the differences
+    |A \\ B| / |B \\ A| by inclusion-exclusion. "How many NEW users
+    does source B add over source A" answered without re-scanning
+    either source; every estimate collapses to EXACT when both groups
+    are smaller than k (the merge is lossless — sketch family
+    invariant). Returns (on..., est_a, est_b, est_union,
+    est_intersection, est_only_a, est_only_b — doubles rounded at 6,
+    deterministic for a fixed dataset).
+
+    Scale shape: one key join moving k longs per group per side; the
+    union/Jaccard are codegen array expressions on the joined row."""
+    a = sketch_a.select(
+        *on, F.col("kmin").alias("_ka"), F.col("n_hashes").alias("_na")
+    )
+    b = sketch_b.select(
+        *on, F.col("kmin").alias("_kb"), F.col("n_hashes").alias("_nb")
+    )
+    j = (
+        a.join(b, on)
+        .withColumn(
+            "_km", F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k)
+        )
+        .withColumn("_nm", F.size("_km"))
+        .withColumn(
+            "_nc",
+            F.size(F.array_intersect(F.array_intersect("_km", "_ka"), "_kb")),
+        )
+    )
+    est_a = kmv_distinct_est(F.col("_ka"), F.col("_na"), k)
+    est_b = kmv_distinct_est(F.col("_kb"), F.col("_nb"), k)
+    est_u = kmv_distinct_est(F.col("_km"), F.col("_nm"), k)
+    j_est = F.col("_nc") / F.col("_nm").cast("double")
+    est_i = F.round(j_est * est_u, 6)
+    return j.select(
+        *on,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        est_i.alias("est_intersection"),
+        F.round(est_u - est_b, 6).alias("est_only_a"),
+        F.round(est_u - est_a, 6).alias("est_only_b"),
     )
 
 

@@ -194,3 +194,87 @@ def test_branch_refuses_collisions(spark, tmp_path):
         cat.branch("missing", "b")
     with pytest.raises(ValueError):
         cat.branch("a", "a")
+
+
+# -- CMS join-size estimate ----------------------------------------------
+
+
+def test_cms_join_size_never_undercounts(spark):
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_join_size,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 50,) for i in range(2000)], "k int"
+    )
+    b = spark.createDataFrame(
+        [(i % 80,) for i in range(1600)], "k int"
+    )
+    exact = a.join(b, "k").count()
+    for width in (64, 1024):
+        sa = count_min_build(a, "k", width=width, depth=4)
+        sb = count_min_build(b, "k", width=width, depth=4)
+        est = count_min_join_size(sa, sb).collect()[0]["join_size_est"]
+        assert est >= exact
+        # wide sketch: collisions still occur (birthday: ~130 keys into
+        # 1024 buckets), but the min-over-depth estimate stays tight
+        if width == 1024:
+            assert est <= exact * 1.1
+    # disjoint key spaces -> small collision-only estimate, never negative
+    c = spark.createDataFrame([(i + 10_000,) for i in range(100)], "k int")
+    sc_ = count_min_build(c, "k", width=1024, depth=4)
+    sa = count_min_build(a, "k", width=1024, depth=4)
+    est0 = count_min_join_size(sa, sc_).collect()[0]["join_size_est"]
+    assert 0 <= est0 < exact
+
+
+# -- KMV set algebra -------------------------------------------------------
+
+
+def test_kmv_set_cardinalities_exact_regime(spark):
+    """Groups smaller than k: every estimate collapses to the exact
+    set cardinality (bottom-k merge is lossless)."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators.sketch import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    rows_a = [("g", i) for i in range(100)]
+    rows_b = [("g", i) for i in range(60, 200)]
+    a = spark.createDataFrame(rows_a, ["j", "v"])
+    b = spark.createDataFrame(rows_b, ["j", "v"])
+    sa = kmv_sketch(a, ["j"], "v", k=512)
+    sb = kmv_sketch(b, ["j"], "v", k=512)
+    r = kmv_set_cardinalities(sa, sb, ["j"], k=512).collect()[0]
+    assert r["est_a"] == 100.0 and r["est_b"] == 140.0
+    assert r["est_union"] == 200.0
+    assert r["est_intersection"] == 40.0
+    assert r["est_only_a"] == 60.0 and r["est_only_b"] == 100.0
+
+
+def test_kmv_set_cardinalities_estimate_regime(spark):
+    """Groups larger than k: estimates land within the sketch's rsd
+    (~1/sqrt(k)) of truth."""
+    from eclipse_spark.operators.sketch import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    n = 20_000
+    rows_a = [("g", i) for i in range(n)]
+    rows_b = [("g", i) for i in range(n // 2, n + n // 2)]
+    a = spark.createDataFrame(rows_a, ["j", "v"]).repartition(8)
+    b = spark.createDataFrame(rows_b, ["j", "v"]).repartition(8)
+    k = 512
+    sa = kmv_sketch(a, ["j"], "v", k=k)
+    sb = kmv_sketch(b, ["j"], "v", k=k)
+    r = kmv_set_cardinalities(sa, sb, ["j"], k=k).collect()[0]
+    tol = 5.0 / (k ** 0.5)  # ~5 standard errors
+    assert abs(r["est_a"] - n) / n < tol
+    assert abs(r["est_b"] - n) / n < tol
+    assert abs(r["est_union"] - 1.5 * n) / (1.5 * n) < tol
+    assert abs(r["est_intersection"] - 0.5 * n) / (0.5 * n) < 3 * tol
+    assert abs(r["est_only_a"] - 0.5 * n) / (0.5 * n) < 3 * tol

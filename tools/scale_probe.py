@@ -353,8 +353,13 @@ def main() -> None:
         deep_names = ["apss_cosine", "semdedup", "semdedup_scaled",
                       "apss_jaccard"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
-            deep_names.append("clustering_coeff")
-        single_run = {"clustering_coeff", "apss_jaccard"}
+            # the iterative peel kernels get their second decade too;
+            # their sf1 number is already a COLD single run (PROBE_COLD
+            # tier), so it is reused as the like-for-like baseline
+            deep_names += ["clustering_coeff", "ktruss", "kcore",
+                           "coreness"]
+        single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
+                      "kcore", "coreness"}
         for name in deep_names:
             fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
                   else queries[name])
@@ -362,11 +367,16 @@ def main() -> None:
                 # single-run deep queries compare COLD sf1 vs COLD
                 # sf10 — the min-of-2-warm sf1 number conflates cache
                 # state (and any size-triggered plan-shape flip, e.g.
-                # broadcast -> partitioned adjacency join) with scaling
-                t0 = time.perf_counter()
-                fn(spark, big).write.format("noop").mode(
-                    "overwrite").save()
-                t1 = time.perf_counter() - t0
+                # broadcast -> partitioned adjacency join) with scaling.
+                # PROBE_COLD kernels already measured a cold sf1 run
+                # this session — reuse it instead of paying it twice.
+                if name in out and out[name].get("runs") == 1:
+                    t1 = out[name]["sf1_sec"]
+                else:
+                    t0 = time.perf_counter()
+                    fn(spark, big).write.format("noop").mode(
+                        "overwrite").save()
+                    t1 = time.perf_counter() - t0
             elif name == "semdedup_scaled":
                 t1 = _time(fn, spark, big)
             elif name in out:
