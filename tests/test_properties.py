@@ -970,3 +970,61 @@ def test_allpairs_jaccard_equals_bruteforce(spark, docs, pct):
             if 100 * c >= pct * (len(a) + len(b) - c):
                 exp[(i, j)] = (c, len(a), len(b))
     assert got == exp
+
+
+# -- round-9 sketch properties -------------------------------------------
+
+streams = st.lists(st.sampled_from(WORDS), min_size=1, max_size=60)
+
+
+@SETTINGS
+@given(toks=streams)
+def test_cms_never_undercounts_property(spark, toks):
+    """For ANY stream, every item's CMS estimate >= its exact count
+    (tiny width forces collisions, so the property is exercised, not
+    vacuous), and the estimate never exceeds exact + stream length
+    (trivial upper bound: all collisions)."""
+    from collections import Counter
+
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"]).repartition(3)
+    sk = count_min_build(df, "tok", width=4, depth=2)
+    est = {
+        r["item"]: r["cms_est"]
+        for r in count_min_estimate(
+            sk, df.select("tok").distinct(), "tok", width=4, depth=2
+        ).collect()
+    }
+    exact = Counter(toks)
+    for item, c in exact.items():
+        assert c <= est[item] <= len(toks)
+
+
+@SETTINGS
+@given(
+    a=st.sets(st.integers(0, 80), min_size=1, max_size=40),
+    b=st.sets(st.integers(0, 80), min_size=1, max_size=40),
+)
+def test_kmv_set_algebra_exact_regime_property(spark, a, b):
+    """Sets smaller than k: the full KMV algebra is EXACT for any pair
+    of sets (bottom-k merge losslessness)."""
+    from eclipse_spark.operators.sketch import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    da = spark.createDataFrame([("g", v) for v in a], ["j", "v"])
+    db = spark.createDataFrame([("g", v) for v in b], ["j", "v"])
+    sa = kmv_sketch(da, ["j"], "v", k=256)
+    sb = kmv_sketch(db, ["j"], "v", k=256)
+    r = kmv_set_cardinalities(sa, sb, ["j"], k=256).collect()[0]
+    assert r["est_a"] == float(len(a))
+    assert r["est_b"] == float(len(b))
+    assert r["est_union"] == float(len(a | b))
+    assert r["est_intersection"] == float(len(a & b))
+    assert r["est_only_a"] == float(len(a - b))
+    assert r["est_only_b"] == float(len(b - a))
