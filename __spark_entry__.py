@@ -6807,6 +6807,60 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (sketch.sample_sketch /
+    sample_quantiles — the quantile tier next to hll_rollup): per
+    returnflag, a bottom-512-by-hash uniform row sample of
+    l_extendedprice (mergeable: daily samples roll up to months by
+    keeping the hash-smallest k of the union, no re-scan) and the
+    p25/p50/p95 estimates read off the sample. Driver row: exact
+    group count/min/max (SQL anchors) plus bound flags — each sample
+    quantile must land between the EXACT percentiles at p ± 4 rank
+    standard errors (sigma = sqrt(p(1-p)/512)), both sides computed in
+    Spark; the oracle pins the flags at 1, so an estimator drifting
+    past 4 sd (or a broken merge) hash-mismatches. Seed-fixed hash
+    makes the sample — and so every flag — deterministic."""
+    from eclipse_spark.operators.sketch import (
+        sample_quantiles,
+        sample_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").cast("double").alias("val"),
+    )
+    sk = sample_sketch(src, ["l_returnflag"], "val", "rid", k=512)
+    q = sample_quantiles(sk, ["l_returnflag"], [0.25, 0.5, 0.95])
+    # exact percentile bounds at p +- 4*sqrt(p(1-p)/512)
+    ex = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("min_price"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("max_price"),
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE), "
+            "array(0.1734d, 0.3266d, 0.4116d, 0.5884d, 0.9115d, 1.0d))"
+        ).alias("_b"),
+    )
+
+    def _ok(qc, lo_i, hi_i):
+        return (
+            (F.col(qc) >= F.element_at("_b", lo_i))
+            & (F.col(qc) <= F.element_at("_b", hi_i))
+        ).cast("int")
+
+    return ex.join(q, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "min_price",
+        "max_price",
+        _ok("q_25", 1, 2).alias("ok_p25"),
+        _ok("q_5", 3, 4).alias("ok_p50"),
+        _ok("q_95", 5, 6).alias("ok_p95"),
+    )
+
+
 def q_storage_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy table branching (Catalog.branch — shallow-clone via
     hard links, no data copied) driving the experiment workflow it
@@ -6854,14 +6908,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys, so each round the window rotates onto
     the queries that still lack driver evidence. Round-9 window:
-    positions 1-6 are the six round-9 additions (same-round evidence
+    positions 1-7 are the seven round-9 additions (same-round evidence
     discipline) — Count-Min point frequencies with a full SQL-rebuilt
     sketch, the join-key skew audit, perceptual dHash image near-dup
     over real BMP decode, the zero-copy hard-link table branch, the
-    CMS inner-product join-size estimator, and the KMV set-cardinality
-    algebra (exact anchors + bound flags).
+    CMS inner-product join-size estimator, the KMV set-cardinality
+    algebra, and the mergeable uniform-sample quantile rollup (exact
+    anchors + bound flags).
 
-    Positions 7-50 are RE-CONFIRMATIONS weighted toward the code paths
+    Positions 8-50 are RE-CONFIRMATIONS weighted toward the code paths
     round 9 touched: the vectorized Misra-Gries/KMV partial passes
     (mg_heavy_hitters, heavy_hitters, kmv_overlap), the
     semantic-dedup persist-lifecycle + distributed-seeding work
@@ -6890,7 +6945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_branch": q_storage_branch,
         "cms_join_size": q_cms_join_size,
         "kmv_set_ops": q_kmv_set_ops,
-        # ===== positions 7-50: re-confirmations, weighted toward the
+        "quantile_rollup": q_quantile_rollup,
+        # ===== positions 8-50: re-confirmations, weighted toward the
         # code paths round 9 touched (vectorized MG/KMV partials,
         # bloom dtype coercion, semantic_dedup persist lifecycle,
         # distributed SemDeDup seeding, ktruss delta peel, get_many
@@ -6935,7 +6991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_refresh": q_mv_refresh,
         "mv_refresh_join": q_mv_refresh_join,
         "events_stream_ivm": q_events_stream_ivm,
-        "events_stream_asof": q_events_stream_asof,
         # window cap (positions 47-50): the three canonical reference
         # apps + the semantic-cache demo, the round-8 practice
         "word_count": q_word_count,
@@ -6951,6 +7006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "semcache_subplan": q_semcache_subplan,
         "ohlc_bars": q_ohlc_bars,
+        "events_stream_asof": q_events_stream_asof,
         "int8_quantize": q_int8_quantize,
         "ann_int8": q_ann_int8,
         "ann_pq_cached": q_ann_pq_cached,
@@ -10346,6 +10402,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT min(ip) FROM ip) - exact_join AS BIGINT)
                      AS overcount
             FROM ex
+        """,
+        "quantile_rollup": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(CAST(l_extendedprice AS DOUBLE)) AS min_price,
+                   max(CAST(l_extendedprice AS DOUBLE)) AS max_price,
+                   CAST(1 AS INT) AS ok_p25,
+                   CAST(1 AS INT) AS ok_p50,
+                   CAST(1 AS INT) AS ok_p95
+            FROM lineitem GROUP BY l_returnflag
         """,
         "kmv_set_ops": """
             WITH a AS (SELECT DISTINCT event_type, user_id FROM events

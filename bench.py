@@ -200,6 +200,7 @@ HEADLINE = [
     "storage_branch",
     "cms_join_size",
     "kmv_set_ops",
+    "quantile_rollup",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

@@ -50,6 +50,8 @@ __all__ = [
     "count_min_join_size",
     "kmv_distinct_est",
     "kmv_set_cardinalities",
+    "sample_sketch",
+    "sample_quantiles",
 ]
 
 
@@ -423,6 +425,130 @@ def kmv_set_cardinalities(
         F.round(est_u - est_b, 6).alias("est_only_a"),
         F.round(est_u - est_a, 6).alias("est_only_b"),
     )
+
+
+def sample_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """Mergeable bottom-k-by-hash UNIFORM row sample per group — the
+    QUANTILE rollup tier next to :func:`hll_rollup` (distinct counts):
+    keep the ``value_col`` of the k rows whose ``xxhash64(id_col)`` is
+    smallest. Because the hash is a fixed uniform function of the row
+    identity, the k winners are a uniform random sample of the group
+    AND the sketch of a union is just the k hash-smallest of the
+    concatenated sketches — daily samples roll up to months without
+    re-scanning the stream, which no quantile-digest built on
+    streaming order can do as simply. ``id_col`` must be unique per
+    row (duplicated ids collapse — same contract as any
+    identity-keyed sample).
+
+    Returns (group_cols..., n long, smp array<struct<h:bigint,
+    v:double>>) with ``smp`` ascending by hash and ``n`` the exact
+    group row count; ``n <= k`` means the sample IS the group (exact
+    quantiles downstream). Scale shape mirrors :func:`kmv_sketch`:
+    the per-partition pass keeps bounded state per group
+    (sort + head(k), vectorized), the merge aggregate moves at most
+    ``k * n_partitions`` (hash, value) structs per group, the stream
+    itself never shuffles."""
+
+    def _partial(batches):
+        import numpy as np
+
+        gcols = list(group_cols)
+        tops: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, cnt in (
+                pdf.groupby(gcols, sort=False).size().items()
+            ):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                counts[key] = counts.get(key, 0) + int(cnt)
+            small = (
+                pdf.sort_values("_h", kind="stable")
+                .groupby(gcols, sort=False)
+                .head(k)
+            )
+            for key, sub in small.groupby(gcols, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                hs = sub["_h"].to_numpy(dtype=np.int64)
+                vs = sub["_v"].to_numpy(dtype=np.float64)
+                prev = tops.get(key)
+                if prev is None:
+                    tops[key] = (hs[:k], vs[:k])
+                else:
+                    mh = np.concatenate([prev[0], hs])
+                    mv = np.concatenate([prev[1], vs])
+                    order = np.argsort(mh, kind="stable")[:k]
+                    tops[key] = (mh[order], mv[order])
+        rows = [
+            key
+            + (
+                counts[key],
+                [
+                    {"h": int(h), "v": float(v)}
+                    for h, v in zip(hs, vs)
+                ],
+            )
+            for key, (hs, vs) in tops.items()
+        ]
+        yield pd.DataFrame(rows, columns=list(group_cols) + ["_n", "_s"])
+
+    hashed = (
+        df.select(
+            *group_cols,
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    schema = (
+        ", ".join(
+            f"{c} {t}" for c, t in hashed.drop("_h", "_v").dtypes
+        )
+        + ", _n long, _s array<struct<h:bigint,v:double>>"
+    )
+    partials = hashed.mapInPandas(lambda it: _partial(it), schema=schema)
+    merged = partials.groupBy(*group_cols).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_s"))), 1, k
+        ).alias("smp"),
+    )
+    return merged.select(*group_cols, "n", "smp")
+
+
+def sample_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    ps: list[float],
+) -> DataFrame:
+    """Quantile estimates from a :func:`sample_sketch`: for each
+    requested ``p``, the value at rank ``floor(p * (m - 1))`` of the
+    sample sorted BY VALUE (m = sample size). When the group fit in k
+    (n <= k) the sample is the whole group and the answer is the exact
+    rank-``floor(p*(n-1))`` order statistic; otherwise it is a uniform
+    sample estimate with rank rsd ~ sqrt(p(1-p)/k). Deterministic for
+    a fixed dataset (seed-fixed hash). Output: (group_cols..., n,
+    q_<p> double per requested p — dots stripped from names, e.g.
+    q_50 for 0.5)."""
+    vals = F.array_sort(F.transform(F.col("smp"), lambda s: s["v"]))
+    out = sketch.withColumn("_vals", vals).withColumn(
+        "_m", F.size("_vals")
+    )
+    cols = [*group_cols, F.col("n")]
+    for p in ps:
+        idx = F.floor(F.lit(float(p)) * (F.col("_m") - 1)).cast("int") + 1
+        name = f"q_{str(p).replace('0.', '').replace('.', '_')}"
+        cols.append(F.element_at("_vals", idx).alias(name))
+    return out.select(*cols)
 
 
 def kmv_sketch(

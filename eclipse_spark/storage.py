@@ -343,6 +343,27 @@ class Catalog:
         self._bump(dst)
         return self.path_of(dst)
 
+    def promote(self, branch: str, into: str) -> str:
+        """Publish ``branch``'s current copy as the new current version
+        of ``into`` — the fast-forward merge-back completing the
+        :meth:`branch` workflow (branch → backfill → diff → PROMOTE).
+        Hard-link clone staged as tmp and swapped through
+        :meth:`_replace_current`, so the publish is crash-safe like any
+        versioned put and, with retention on, ``into``'s previous copy
+        retires as a snapshot (rollback stays one :meth:`restore`
+        away). The branch itself is untouched; drop it with
+        :meth:`rm` when done."""
+        if not self.exists(branch):
+            raise FileNotFoundError(f"promote: no such table {branch!r}")
+        if not self.exists(into):
+            raise FileNotFoundError(f"promote: no such table {into!r}")
+        tmp = self.path_of(into) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._clone_dir(self.path_of(branch), tmp)
+        self._replace_current(into, tmp)
+        self._bump(into)
+        return self.path_of(into)
+
     def restore(self, name: str, version: int) -> str:
         """Roll a table back to a retained snapshot: the snapshot data
         becomes the new CURRENT copy under a NEW version number (like

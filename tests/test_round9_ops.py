@@ -278,3 +278,82 @@ def test_kmv_set_cardinalities_estimate_regime(spark):
     assert abs(r["est_union"] - 1.5 * n) / (1.5 * n) < tol
     assert abs(r["est_intersection"] - 0.5 * n) / (0.5 * n) < 3 * tol
     assert abs(r["est_only_a"] - 0.5 * n) / (0.5 * n) < 3 * tol
+
+
+# -- mergeable uniform-sample quantile rollup ------------------------------
+
+
+def test_sample_sketch_exact_regime_and_merge(spark):
+    from eclipse_spark.operators.sketch import sample_quantiles, sample_sketch
+
+    rows = [("g", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "val"]).repartition(8)
+    sk = sample_sketch(df, ["grp"], "val", "rid", k=512)
+    r = sk.collect()[0]
+    assert r["n"] == 100 and len(r["smp"]) == 100
+    q = sample_quantiles(sk, ["grp"], [0.0, 0.5, 1.0]).collect()[0]
+    # n <= k: exact order statistics at rank floor(p*(n-1))
+    assert q["q_0"] == 0.0 and q["q_5"] == 49.0 and q["q_1_0"] == 99.0
+
+    # mergeability: sketch(A u B) == merge of shard sketches
+    a = df.filter(F.col("rid") < 50)
+    b = df.filter(F.col("rid") >= 50)
+    sa = sample_sketch(a, ["grp"], "val", "rid", k=16)
+    sb = sample_sketch(b, ["grp"], "val", "rid", k=16)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("smp"))), 1, 16
+            ).alias("smp"),
+        )
+    )
+    whole = sample_sketch(df, ["grp"], "val", "rid", k=16)
+    mw = whole.collect()[0]
+    mm = merged.collect()[0]
+    assert mw["n"] == mm["n"] == 100
+    assert [tuple(x) for x in mw["smp"]] == [tuple(x) for x in mm["smp"]]
+
+
+def test_sample_quantiles_estimate_regime(spark):
+    """n >> k: sample quantiles land within a few rank-standard-errors
+    of truth on a uniform value distribution."""
+    from eclipse_spark.operators.sketch import sample_quantiles, sample_sketch
+
+    n, k = 50_000, 512
+    df = spark.range(0, n).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("val"),
+    ).repartition(8)
+    sk = sample_sketch(df, ["grp"], "val", "rid", k=k)
+    q = sample_quantiles(sk, ["grp"], [0.25, 0.5, 0.95]).collect()[0]
+    assert q["n"] == n
+    for p, col in [(0.25, "q_25"), (0.5, "q_5"), (0.95, "q_95")]:
+        tol = 5 * (p * (1 - p) / k) ** 0.5  # 5 rank-standard-errors
+        assert abs(q[col] / (n - 1) - p) < tol, (p, q[col])
+
+
+# -- branch promote --------------------------------------------------------
+
+
+def test_branch_promote_fast_forward(spark, tmp_path):
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "catp"), retain_versions=2)
+    cat.put("t", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    cat.branch("t", "exp")
+    cat.merge("exp", spark.createDataFrame([(1, "b")], ["id", "v"]), on=["id"])
+    v_before = cat.info("t").version
+    cat.promote("exp", "t")
+    assert cat.get("t").collect()[0]["v"] == "b"
+    assert cat.info("t").version == v_before + 1
+    # retention: pre-promote copy is one restore away
+    cat.restore("t", v_before)
+    assert cat.get("t").collect()[0]["v"] == "a"
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        cat.promote("missing", "t")
