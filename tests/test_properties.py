@@ -1028,3 +1028,57 @@ def test_kmv_set_algebra_exact_regime_property(spark, a, b):
     assert r["est_intersection"] == float(len(a & b))
     assert r["est_only_a"] == float(len(a - b))
     assert r["est_only_b"] == float(len(b - a))
+
+
+@SETTINGS
+@given(
+    hs=st.lists(
+        st.tuples(
+            st.integers(0, 65535),
+            st.integers(0, 65535),
+            st.integers(0, 65535),
+            st.integers(0, 65535),
+        ),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    )
+)
+def test_dhash_banding_complete_on_arbitrary_hashes(spark, hs):
+    """dhash_near_pairs equals brute-force Hamming<=3 for ARBITRARY
+    band vectors, not just codec-produced ones — the pigeonhole
+    guarantee is a property of the banding, not the corpus."""
+    from eclipse_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(i, *b) for i, b in enumerate(hs)],
+        ["id", "b0", "b1", "b2", "b3"],
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.dhash_near_pairs(df, max_hamming=3).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    exp = {
+        (i, j, ham(hs[i], hs[j]))
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if ham(hs[i], hs[j]) <= 3
+    }
+    assert got == exp
+
+
+@SETTINGS
+@given(docs=texts)
+def test_skew_audit_partition_invariant(spark, docs):
+    """skew_audit's report is identical under any partitioning — the
+    integer floor divisions and (cnt DESC, key ASC) order leave no
+    room for layout effects."""
+    toks = [w for d in docs for w in d.split()] or ["x"]
+    df = spark.createDataFrame([(t,) for t in toks], ["k"])
+    a = sorted(map(tuple, skew.skew_audit(df.repartition(2), "k", 5).collect()))
+    b = sorted(map(tuple, skew.skew_audit(df.repartition(13), "k", 5).collect()))
+    assert a == b and a
