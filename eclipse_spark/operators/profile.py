@@ -399,8 +399,33 @@ def auc_roc(
     (the only single-partition window runs over P rows). Then a
     per-group sum. Returns ([group_col,] n_pos, n_neg, auc_num2, auc)
     where ``auc_num2`` is the exact integer 2*numerator (auditable:
-    auc == auc_num2 / (2*P*N))."""
+    auc == auc_num2 / (2*P*N)).
+
+    Lifecycle (ADVICE r9): the ungrouped branch's range-partitioned
+    persist must not outlive the call, so the ONE-row result is
+    materialized (O(1) scalar collect), the block released, and a
+    local plan returned — plan-shape assertions use
+    :func:`_auc_roc_build` (the lazy builder) instead."""
+    res, ranged = _auc_roc_build(df, score_col, label_col, group_col)
+    if ranged is not None:
+        rows = res.collect()
+        ranged.unpersist()
+        res = df.sparkSession.createDataFrame(rows, res.schema)
+    return res
+
+
+def _auc_roc_build(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Lazy plan for :func:`auc_roc`: (result, ranged) where ``ranged``
+    is the persisted distinct-score table of the ungrouped two-pass (or
+    None for the grouped windowed branch). Callers that keep the lazy
+    plan own the unpersist."""
     gcols = [group_col] if group_col else []
+    ranged = None
     labeled = df.select(
         *[F.col(c) for c in gcols],
         F.col(score_col).alias("_s"),
@@ -457,7 +482,7 @@ def auc_roc(
         .cast("long")
         .alias("auc_num2"),
     )
-    return agg.select(
+    res = agg.select(
         *gcols,
         "n_pos",
         "n_neg",
@@ -467,6 +492,7 @@ def auc_roc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+    return res, ranged
 
 
 def linear_fit(

@@ -38,6 +38,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _norm_key(key) -> tuple:
+    """Normalize a pandas groupby key tuple: NaN group keys become
+    None. Partial passes run ``groupby(..., dropna=False)`` so NULL
+    group keys survive the sketch (ADVICE r9: default dropna=True
+    silently dropped them — inconsistent with Spark groupBy, which
+    treats NULL as a real group). NaN must be canonicalized at dict-key
+    time: Python hashes distinct NaN objects by identity, so two
+    batches' NaN keys would otherwise land in different dict slots and
+    never merge."""
+    if not isinstance(key, tuple):
+        key = (key,)
+    return tuple(
+        None if (x is None or (isinstance(x, float) and x != x)) else x
+        for x in key
+    )
+
+
 __all__ = [
     "misra_gries_candidates",
     "heavy_hitters_exact",
@@ -351,7 +368,11 @@ def count_min_join_size(
         .groupBy("d")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
-    return per_d.agg(F.min("_ip").cast("long").alias("join_size_est"))
+    # fully disjoint bucket sets leave per_d empty — min over zero
+    # rows is NULL; an empty intersection must read as 0 (ADVICE r9)
+    return per_d.agg(
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("join_size_est")
+    )
 
 
 def kmv_distinct_est(kmin: "F.Column", n_hashes: "F.Column", k: int):
@@ -453,7 +474,10 @@ def sample_sketch(
     the per-partition pass keeps bounded state per group
     (sort + head(k), vectorized), the merge aggregate moves at most
     ``k * n_partitions`` (hash, value) structs per group, the stream
-    itself never shuffles."""
+    itself never shuffles. NULL group keys are a real group (Spark
+    groupBy semantics — the partials run ``dropna=False`` and
+    canonicalize NaN keys to None, ADVICE r9); NULL VALUES are
+    excluded before hashing."""
 
     def _partial(batches):
         import numpy as np
@@ -465,19 +489,17 @@ def sample_sketch(
             if not len(pdf):
                 continue
             for key, cnt in (
-                pdf.groupby(gcols, sort=False).size().items()
+                pdf.groupby(gcols, sort=False, dropna=False).size().items()
             ):
-                if not isinstance(key, tuple):
-                    key = (key,)
+                key = _norm_key(key)
                 counts[key] = counts.get(key, 0) + int(cnt)
             small = (
                 pdf.sort_values("_h", kind="stable")
-                .groupby(gcols, sort=False)
+                .groupby(gcols, sort=False, dropna=False)
                 .head(k)
             )
-            for key, sub in small.groupby(gcols, sort=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+            for key, sub in small.groupby(gcols, sort=False, dropna=False):
+                key = _norm_key(key)
                 hs = sub["_h"].to_numpy(dtype=np.int64)
                 vs = sub["_v"].to_numpy(dtype=np.float64)
                 prev = tops.get(key)
@@ -537,8 +559,11 @@ def sample_quantiles(
     rank-``floor(p*(n-1))`` order statistic; otherwise it is a uniform
     sample estimate with rank rsd ~ sqrt(p(1-p)/k). Deterministic for
     a fixed dataset (seed-fixed hash). Output: (group_cols..., n,
-    q_<p> double per requested p — dots stripped from names, e.g.
-    q_50 for 0.5)."""
+    q_<p> double per requested p). Column-name mangle: the leading
+    "0." is stripped and remaining dots become underscores — p=0.5 →
+    ``q_5``, p=0.05 → ``q_05``, p=1.0 → ``q_1_0`` (NOT q_50 for 0.5;
+    ADVICE r9 docstring fix — the mangle itself is frozen because
+    driver oracles already anchor on these names)."""
     vals = F.array_sort(F.transform(F.col("smp"), lambda s: s["v"]))
     out = sketch.withColumn("_vals", vals).withColumn(
         "_m", F.size("_vals")
@@ -571,7 +596,11 @@ def kmv_sketch(
     partition (bounded memory, the stream itself never shuffles), then
     one merge aggregate takes the k smallest of the per-partition
     survivors — at most ``k * n_partitions`` hash rows per group cross
-    the exchange. NULL values are excluded (they are not set members).
+    the exchange. NULL values are excluded (they are not set members);
+    NULL GROUP KEYS are a real group, matching Spark groupBy — the
+    partial pass runs ``groupby(dropna=False)`` and canonicalizes NaN
+    keys to None (ADVICE r9: pandas' default dropna=True silently
+    dropped the null group).
 
     Returns (group_cols..., n_hashes int, kmin array<bigint>) with
     ``kmin`` ascending; ``n_hashes < k`` means the group's EXACT
@@ -598,12 +627,11 @@ def kmv_sketch(
             small = (
                 pdf.sort_values("_h", kind="stable")
                 .drop_duplicates(subset=gcols + ["_h"])
-                .groupby(gcols, sort=False)
+                .groupby(gcols, sort=False, dropna=False)
                 .head(k)
             )
-            for key, sub in small.groupby(gcols, sort=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+            for key, sub in small.groupby(gcols, sort=False, dropna=False):
+                key = _norm_key(key)
                 arr = sub["_h"].to_numpy(dtype=np.int64)
                 prev = tops.get(key)
                 tops[key] = (

@@ -166,7 +166,14 @@ class Catalog:
             return cur
         tmp = f"{dst}.pin.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        self._clone_dir(self.path_of(name), tmp)
+        try:
+            self._clone_dir(self.path_of(name), tmp)
+        except OSError:
+            # unwritable root (read-only mount) or cross-device link
+            # failure mid-clone: leave no partial tmp behind and let
+            # the caller fall back to a live-path read (ADVICE r9)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, dst)
         except OSError:
@@ -512,21 +519,31 @@ class Catalog:
         retention OFF the reads are live-path and the guarantee is
         plan-time only: the version VECTOR is coherent at return, but a
         reader that executes much later races subsequent commits —
-        that's what retention is for."""
+        that's what retention is for.
+
+        SIDE EFFECT (ADVICE r9): pinning WRITES — a retention-on read
+        hard-links the current copy into a ``.v<version>`` snapshot
+        directory, so :meth:`history` and the catalog's disk layout
+        change as a consequence of a pure lookup (the snapshot is the
+        pin). On a catalog root the process cannot write (read-only
+        mount, cross-device link failure) the pin attempt degrades
+        gracefully to the live-path read instead of propagating —
+        same rows, plan-time-only guarantee for that table."""
         pin = self.retain_versions >= 1
+
+        def _read(n: str) -> DataFrame:
+            if pin and self.exists(n):
+                try:
+                    return self.get(n, version=self._pin_current(n))
+                except OSError:
+                    pass  # unwritable root: fall back to live-path read
+            return self.get(n)
+
         for _ in range(10):
             self.recover_pending()  # roll forward any mid-flight commit
             self._load_manifest()
             vec = {n: self._versions.get(n, 0) for n in names}
-            if pin:
-                dfs = {
-                    n: self.get(n, version=self._pin_current(n))
-                    if self.exists(n)
-                    else self.get(n)
-                    for n in names
-                }
-            else:
-                dfs = {n: self.get(n) for n in names}
+            dfs = {n: _read(n) for n in names}
             self._load_manifest()
             if not os.path.exists(self._journal_path()) and all(
                 self._versions.get(n, 0) == vec[n] for n in names

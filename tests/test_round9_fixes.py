@@ -162,12 +162,17 @@ def test_auc_roc_ungrouped_matches_exact(spark):
 def test_auc_roc_ungrouped_plan_has_no_unpartitioned_window(spark):
     """The distinct-score cumulative must not run in a single-partition
     window over the score stream (only the P-row offset table may)."""
-    from eclipse_spark.operators.profile import auc_roc
+    from eclipse_spark.operators.profile import _auc_roc_build
 
     df = spark.range(0, 1000).select(
         (F.col("id") % 97).cast("double").alias("s"), (F.col("id") % 2).alias("y")
     )
-    plan = auc_roc(df, "s", "y")._jdf.queryExecution().executedPlan().toString()
+    # the lazy builder exposes the plan (auc_roc itself materializes the
+    # one-row result to release its persist — ADVICE r9 lifecycle fix)
+    res, ranged = _auc_roc_build(df, "s", "y")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if ranged is not None:
+        ranged.unpersist()
     # the per-score cumulative window is partitioned by _pid; the only
     # SinglePartition exchange allowed feeds the P-row offset window
     import re
