@@ -169,3 +169,140 @@ def test_get_many_writable_root_still_pins(spark, tmp_path):
     cat.get_many(["t"])
     after = cat.history("t")
     assert len(after) >= len(before)  # pin created/kept a snapshot
+
+
+# -- VERDICT r9 task 1: dHash pair-budget guard + wide/composed keys ----
+
+
+@pytest.fixture(scope="module")
+def dhash_corpus(spark):
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 250)
+    bmps = mm.encode_textured_bmp(ids, id_col="id")
+    planted = bmps.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    return bmps.unionByName(planted).persist()
+
+
+def test_dhash_guard_trips_on_saturated_keyspace(spark, dhash_corpus):
+    """The pre-join candidate-volume audit must RAISE before the join
+    when the measured volume exceeds max_pairs, naming the volume."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands(dhash_corpus)
+    with pytest.raises(ValueError, match="candidate pairs > max_pairs"):
+        mm.dhash_near_pairs(hs, max_hamming=3, max_pairs=5)
+
+
+def test_dhash_guard_passthrough_result_unchanged(spark, dhash_corpus):
+    """With a generous budget the guarded path returns exactly the
+    unguarded (max_pairs=None) answer — planted dups at hamming 0."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands(dhash_corpus)
+    guarded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(hs, max_hamming=3).collect()
+    }
+    free = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(hs, max_hamming=3, max_pairs=None).collect()
+    }
+    assert guarded == free
+    planted = {(i, i + 100000) for i in range(0, 250, 10)}
+    assert planted <= {(a, b) for a, b, h in guarded if h == 0}
+
+
+def test_dhash_guard_releases_persist(spark, dhash_corpus):
+    from eclipse_spark.operators import multimodal as mm
+
+    jsc = spark.sparkContext._jsc
+    hs = mm.dhash_bands(dhash_corpus)
+    before = {r.id() for r in jsc.getPersistentRDDs().values()}
+    mm.dhash_near_pairs(hs, max_hamming=3).count()
+    after = {r.id() for r in jsc.getPersistentRDDs().values()}
+    # the audit's (id, bands) persist must be released; the ONLY block
+    # allowed to remain is the returned frame's own localCheckpoint
+    # (released with the frame at GC — the semantic_dedup lifetime)
+    leaked = after - before
+    assert len(leaked) <= 1, f"dhash_near_pairs leaked {leaked}"
+
+
+def test_dhash_wide_matches_brute_force(spark, dhash_corpus):
+    """128-bit dHash single-band LSH at the full Hamming<=7 pigeonhole
+    bound must equal the all-pairs exact answer."""
+    import itertools
+
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands_wide(dhash_corpus)
+    hrows = {r["id"]: [r[f"b{t}"] for t in range(8)] for r in hs.collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    bf = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hrows), 2)
+        if ham(hrows[a], hrows[b]) <= 7
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in mm.dhash_near_pairs(
+            hs, max_hamming=7, n_bands=8, max_pairs=None
+        ).collect()
+    }
+    assert got == bf and bf  # non-vacuous
+
+
+def test_dhash_composed_recall_within_bound(spark, dhash_corpus):
+    """Composed 32-bit pair keys guarantee recall for
+    max_hamming <= n_bands - 2: at that bound the composed answer must
+    equal the single-band answer (which is exact by the stronger
+    pigeonhole)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands_wide(dhash_corpus)
+    single = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(
+            hs, max_hamming=6, n_bands=8, max_pairs=None
+        ).collect()
+    }
+    composed = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(
+            hs, max_hamming=6, n_bands=8, composed=True, max_pairs=None
+        ).collect()
+    }
+    assert composed == single
+
+
+def test_dhash_bound_validation(spark, dhash_corpus):
+    from eclipse_spark.operators import multimodal as mm
+
+    hs4 = mm.dhash_bands(dhash_corpus)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.dhash_near_pairs(hs4, max_hamming=4)  # 4 bands: bound 3
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.dhash_near_pairs(hs4, max_hamming=3, composed=True)  # bound 2
+
+
+def test_dhash_candidate_volume_composed_reduces_chance_collisions(
+    spark,
+):
+    """On hash-random band values with n >> nothing (just structure):
+    composed 32-bit keys must produce no MORE candidates than 28/8 x
+    the single-band volume, and for a corpus of distinct textured
+    images collisions should be near zero."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 400)
+    hs = mm.dhash_bands_wide(mm.encode_textured_bmp(ids, id_col="id"))
+    v_single = mm.dhash_candidate_volume(hs, 8, False)
+    v_comp = mm.dhash_candidate_volume(hs, 8, True)
+    # single-band: 8 tables of 2^16 keys; composed: 28 tables of 2^32.
+    # Real near-dups appear in both; chance collisions only in single.
+    assert v_comp <= max(v_single, 1) * 28 // 8 + 28
