@@ -6736,6 +6736,110 @@ def q_media_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance (sketch.count_min_merge — the
+    IVM story applied to the sketch tier): a BASE Count-Min sketch
+    over 3/4 of the orders custkey stream absorbs the remaining 1/4
+    as a DELTA sketch merge — counter sums are exact integers, so the
+    maintained sketch is BIT-IDENTICAL to a day-one rebuild over the
+    full stream (unlike HLL's lossy dense-mode union). Probes = every
+    custkey with >= 15 orders; emits the exact count, the estimate
+    from the base sketch alone, the estimate from the maintained
+    (merged) sketch, and the overcount. The oracle rebuilds BOTH
+    sketches in SQL from the raw table, so a single mis-summed counter
+    in the merge path hash-mismatches; cms_est >= cms_est_base row by
+    row is the delta's visibility, overcount >= 0 the CMS guarantee."""
+    from eclipse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("ck")
+    )
+    base = count_min_build(
+        orders.filter(F.col("o_orderkey") % 4 != 0), "ck", width=2048, depth=4
+    )
+    delta = count_min_build(
+        orders.filter(F.col("o_orderkey") % 4 == 0), "ck", width=2048, depth=4
+    )
+    maintained = count_min_merge(base, delta)
+    exact = (
+        orders.groupBy(F.col("ck").alias("item"))
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") >= 15)
+    )
+    probes = exact.select(F.col("item").alias("ck"))
+    est_base = count_min_estimate(
+        base, probes, "ck", width=2048, depth=4
+    ).withColumnRenamed("cms_est", "cms_est_base")
+    est_full = count_min_estimate(maintained, probes, "ck", width=2048, depth=4)
+    return (
+        exact.join(est_base, "item")
+        .join(est_full, "item")
+        .select(
+            "item",
+            "freq",
+            "cms_est_base",
+            "cms_est",
+            (F.col("cms_est") - F.col("freq")).cast("long").alias("overcount"),
+        )
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval-OVERLAP join (relational.interval_join — the
+    non-tiling range join temporal_join explicitly does not cover):
+    event activity spans (1-5 x 10 min from each event's ts) joined to
+    derived audit windows (every-97th event opens a 1-11 h window) on
+    matching event_type AND closed-interval overlap. The engine path
+    is the bucketed-explode equi-join — each interval explodes to the
+    1-hour buckets it touches, pairs join on (type, bucket), the true
+    overlap predicate filters, and each pair is attributed to exactly
+    the bucket holding the overlap START so no dedup shuffle exists;
+    a plan-embedded fanout guard fails rows spanning > max_fanout
+    buckets. The oracle is the plain THETA join (s <= e' AND s' <= e),
+    so bucket attribution errors (double emits, boundary drops) and
+    epoch arithmetic all hash-mismatch. Returns (event_id, win_id,
+    overlap_s)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("_t")
+    )
+    wins = base.filter(F.col("event_id") % 97 == 0).select(
+        "event_type",
+        F.col("event_id").alias("win_id"),
+        F.col("_t").alias("w_start"),
+        (F.col("_t") + (F.col("event_id") % 11 + 1) * 3600).alias("w_end"),
+    )
+    spans = base.select(
+        "event_type",
+        "event_id",
+        F.col("_t").alias("e_start"),
+        (F.col("_t") + (F.col("event_id") % 5 + 1) * 600).alias("e_end"),
+    )
+    out = relational.interval_join(
+        spans,
+        wins,
+        ["event_type"],
+        "e_start",
+        "e_end",
+        "w_start",
+        "w_end",
+        bucket_width=3600,
+    )
+    return out.select(
+        "event_id",
+        "win_id",
+        (
+            F.least("e_end", "w_end") - F.greatest("e_start", "w_start")
+        )
+        .cast("long")
+        .alias("overlap_s"),
+    )
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from two Count-Min sketches
     (sketch.count_min_join_size — the CMS inner-product estimator):
@@ -6959,6 +7063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== round-10 additions (same-round evidence discipline) =====
         "media_dhash_wide": q_media_dhash_wide,
+        "interval_join": q_interval_join,
+        "cms_refresh": q_cms_refresh,
         # ===== the last three never-driver-green queries (their real
         # DuckDB oracles landed in r9; VERDICT r9 task 2) =====
         "ann_ivf": q_ann_ivf,
@@ -7007,8 +7113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "reid_summary": q_reid_summary,
         "shard_balance": q_shard_balance,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "minhash_estimate": q_minhash_estimate,
         "events_stream_ivm": q_events_stream_ivm,
         # window cap: the three canonical reference apps + the
         # semantic-cache demo, the round-8 practice
@@ -7019,6 +7123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== rotated out this round (driver-green in r09) =====
         "incremental_dedup_cached": q_incremental_dedup_cached,
         "lsh_s_curve": q_lsh_s_curve,
+        "minhash_estimate": q_minhash_estimate,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "mv_refresh": q_mv_refresh,
         "mv_refresh_join": q_mv_refresh_join,
         # ===== below the 50-line: everything here has a prior-round
@@ -10547,6 +10653,63 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "cms_refresh": """
+            WITH t AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS item
+                       FROM orders),
+            skb AS (SELECT d.d AS d,
+                           ('0x' || substr(md5(item || ':' ||
+                                 CAST(d.d AS VARCHAR)), 1, 15))::BIGINT
+                             % 2048 AS bucket,
+                           count(*) AS cnt
+                    FROM t
+                    CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+                    WHERE o_orderkey % 4 <> 0
+                    GROUP BY 1, 2),
+            skf AS (SELECT d.d AS d,
+                           ('0x' || substr(md5(item || ':' ||
+                                 CAST(d.d AS VARCHAR)), 1, 15))::BIGINT
+                             % 2048 AS bucket,
+                           count(*) AS cnt
+                    FROM t
+                    CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+                    GROUP BY 1, 2),
+            ex AS (SELECT item, CAST(count(*) AS BIGINT) AS freq
+                   FROM t GROUP BY 1 HAVING count(*) >= 15),
+            eb AS (SELECT ex.item, min(coalesce(skb.cnt, 0)) AS e
+                   FROM ex
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+                   LEFT JOIN skb ON skb.d = dd.d
+                     AND skb.bucket = ('0x' || substr(md5(ex.item || ':' ||
+                           CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT % 2048
+                   GROUP BY 1),
+            ef AS (SELECT ex.item, min(coalesce(skf.cnt, 0)) AS e
+                   FROM ex
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+                   LEFT JOIN skf ON skf.d = dd.d
+                     AND skf.bucket = ('0x' || substr(md5(ex.item || ':' ||
+                           CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT % 2048
+                   GROUP BY 1)
+            SELECT ex.item, ex.freq,
+                   CAST(eb.e AS BIGINT) AS cms_est_base,
+                   CAST(ef.e AS BIGINT) AS cms_est,
+                   CAST(ef.e - ex.freq AS BIGINT) AS overcount
+            FROM ex JOIN eb ON ex.item = eb.item
+            JOIN ef ON ex.item = ef.item
+        """,
+        "interval_join": """
+            WITH base AS (SELECT event_id, event_type,
+                                 epoch_us(ts)//1000000 AS t FROM events),
+            wins AS (SELECT event_type, event_id AS win_id, t AS w_start,
+                            t + (event_id % 11 + 1)*3600 AS w_end
+                     FROM base WHERE event_id % 97 = 0),
+            spans AS (SELECT event_type, event_id, t AS e_start,
+                             t + (event_id % 5 + 1)*600 AS e_end FROM base)
+            SELECT s.event_id, w.win_id,
+                   CAST(least(e_end, w_end) - greatest(e_start, w_start)
+                        AS BIGINT) AS overlap_s
+            FROM spans s JOIN wins w ON s.event_type = w.event_type
+              AND e_start <= w_end AND w_start <= e_end
         """,
         "storage_branch": """
             WITH base AS (SELECT o_orderstatus,

@@ -442,6 +442,101 @@ def temporal_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    max_fanout: int = 4096,
+) -> DataFrame:
+    """General interval-OVERLAP join (range join): all (left, right)
+    row pairs sharing the equi-keys ``on`` whose CLOSED numeric
+    intervals ``[l_start, l_end]`` and ``[r_start, r_end]`` overlap
+    (``l_start <= r_end AND r_start <= l_end``) — the non-tiling case
+    :func:`temporal_join` explicitly does not cover (arbitrary,
+    overlapping validity windows: maintenance windows x sessions,
+    promo periods x shipments, ad flights x impressions).
+
+    Scale shape — bucketed-explode equi-join, never a theta/cross
+    join: each interval explodes to the width-``bucket_width`` buckets
+    it touches (``sequence(start div W, end div W)``), the two sides
+    equi-join on (keys..., bucket) — a plain hash-shuffle join
+    Catalyst/AQE can plan, skew-handle and broadcast — and the true
+    overlap predicate filters the bucket-collision candidates. A pair
+    overlapping many shared buckets is emitted ONCE with zero
+    dedup shuffle: the pair is attributed to exactly the bucket
+    containing the overlap's START (``greatest(l_start, r_start)``),
+    which both rows provably touch. Interval columns must be integral
+    (cast timestamps with ``.cast("long")`` first).
+
+    ``bucket_width`` is the scale lever: fanout per row is
+    ``(len div W) + 1``, bucket population is what the join shuffles —
+    pick W near the TYPICAL interval length so fanout stays O(1)
+    while buckets stay selective. A row longer than ``max_fanout``
+    buckets fails the job LOUDLY at run time (plan-embedded check —
+    the unbounded explode a mis-picked W would silently launch is the
+    scale-killer this guards; the semantic_dedup budget discipline).
+    Right-side columns colliding with left names surface with an
+    ``_r`` suffix."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = list(on)
+    lcols = [c for c in left.columns]
+    rename = {c: c + "_r" for c in right.columns if c in lcols and c not in keys}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rs, re = rename.get(r_start, r_start), rename.get(r_end, r_end)
+
+    def buckets(start: str, end: str) -> Column:
+        n = (
+            F.floor(F.col(end) / bucket_width)
+            - F.floor(F.col(start) / bucket_width)
+            + 1
+        )
+        seq = F.sequence(
+            F.floor(F.col(start) / bucket_width),
+            F.floor(F.col(end) / bucket_width),
+        )
+        # loud plan-embedded fanout guard: raise_error's NullType
+        # coerces to the sequence's array<bigint> inside the when
+        return F.when(n <= max_fanout, seq).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_join: a row spans more than "
+                        f"{max_fanout} buckets of width {bucket_width} "
+                        "(interval ["
+                    ),
+                    F.col(start),
+                    F.lit(", "),
+                    F.col(end),
+                    F.lit(
+                        "]) — raise bucket_width toward the typical "
+                        "interval length or raise max_fanout"
+                    ),
+                )
+            ).cast("array<bigint>")
+        )
+
+    le = left.withColumn("_bkt", F.explode(buckets(l_start, l_end)))
+    re_ = r.withColumn("_bkt", F.explode(buckets(rs, re)))
+    joined = le.join(re_, [*keys, "_bkt"])
+    attributed = joined.filter(
+        (F.col(l_start) <= F.col(re))
+        & (F.col(rs) <= F.col(l_end))
+        & (
+            F.col("_bkt")
+            == F.floor(F.greatest(F.col(l_start), F.col(rs)) / bucket_width)
+        )
+    )
+    return attributed.drop("_bkt")
+
+
 def dense_index(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -65,6 +65,7 @@ __all__ = [
     "count_min_build",
     "count_min_estimate",
     "count_min_join_size",
+    "count_min_merge",
     "kmv_distinct_est",
     "kmv_set_cardinalities",
     "sample_sketch",
@@ -372,6 +373,30 @@ def count_min_join_size(
     # rows is NULL; an empty intersection must read as 0 (ADVICE r9)
     return per_d.agg(
         F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("join_size_est")
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME width/depth/hash
+    family by summing counters per (d, bucket) — the mergeability that
+    turns the sketch into a MAINTAINABLE summary: a stored sketch
+    absorbs a new batch by merging the batch's (much smaller) delta
+    sketch, never re-scanning history, and the result is BIT-IDENTICAL
+    to rebuilding from the concatenated stream (counter sums are exact
+    integers — unlike HLL's lossy dense-mode union). This is the
+    incremental-view-maintenance story (operators/ivm.py) applied to
+    the sketch tier: base ⊕ delta == rebuild, so estimates from a
+    maintained sketch carry the same CMS guarantees as day-one builds.
+
+    Scale shape: a union of <= depth*width-row tables + one map-side-
+    combinable sum — sketch-sized work regardless of stream sizes."""
+    if not sketches:
+        raise ValueError("count_min_merge: no sketches given")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
     )
 
 
