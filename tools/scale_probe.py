@@ -70,6 +70,25 @@ PROBE = [
     # table, nothing quadratic to hide)
     "kmv_overlap",
     "storage_compact",
+    # round-9 additions' probe rows (VERDICT r9 task 4): five are
+    # bounded-sketch / O(files) by construction — the row PROVES it —
+    # and media_dhash is the one with a genuine asymptotic risk (16-bit
+    # band keys saturate as n^2/2^16; candidate volume counted below)
+    "cms_token_freq",
+    "cms_join_size",
+    "kmv_set_ops",
+    "quantile_rollup",
+    "skew_audit",
+    "storage_branch",
+    "media_dhash",
+    # round-10 additions: the wide/composed dHash escape hatch (must
+    # stay collision-sparse where the narrow path saturates), the
+    # bucketed-explode interval join (candidates = bucket-cohabiting
+    # pairs, counted below), and the CMS maintenance path (sketch-sized
+    # work by construction)
+    "media_dhash_wide",
+    "interval_join",
+    "cms_refresh",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
@@ -202,12 +221,104 @@ def _ktruss_tri_count(spark, sf_dir) -> int:
     return int(row["n_triangles"] or 0)
 
 
+def _dhash_corpus(spark, sf_dir):
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    bmps = mm.encode_textured_bmp(ids, id_col="id")
+    planted = bmps.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    return bmps.unionByName(planted)
+
+
+def _dhash_cand_count(spark, sf_dir) -> int:
+    """Banded self-join candidate volume of q_media_dhash (4 x 16-bit
+    single-band keys) — the quantity the max_pairs guard audits; grows
+    as ~4 n^2 / 2^16 once the corpus saturates the band keyspace
+    (VERDICT r9 weak mark: this row is the measured proof)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands(_dhash_corpus(spark, sf_dir))
+    return mm.dhash_candidate_volume(hs, n_bands=4, composed=False)
+
+
+def _dhash_wide_cand_count(spark, sf_dir) -> int:
+    """Candidate volume of q_media_dhash_wide's composed 32-bit pair
+    keys over the 128-bit hash — the escape hatch that must stay
+    collision-sparse where the narrow path saturates."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands_wide(_dhash_corpus(spark, sf_dir))
+    return mm.dhash_candidate_volume(hs, n_bands=8, composed=True)
+
+
+def _interval_cand_count(spark, sf_dir) -> int:
+    """Bucket-cohabiting pair count of q_interval_join BEFORE the
+    overlap filter — the join's real shuffle volume (sum over
+    (type, bucket) of n_spans * n_windows)."""
+    import __spark_entry__ as em
+
+    ev = em._events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("_t")
+    )
+    wins = base.filter(F.col("event_id") % 97 == 0).select(
+        "event_type",
+        F.col("_t").alias("s"),
+        (F.col("_t") + (F.col("event_id") % 11 + 1) * 3600).alias("e"),
+    )
+    spans = base.select(
+        "event_type",
+        F.col("_t").alias("s"),
+        (F.col("_t") + (F.col("event_id") % 5 + 1) * 600).alias("e"),
+    )
+
+    def bkts(df):
+        return df.select(
+            "event_type",
+            F.explode(
+                F.sequence(F.floor(F.col("s") / 3600), F.floor(F.col("e") / 3600))
+            ).alias("_bkt"),
+        ).groupBy("event_type", "_bkt").agg(F.count("*").alias("n"))
+
+    a, b = bkts(spans), bkts(wins).withColumnRenamed("n", "m")
+    row = (
+        a.join(b, ["event_type", "_bkt"])
+        .agg(F.coalesce(F.sum(F.col("n") * F.col("m")), F.lit(0)).alias("c"))
+        .collect()[0]
+    )
+    return int(row["c"])
+
+
+def _kcore_dec_count(spark, sf_dir) -> int:
+    """Total delta-degree decrement mass of q_kcore's peel (VERDICT r9
+    task 3 evidence: the per-round work that replaced the full degree
+    re-aggregate) — collected from the same stats the kernel reports."""
+    from eclipse_spark.operators import graph
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 8 == 0), "l_orderkey", "l_partkey"
+    )
+    stats: dict = {}
+    graph.k_core(edges, k=10, stats_out=stats).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return int(stats.get("decrement_rows_total", 0))
+
+
 WORK_COUNTS = {
     "apss_cosine": _apss_cand_count,
     "minhash_candidates": _minhash_cand_count,
     "semdedup": _semdedup_pair_count,
     "apss_jaccard": _apss_jaccard_cand_count,
     "ktruss": _ktruss_tri_count,
+    "media_dhash": _dhash_cand_count,
+    "media_dhash_wide": _dhash_wide_cand_count,
+    "interval_join": _interval_cand_count,
+    "kcore": _kcore_dec_count,
 }
 
 
@@ -352,6 +463,12 @@ def main() -> None:
         # decade + candidate counts decide linear vs saturating
         deep_names = ["apss_cosine", "semdedup", "semdedup_scaled",
                       "apss_jaccard"]
+        # the dHash near-dup pair joined the deep tier in round 10:
+        # the narrow 4x16-bit path's candidate volume grows ~n^2/2^16
+        # past 65k images (VERDICT r9 weak mark) while the wide
+        # composed-key path must stay collision-sparse — sf10's 550k
+        # images are the regime where the curves separate
+        deep_names += ["media_dhash", "media_dhash_wide"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
             # the iterative peel kernels get their second decade too;
             # their sf1 number is already a COLD single run (PROBE_COLD
@@ -359,7 +476,8 @@ def main() -> None:
             deep_names += ["clustering_coeff", "ktruss", "kcore",
                            "coreness"]
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
-                      "kcore", "coreness"}
+                      "kcore", "coreness", "media_dhash",
+                      "media_dhash_wide"}
         for name in deep_names:
             fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
                   else queries[name])
