@@ -6736,6 +6736,79 @@ def q_media_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship MULTIMODAL curation composition — the media analogue of
+    q_curation_pipeline, every stage running the real kernels and the
+    oracle replaying all of them from the pixel formula: (1) textured
+    BMP corpus + planted exact-duplicate payloads under shifted ids
+    (every 10th), (2) REAL decode -> integer-exact pixel features
+    (multimodal.decode_features — vendored codec, no PIL), (3) quality
+    gate on the rounded features (mean_all >= 0.48 AND std_all >= 0.25
+    — comparisons on values both engines compute bit-identically, the
+    media_decode_bmp exactness discipline), (4) perceptual near-dup
+    removal among the survivors via the 128-bit wide dHash with
+    composed 32-bit keys (recall-guaranteed at Hamming <= 3; greedy
+    min-id representative — planted copies always carry the larger id,
+    so originals survive), (5) per-width accounting: images seen,
+    quality survivors, post-dedup keeps, and the decimal-exact mean
+    quality of the keeps. A wrong header parse, one flipped gradient
+    bit, a dedup over-drop, or a float accumulation-order difference
+    all hash-mismatch."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    bmps = multimodal.encode_textured_bmp(ids, id_col="id")
+    originals = bmps.select("id", F.col("id").alias("pid"), "bytes")
+    planted = bmps.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.col("id").alias("pid"),
+        "bytes",
+    )
+    corpus = originals.unionByName(planted)
+    feats = multimodal.decode_features(
+        corpus.select("id", "bytes"), fake=False
+    ).select("id", *_feat_cols())
+    meta = corpus.select(
+        "id", (F.lit(8) + F.col("pid") % 9).cast("int").alias("w")
+    )
+    staged = feats.join(meta, "id").withColumn(
+        "_q",
+        (
+            (F.col("mean_all") >= 0.48) & (F.col("std_all") >= 0.25)
+        ).cast("int"),
+    )
+    surv_bytes = corpus.select("id", "bytes").join(
+        staged.filter(F.col("_q") == 1).select("id"), "id", "left_semi"
+    )
+    hs = multimodal.dhash_bands_wide(surv_bytes, id_col="id", bytes_col="bytes")
+    pairs = multimodal.dhash_near_pairs(
+        hs, max_hamming=3, n_bands=8, composed=True
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    staged = staged.join(dropped, "id", "left")
+    kept = (F.col("_q") == 1) & F.col("_d").isNull()
+    n_kept = F.sum(F.when(kept, 1).otherwise(0))
+    return staged.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("_q").cast("long").alias("n_quality"),
+        n_kept.cast("long").alias("n_kept"),
+        F.when(
+            n_kept > 0,
+            F.round(
+                F.sum(
+                    F.when(kept, F.col("mean_all"))
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / n_kept,
+                6,
+            ),
+        ).alias("kept_mean_all"),
+    )
+
+
 def q_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental sketch maintenance (sketch.count_min_merge — the
     IVM story applied to the sketch tier): a BASE Count-Min sketch
@@ -7065,6 +7138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_wide": q_media_dhash_wide,
         "interval_join": q_interval_join,
         "cms_refresh": q_cms_refresh,
+        "media_curation_pipeline": q_media_curation_pipeline,
         # ===== the last three never-driver-green queries (their real
         # DuckDB oracles landed in r9; VERDICT r9 task 2) =====
         "ann_ivf": q_ann_ivf,
@@ -7112,7 +7186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "k_anonymity": q_k_anonymity,
         "reid_summary": q_reid_summary,
-        "shard_balance": q_shard_balance,
         "events_stream_ivm": q_events_stream_ivm,
         # window cap: the three canonical reference apps + the
         # semantic-cache demo, the round-8 practice
@@ -7125,6 +7198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_s_curve": q_lsh_s_curve,
         "minhash_estimate": q_minhash_estimate,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "shard_balance": q_shard_balance,
         "mv_refresh": q_mv_refresh,
         "mv_refresh_join": q_mv_refresh_join,
         # ===== below the 50-line: everything here has a prior-round
@@ -10653,6 +10727,81 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "media_curation_pipeline": """
+            WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, doc_id FROM documents
+                         WHERE doc_id % 10 = 0),
+            dims AS (SELECT id, pid, 8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            px AS (SELECT id, w0, h0,
+                          (x.x*y.y*(pid % 17 + 3) + 5*x.x*(pid % 11 + 1)
+                           + 3*y.y*(pid % 7 + 1) + 11*c.c + pid) % 256 AS v
+                   FROM dims
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, w0)) AS x) x
+                   CROSS JOIN LATERAL (SELECT unnest(range(0, h0)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c),
+            feat AS (SELECT id, w0 AS w,
+                            round(CAST(sum(v) AS DOUBLE)
+                                  / (3*w0*h0*255), 6) AS mean_all,
+                            round(sqrt(CAST(3*w0*h0*sum(v*v)
+                                            - sum(v)*sum(v) AS DOUBLE))
+                                  / (3*w0*h0*255), 6) AS std_all
+                     FROM px GROUP BY id, w0, h0),
+            staged AS (SELECT id, w, mean_all,
+                              CASE WHEN mean_all >= 0.48
+                                    AND std_all >= 0.25
+                                   THEN 1 ELSE 0 END AS q
+                       FROM feat),
+            surv AS (SELECT d.id, d.pid, d.w0, d.h0 FROM dims d
+                     JOIN staged s ON d.id = s.id AND s.q = 1),
+            lum AS (SELECT id, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//17)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//17)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//17)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//17)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid)
+                            % 256)
+                     + 114*((((x.x*w0)//17)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//17)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid)
+                            % 256)
+                      ) // 1000 AS l
+                    FROM surv
+                    CROSS JOIN (SELECT unnest(range(0, 17)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 16),
+            bands AS (SELECT id, y AS tbl,
+                             CAST(sum(bit * (1 << x)) AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2),
+            ham AS (SELECT a.id AS id_a, b.id AS id_b,
+                           sum(bit_count(xor(a.val, b.val))) AS hamming
+                    FROM bands a
+                    JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
+                    GROUP BY 1, 2),
+            dropped AS (SELECT DISTINCT id_b AS id FROM ham
+                        WHERE hamming <= 3),
+            tagged AS (SELECT s.id, s.w, s.mean_all, s.q,
+                              CASE WHEN s.q = 1 AND d.id IS NULL
+                                   THEN 1 ELSE 0 END AS kept
+                       FROM staged s LEFT JOIN dropped d ON s.id = d.id)
+            SELECT w,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(q) AS BIGINT) AS n_quality,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   CASE WHEN sum(kept) > 0 THEN
+                     round(CAST(sum(CASE WHEN kept = 1
+                                    THEN CAST(mean_all AS DECIMAL(18,6))
+                                    ELSE CAST(0.0 AS DECIMAL(18,6)) END)
+                                AS DOUBLE) / sum(kept), 6)
+                   END AS kept_mean_all
+            FROM tagged GROUP BY w
         """,
         "cms_refresh": """
             WITH t AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS item

@@ -207,6 +207,7 @@ HEADLINE = [
     "media_dhash_wide",
     "interval_join",
     "cms_refresh",
+    "media_curation_pipeline",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

@@ -185,6 +185,34 @@ def test_kcore_stats_and_no_leaked_persist(spark):
     assert {r.node: r.degree for r in out} == ref
 
 
+def test_media_curation_pipeline_invariants(spark, sf_smoke):
+    """End-to-end composition sanity beyond the oracle hash: every
+    planted duplicate whose original passed quality must be DROPPED
+    (larger id of a hamming-0 pair), no width group keeps more than it
+    saw, and quality never exceeds the image count."""
+    import importlib
+
+    em = importlib.import_module("__spark_entry__")
+    rows = em.queries()["media_curation_pipeline"](spark, sf_smoke).collect()
+    assert rows
+    tot_images = sum(r.n_images for r in rows)
+    tot_quality = sum(r.n_quality for r in rows)
+    tot_kept = sum(r.n_kept for r in rows)
+    assert tot_kept <= tot_quality <= tot_images
+    # planted copies = every 10th original; a planted copy passes
+    # quality iff its original does (same pixels) and then always
+    # drops (its original holds the smaller id of a hamming-0 pair) —
+    # so kept <= quality - (quality planted copies), i.e. strictly
+    # fewer keeps than quality rows whenever any planted copy passed
+    n_docs = tot_images * 10 // 11  # originals; planted = n/10
+    assert tot_images == n_docs + n_docs // 10
+    assert tot_kept < tot_quality  # at least one planted dup dropped
+    for r in rows:
+        assert r.n_kept <= r.n_quality <= r.n_images
+        if r.n_kept > 0:
+            assert 0.48 <= r.kept_mean_all <= 1.0
+
+
 def test_kcore_empty_and_full_core(spark):
     from eclipse_spark.operators.graph import k_core
 

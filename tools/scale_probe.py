@@ -292,6 +292,22 @@ def _interval_cand_count(spark, sf_dir) -> int:
     return int(row["c"])
 
 
+def _clustering_tri_count(spark, sf_dir) -> int:
+    """Triangle count of q_clustering_coeff's even-orderkey co-order
+    graph — the closed-wedge work behind its wall curve (added r10:
+    its sf10 single-run ratio has swung 3.81 ↔ 5.92 across sessions
+    with an unchanged plan; the work counter is what makes those
+    swings attributable to host state rather than plan shape)."""
+    from eclipse_spark.operators import graph
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = graph.cooccurrence_edges(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_orderkey", "l_partkey"
+    )
+    row = graph.triangle_count(edges).collect()[0]
+    return int(row["n_triangles"] or 0)
+
+
 def _kcore_dec_count(spark, sf_dir) -> int:
     """Total delta-degree decrement mass of q_kcore's peel (VERDICT r9
     task 3 evidence: the per-round work that replaced the full degree
@@ -319,6 +335,7 @@ WORK_COUNTS = {
     "media_dhash_wide": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
     "kcore": _kcore_dec_count,
+    "clustering_coeff": _clustering_tri_count,
 }
 
 
