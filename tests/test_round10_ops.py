@@ -68,6 +68,34 @@ def test_interval_join_boundaries(spark):
     assert _run_ij(spark, rows_l, rows_r, 64) == bf
 
 
+def test_interval_join_inverted_and_null_intervals(spark):
+    """Ill-formed inputs keep engine == theta-join semantics: an
+    INVERTED interval (start > end) matches exactly the pairs the
+    closed-overlap predicate admits (the descending bucket sequence
+    covers the same endpoint range, and the overlap-start bucket is
+    provably inside both sides' ranges), and a NULL bound drops the row
+    on both sides (NULL comparisons admit nothing; NULL sequence
+    explodes to nothing)."""
+    rows_l = [(0, 25, 5), (0, 5, 1), (0, 100, 200)]
+    rows_r = [(0, 0, 30), (0, 2, 6), (0, 150, 160), (0, 26, 40)]
+    bf = _brute(rows_l, rows_r)
+    assert (0, 0) in bf and (0, 3) not in bf  # inverted still theta-matched
+    assert _run_ij(spark, rows_l, rows_r, 10) == bf
+
+    from eclipse_spark.operators.relational import interval_join
+
+    L = spark.createDataFrame(
+        [(0, None, 10, 0), (0, 5, None, 1), (0, 1, 10, 2)],
+        "k int, ls long, le long, lid int",
+    )
+    R = spark.createDataFrame([(0, 0, 100, 0)], "k int, rs long, re long, rid int")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(L, R, ["k"], "ls", "le", "rs", "re", 16).collect()
+    }
+    assert got == {(2, 0)}  # NULL-bounded rows silently admit nothing
+
+
 def test_interval_join_fanout_guard(spark):
     from eclipse_spark.operators.relational import interval_join
 
