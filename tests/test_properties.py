@@ -1082,3 +1082,77 @@ def test_skew_audit_partition_invariant(spark, docs):
     a = sorted(map(tuple, skew.skew_audit(df.repartition(2), "k", 5).collect()))
     b = sorted(map(tuple, skew.skew_audit(df.repartition(13), "k", 5).collect()))
     assert a == b and a
+
+
+# -- round-10 operators -------------------------------------------------
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=2),      # key
+    st.integers(min_value=-50, max_value=950),  # start
+    st.integers(min_value=0, max_value=400),    # length
+)
+
+
+@SETTINGS
+@given(
+    ls=st.lists(_iv, min_size=1, max_size=25),
+    rs=st.lists(_iv, min_size=1, max_size=12),
+    width=st.sampled_from([1, 13, 100, 5000]),
+)
+def test_interval_join_equals_theta_join(spark, ls, rs, width):
+    """For ALL keyed interval sets and bucket widths, the
+    bucketed-explode join equals the closed-overlap theta join —
+    exactly-once per pair (attribution, not dedup)."""
+    from eclipse_spark.operators.relational import interval_join
+
+    rows_l = [(k, s, s + n) for k, s, n in ls]
+    rows_r = [(k, s, s + n) for k, s, n in rs]
+    L = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(rows_l)],
+        "k int, ls long, le long, lid int",
+    )
+    R = spark.createDataFrame(
+        [(k, s, e, j) for j, (k, s, e) in enumerate(rows_r)],
+        "k int, rs long, re long, rid int",
+    )
+    out = interval_join(L, R, ["k"], "ls", "le", "rs", "re", width).collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    bf = sorted(
+        (i, j)
+        for i, (k1, s1, e1) in enumerate(rows_l)
+        for j, (k2, s2, e2) in enumerate(rows_r)
+        if k1 == k2 and s1 <= e2 and s2 <= e1
+    )
+    assert got == bf
+
+
+@SETTINGS
+@given(
+    items=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=120
+    ),
+    splits=st.integers(min_value=2, max_value=4),
+    width=st.sampled_from([16, 64]),
+)
+def test_count_min_merge_equals_rebuild(spark, items, splits, width):
+    """For ALL streams and split arities, merging per-part CMS builds
+    is counter-for-counter identical to building over the whole stream
+    (the incremental-maintenance invariant cms_refresh relies on)."""
+    from eclipse_spark.operators.sketch import count_min_build, count_min_merge
+
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(items)], "i long, item string"
+    )
+    parts = [
+        count_min_build(df.filter(F.col("i") % splits == p), "item", width, 2)
+        for p in range(splits)
+    ]
+    merged = {
+        (r.d, r.bucket): r.cnt for r in count_min_merge(*parts).collect()
+    }
+    rebuilt = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_build(df, "item", width, 2).collect()
+    }
+    assert merged == rebuilt
