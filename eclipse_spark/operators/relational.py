@@ -484,6 +484,11 @@ def interval_join(
     ``_r`` suffix."""
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    if "_bkt" in left.columns or "_bkt" in right.columns:
+        raise ValueError(
+            "interval_join reserves the column name '_bkt' for its "
+            "bucket key; rename the input column"
+        )
     keys = list(on)
     lcols = [c for c in left.columns]
     rename = {c: c + "_r" for c in right.columns if c in lcols and c not in keys}

@@ -107,6 +107,10 @@ def test_interval_join_fanout_guard(spark):
         interval_join(L, R, ["k"], "ls", "le", "rs", "re", 10, max_fanout=100).collect()
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(L, R, ["k"], "ls", "le", "rs", "re", 0)
+    with pytest.raises(ValueError, match="_bkt"):
+        interval_join(
+            L.withColumnRenamed("lid", "_bkt"), R, ["k"], "ls", "le", "rs", "re", 10
+        )
 
 
 def test_interval_join_collision_suffix(spark):
