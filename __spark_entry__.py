@@ -6769,11 +6769,20 @@ def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = corpus.select(
         "id", (F.lit(8) + F.col("pid") % 9).cast("int").alias("w")
     )
-    staged = feats.join(meta, "id").withColumn(
-        "_q",
-        (
-            (F.col("mean_all") >= 0.48) & (F.col("std_all") >= 0.25)
-        ).cast("int"),
+    # staged feeds TWO consumers (the dedup semi-join and the final
+    # accounting agg) and sits downstream of the real decode — persist
+    # the small fixed-width frame so features decode ONCE; the 9-row
+    # result materializes via collect (no block outlives the call —
+    # the auc_roc lifecycle)
+    staged = (
+        feats.join(meta, "id")
+        .withColumn(
+            "_q",
+            (
+                (F.col("mean_all") >= 0.48) & (F.col("std_all") >= 0.25)
+            ).cast("int"),
+        )
+        .persist()
     )
     surv_bytes = corpus.select("id", "bytes").join(
         staged.filter(F.col("_q") == 1).select("id"), "id", "left_semi"
@@ -6787,10 +6796,10 @@ def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_d", F.lit(1))
     )
-    staged = staged.join(dropped, "id", "left")
+    tagged = staged.join(dropped, "id", "left")
     kept = (F.col("_q") == 1) & F.col("_d").isNull()
     n_kept = F.sum(F.when(kept, 1).otherwise(0))
-    return staged.groupBy("w").agg(
+    out = tagged.groupBy("w").agg(
         F.count("*").cast("long").alias("n_images"),
         F.sum("_q").cast("long").alias("n_quality"),
         n_kept.cast("long").alias("n_kept"),
@@ -6807,6 +6816,9 @@ def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kept_mean_all"),
     )
+    rows = out.collect()
+    staged.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

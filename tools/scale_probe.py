@@ -89,6 +89,10 @@ PROBE = [
     "media_dhash_wide",
     "interval_join",
     "cms_refresh",
+    # the multimodal flagship composition (decode + gate + wide-dHash
+    # dedup + accounting — measured sf0.1 4.9 s -> sf1 23.6 s cold on
+    # first landing, ~5x on 10x data; the row keeps it honest)
+    "media_curation_pipeline",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
