@@ -329,16 +329,23 @@ def main() -> None:
     def _one_job() -> None:
         wc(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Both runs recorded per N (VERDICT r7 task 7): the 64-job point
-    # drifted +18% across two rounds of unchanged scheduler code, so
-    # the many-job probe gets the same min+spread+flag treatment as
-    # the headline queries.
+    # All runs recorded per N (VERDICT r7 task 7). The 64-point gets
+    # min-of-THREE (VERDICT r10 task 1): its per-run distribution is
+    # wide and bimodal-ish — 8 identical fresh-process runs measured
+    # 9.7-18.3 s with no warming trend (tools/many_job_probe.py), so
+    # min-of-2 under-samples the fast mode and round-over-round deltas
+    # at min-of-2 were sampling noise, not scheduler regressions
+    # (r9's 8.70 vs r10's 14.39 were draws from the SAME distribution:
+    # r9 runs [14.19, 8.70], r10 session runs [15.80, 7.95], r10
+    # driver runs [15.49, 14.39]). run_concurrent now also caps
+    # submission threads at half the CPUs (session.py admission
+    # control), which removes the 64-thread GIL/py4j contention floor.
     many_job: dict[str, float] = {}
     many_job_runs: dict[str, list[float]] = {}
     _one_job()  # warm (codegen + parquet footers), adjacent to the clock
     for n in (1, 4, 16, 64):
         both_mj: list[float] = []
-        for _ in range(2):
+        for _ in range(3 if n == 64 else 2):
             t0 = time.perf_counter()
             run_concurrent(spark, [_one_job] * n)
             both_mj.append(round(time.perf_counter() - t0, 3))

@@ -1554,6 +1554,11 @@ def semantic_dedup_scaled(
             )
             .collect()
         )
+        # driver-side sort of <= k rows: np.argmax breaks similarity
+        # ties by row index, so an unordered collect would let tie
+        # points flip cells run-to-run (ADVICE r10) — the pre-refactor
+        # .orderBy('_cell') determinism, restored for free
+        mrows.sort(key=lambda r: r["_cell"])
         cell_ids = np.array([r["_cell"] for r in mrows], dtype=np.int64)
         cmat = np.array([r["_c"] for r in mrows], dtype=np.float64)
 

@@ -54,8 +54,15 @@ OFF = {
     "p_partkey": 100_000,
     "event_id": 1_000_000,
     "user_id": 10_000,
-    "doc_id": 100_000,
-    "vec_id": 100_000,
+    # 1M (not 100k) so the registry's planted-duplicate shift — every
+    # near-dup query plants copies at id + 100_000 — can NEVER alias a
+    # replica's original ids: originals live at r*1M + [0, ~5k), plants
+    # at r*1M + 100k + [0, ~5k), disjoint for every r (ADVICE r10: the
+    # old 100k offset made every replica-r plant collide with a
+    # replica-(r+1) original at the probe tiers, distorting the
+    # measured dedup workload)
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
 }
 
 
