@@ -208,6 +208,11 @@ HEADLINE = [
     "interval_join",
     "cms_refresh",
     "media_curation_pipeline",
+    # round-11 additions: the streaming MinHash bucket rollup and the
+    # storage+cache lineage audit (NOT in STABLE_TIER — created this
+    # round, no baseline to drift from)
+    "stream_near_dedup",
+    "lineage_audit",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

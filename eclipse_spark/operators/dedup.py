@@ -206,6 +206,100 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_bucket_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """STREAMING-compatible MinHash LSH bucket rollup — the near-dedup
+    front end re-expressed so it runs under Structured Streaming's
+    one-aggregation constraint: ``(band, bh, rep_id, n_docs)`` where
+    docs sharing a band bucket are near-dup CANDIDATE groups and
+    ``rep_id = min(id)`` is the greedy representative.
+
+    :func:`minhash_signatures_df`'s explode → seeded-hash columns →
+    ``groupBy(id).min`` formulation is the batch fast path, but on a
+    stream that per-doc aggregation would already consume the single
+    aggregation a streaming query gets, leaving none for the bucket
+    rollup. Here the signature is a PER-ROW projection instead — one
+    md5 per shingle hoisted into a bound array column (``_vu``; the
+    lambda-inline trap re-digests per hash function otherwise), then
+    ``h_i = array_min(transform(_vu, x -> v XOR rot60(u, i)))`` — so
+    the whole pipeline is stateless maps until the ONE stateful
+    ``groupBy(band, bh)``. Hash values are bit-identical to the
+    portable batch family (``portable_seeded_hashes`` /
+    ``_minhash_banded`` portable=True), so batch and stream bucket
+    IDENTICALLY and a SQL oracle replays the rollup exactly.
+
+    Works unchanged on a batch DataFrame (same plan minus stream
+    state). Scale shape: state is one row per DISTINCT (band, bh) —
+    bounded by corpus vocabulary, not stream length; the HOF
+    projection runs interpreted (~10x slower than the batch
+    explode+combine per measured repo precedent), the price of
+    streaming's aggregation budget, and it parallelizes per-row so
+    it shards to any executor count."""
+    from eclipse_spark.functions.scalar import portable_hash60, rot60
+    from eclipse_spark.operators.text import tokens, word_shingles_raw
+
+    rpb = num_hashes // bands
+    if rpb * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    shingled = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(
+            word_shingles_raw(tokens(F.col(text_col)), shingle_k)
+        ).alias("_sh"),
+    )
+    # one md5 per shingle, BOUND as a column the h_i lambdas reference
+    # (inlining it would re-digest every shingle once per hash column)
+    vu = shingled.withColumn(
+        "_vu",
+        F.transform(
+            "_sh",
+            lambda s: F.struct(
+                portable_hash60(F.md5(s), 0).alias("v"),
+                portable_hash60(F.md5(s), 1).alias("u"),
+            ),
+        ),
+    )
+    def _hmin(i: int):
+        # closure factory, NOT a default-arg lambda: pyspark's
+        # transform() reads lambda arity, and a second parameter —
+        # even defaulted — makes it pass the element INDEX there
+        return F.array_min(
+            F.transform("_vu", lambda x: x["v"].bitwiseXOR(rot60(x["u"], i)))
+        )
+
+    sig = vu.select(
+        "id", *[_hmin(i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * rpb + r}").cast("string") for r in range(rpb)]
+        return portable_hash60(F.md5(F.concat_ws("|", *cols)), 0)
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_hash(b).alias("bh")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return banded.groupBy("band", "bh").agg(
+        F.min("id").alias("rep_id"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 def ngram_jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,

@@ -852,11 +852,28 @@ def dhash_near_pairs(
       naming the measured number and both escape hatches. Pass None to
       skip (the caller owns the bound).
     - ``composed=True``: 32-bit composite keys (band pairs) cut the
-      chance-collision rate by 2^16 at a documented recall trade
-      (max_hamming <= n_bands - 2).
+      CHANCE-collision rate by 2^16 at a documented recall trade
+      (max_hamming <= n_bands - 2). Chance collisions are only half
+      the story, though: images that genuinely share a band PAIR
+      (near-identical coarse gradients — structural collisions) still
+      collide by construction, and on low-entropy corpora the
+      structural term dominates the chance term by orders of
+      magnitude. Measured on the 550k-image synthetic probe corpus:
+      685,504,861 composed candidates — ~5 orders above the ~n^2/2^32
+      chance rate — because the periodic pixel formula repeats coarse
+      gradient structure across ids. Composed keys shrink the
+      candidate surface ~2.4x there (vs narrow single-band), not to
+      the chance floor; no LSH scheme can emit fewer candidates than
+      the corpus' real shared-band mass.
     - ``n_bands=8`` over :func:`dhash_bands_wide`'s 128-bit hash:
-      twice the bands to stay collision-sparse AND a Hamming <= 7
-      (single) / <= 6 (composed) guarantee.
+      twice the bands for a lower per-band chance rate AND a Hamming
+      <= 7 (single) / <= 6 (composed) guarantee.
+
+    The escape hatch is MEASURED at scale, not hypothetical: with an
+    explicit raised budget (``max_pairs=1e9``) the composed wide path
+    COMPLETES on the 550k-image corpus — 685.5M candidates verified in
+    ~27 s wall on local[32], 1,663,216 true pairs at Hamming <= 3
+    (`bench_scaling.json` sf10 `media_dhash_wide_raised`).
 
     Scale shape: only (id, n_bands smallints) rows shuffle — never
     pixels or payloads; the verify is ``n_bands`` codegen

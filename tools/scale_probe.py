@@ -93,6 +93,10 @@ PROBE = [
     # dedup + accounting — measured sf0.1 4.9 s -> sf1 23.6 s cold on
     # first landing, ~5x on 10x data; the row keeps it honest)
     "media_curation_pipeline",
+    # the TEXT flagship composition gets the same standing row
+    # (VERDICT r10 task 2: "every operator family has scale evidence"
+    # covers the composed pipelines too)
+    "curation_pipeline",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
@@ -258,6 +262,23 @@ def _dhash_wide_cand_count(spark, sf_dir) -> int:
     return mm.dhash_candidate_volume(hs, n_bands=8, composed=True)
 
 
+def _dhash_wide_raised_probe(spark, sf_dir):
+    """The composed wide-dHash ESCAPE HATCH run to completion
+    (VERDICT r10 task 3): same corpus as q_media_dhash_wide but with
+    an EXPLICIT raised budget (1e9 > the measured 685.5M sf10
+    candidate volume — structural shared-band mass of the periodic
+    synthetic corpus, not chance collisions). The default-budget row
+    records the designed refusal; this row records the measured WALL
+    when a caller who knows the volume opts in."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.dhash_bands_wide(_dhash_corpus(spark, sf_dir))
+    return mm.dhash_near_pairs(
+        hs, max_hamming=3, n_bands=8, composed=True,
+        max_pairs=1_000_000_000,
+    )
+
+
 def _interval_cand_count(spark, sf_dir) -> int:
     """Bucket-cohabiting pair count of q_interval_join BEFORE the
     overlap filter — the join's real shuffle volume (sum over
@@ -337,6 +358,7 @@ WORK_COUNTS = {
     "ktruss": _ktruss_tri_count,
     "media_dhash": _dhash_cand_count,
     "media_dhash_wide": _dhash_wide_cand_count,
+    "media_dhash_wide_raised": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
     "kcore": _kcore_dec_count,
     "clustering_coeff": _clustering_tri_count,
@@ -487,9 +509,14 @@ def main() -> None:
         # the dHash near-dup pair joined the deep tier in round 10:
         # the narrow 4x16-bit path's candidate volume grows ~n^2/2^16
         # past 65k images (VERDICT r9 weak mark) while the wide
-        # composed-key path must stay collision-sparse — sf10's 550k
-        # images are the regime where the curves separate
-        deep_names += ["media_dhash", "media_dhash_wide"]
+        # composed-key path cuts the CHANCE term to n^2/2^32 — sf10's
+        # 550k images are the regime where STRUCTURAL shared-band mass
+        # (a corpus property) dominates and both default budgets trip
+        # by design. media_dhash_wide_raised (round 11) is the same
+        # composed path with an explicit 1e9 budget: the escape hatch
+        # run to a measured completion wall.
+        deep_names += ["media_dhash", "media_dhash_wide",
+                       "media_dhash_wide_raised"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
             # the iterative peel kernels get their second decade too;
             # their sf1 number is already a COLD single run (PROBE_COLD
@@ -498,10 +525,18 @@ def main() -> None:
                            "coreness"]
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
                       "kcore", "coreness", "media_dhash",
-                      "media_dhash_wide"}
+                      "media_dhash_wide", "media_dhash_wide_raised"}
+        # clustering_coeff's sf10 wall swung 3.81 <-> 5.92 across
+        # sessions with exactly-10x work — it gets min-of-2 at sf10
+        # (VERDICT r10 task 6), cold-ish (clearCache between runs)
+        runs2_sf10 = {"clustering_coeff"}
         for name in deep_names:
-            fn = (_semdedup_scaled_probe if name == "semdedup_scaled"
-                  else queries[name])
+            if name == "semdedup_scaled":
+                fn = _semdedup_scaled_probe
+            elif name == "media_dhash_wide_raised":
+                fn = _dhash_wide_raised_probe
+            else:
+                fn = queries[name]
             if name in single_run:
                 # single-run deep queries compare COLD sf1 vs COLD
                 # sf10 — the min-of-2-warm sf1 number conflates cache
@@ -511,6 +546,16 @@ def main() -> None:
                 # this session — reuse it instead of paying it twice.
                 if name in out and out[name].get("runs") == 1:
                     t1 = out[name]["sf1_sec"]
+                elif name in runs2_sf10:
+                    # like-for-like with the sf10 min-of-2-cold below
+                    walls = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        fn(spark, big).write.format("noop").mode(
+                            "overwrite").save()
+                        walls.append(time.perf_counter() - t0)
+                        spark.catalog.clearCache()
+                    t1 = min(walls)
                 else:
                     t0 = time.perf_counter()
                     fn(spark, big).write.format("noop").mode(
@@ -524,7 +569,16 @@ def main() -> None:
                 t1 = _time(fn, spark, big)
             spark.catalog.clearCache()
             try:
-                if name in single_run:
+                if name in runs2_sf10:
+                    walls = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        fn(spark, big10).write.format("noop").mode(
+                            "overwrite").save()
+                        walls.append(time.perf_counter() - t0)
+                        spark.catalog.clearCache()
+                    t10 = min(walls)
+                elif name in single_run:
                     t0 = time.perf_counter()
                     fn(spark, big10).write.format("noop").mode(
                         "overwrite").save()
@@ -555,7 +609,9 @@ def main() -> None:
                 "sf10_sec": round(t10, 3),
                 "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
             }
-            if name in single_run:
+            if name in runs2_sf10:
+                deep[name]["runs"] = 2
+            elif name in single_run:
                 deep[name]["runs"] = 1
             if name in WORK_COUNTS:
                 n10 = WORK_COUNTS[name](spark, big10)
