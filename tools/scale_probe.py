@@ -97,6 +97,14 @@ PROBE = [
     # (VERDICT r10 task 2: "every operator family has scale evidence"
     # covers the composed pipelines too)
     "curation_pipeline",
+    # round-11 additions, same-round scale evidence: the streaming
+    # MinHash bucket rollup (per-row HOF signature — interpreted, so
+    # the row proves the 10x wall stays ~linear in docs; state is one
+    # row per distinct band bucket) and the storage+cache lineage
+    # audit (a fixed number of version snapshots + counts — O(data)
+    # scans, nothing quadratic to hide)
+    "stream_near_dedup",
+    "lineage_audit",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
