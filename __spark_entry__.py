@@ -6743,6 +6743,32 @@ def q_media_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs via the energy-envelope fingerprint
+    (multimodal.audio_fingerprint_bands -> dhash_near_pairs): tone
+    WAVs per doc_id (encode_tone_wav — cross-term formula, measured
+    500/500 distinct fingerprints where a linear tone collapses) plus
+    planted exact-duplicate payloads under shifted ids (every 10th),
+    REAL RIFF/WAVE decode -> 65 frame energies (integer sum of
+    squares) -> 64 gradient bits as four 16-bit LSH bands -> the SAME
+    guarded banded self-join the image dHash path uses (one near-dup
+    engine, two modalities) -> exact Hamming <= 3 verify (pigeonhole
+    recall at 4 bands). The oracle replays the ENTIRE fingerprint from
+    the sample FORMULA — frame energies, delta signs, band packing,
+    XOR bit counts — so a hash match proves the engine parsed the
+    RIFF bytes and computed the same 64 bits; planted duplicates must
+    surface at hamming 0."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    wavs = multimodal.encode_tone_wav(ids, id_col="id")
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    fp = multimodal.audio_fingerprint_bands(
+        wavs.unionByName(planted), id_col="id", bytes_col="bytes"
+    )
+    return multimodal.dhash_near_pairs(fp, max_hamming=3)
+
+
 def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship MULTIMODAL curation composition — the media analogue of
     q_curation_pipeline, every stage running the real kernels and the
@@ -7288,13 +7314,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. As of round 10 EVERY registry key has a
     driver-green hash-exact row in some round, so the discipline
     shifted from "first evidence" to FRESHNESS (VERDICT r10 task 7):
-    the round-11 window leads with the two round-11 additions
-    (stream_near_dedup, lineage_audit — same-round evidence
-    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED tail —
-    the 46 queries whose only driver rows date to round 1
-    (CORRECTNESS_r01: the TPC-H suite, core relational/window ops,
-    scalar-function batteries) plus the 2 alphabetically-first
-    round-3 stragglers (ann_topk, bpe_train). The reorder is applied
+    the round-11 window leads with the three round-11 additions
+    (stream_near_dedup, lineage_audit, media_audio_fingerprint —
+    same-round evidence discipline), then rotates onto the
+    LEAST-RECENTLY-CONFIRMED tail — the 46 queries whose only driver
+    rows date to round 1 (CORRECTNESS_r01: the TPC-H suite, core
+    relational/window ops, scalar-function batteries) plus the
+    alphabetically-first round-3 straggler (ann_topk; bpe_train, the
+    second straggler, yielded its slot to the new op and keeps its r03
+    green row + the local parity check). The reorder is applied
     by ``_R11_WINDOW`` below over the stable literal, so no key is
     ever duplicated. Queries rotated out retain a prior round's
     driver-green row (aggregate CORRECTNESS_r01..r10 covers all 285 +
@@ -7305,6 +7333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== round-11 additions (same-round evidence discipline) =====
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
+        "media_audio_fingerprint": q_media_audio_fingerprint,
         # ===== round-10 additions (same-round evidence discipline) =====
         "media_dhash_wide": q_media_dhash_wide,
         "interval_join": q_interval_join,
@@ -7619,6 +7648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R11_WINDOW = [
     "stream_near_dedup",
     "lineage_audit",
+    "media_audio_fingerprint",
     "anti_join",
     "argmax",
     "array_funcs",
@@ -7666,7 +7696,6 @@ _R11_WINDOW = [
     "window_running",
     "window_topk",
     "ann_topk",
-    "bpe_train",
 ]
 
 
@@ -10962,6 +10991,39 @@ def oracle_sql() -> dict[str, str]:
             bands AS (SELECT id, y // 2 AS tbl,
                              CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
                                   AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2),
+            ham AS (SELECT a.id AS id_a, b.id AS id_b,
+                           CAST(sum(bit_count(xor(a.val, b.val))) AS BIGINT)
+                             AS hamming
+                    FROM bands a
+                    JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "media_audio_fingerprint": """
+            WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, doc_id FROM documents
+                         WHERE doc_id % 10 = 0),
+            eng AS (SELECT id, f.f AS f,
+                           CAST(sum(CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM ids
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY id, f.f),
+            bits AS (SELECT a.id, a.f AS x,
+                            CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                     FROM eng a
+                     JOIN eng b ON a.id = b.id AND b.f = a.f + 1
+                     WHERE a.f < 64),
+            bands AS (SELECT id, x // 16 AS tbl,
+                             CAST(sum(bit * (1 << (x % 16))) AS BIGINT) AS val
                       FROM bits GROUP BY 1, 2),
             ham AS (SELECT a.id AS id_a, b.id AS id_b,
                            CAST(sum(bit_count(xor(a.val, b.val))) AS BIGINT)

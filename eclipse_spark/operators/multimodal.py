@@ -652,6 +652,118 @@ def encode_textured_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
     return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
 
 
+def encode_tone_wav(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic TONE corpus for audio near-dup benchmarking — the
+    WAV analogue of :func:`encode_textured_bmp`: one real PCM WAV per
+    id, long enough to carry a 64-bit energy fingerprint
+    (:func:`audio_fingerprint_bands` needs 65 full frames where
+    :func:`encode_pattern_wav`'s 64-120 samples give only 4-8).
+    ``n = 1040 + id % 257`` samples at 8 kHz; with ``f = i div 16``
+    (frame) and ``j = i mod 16`` (offset), sample ``i`` =
+    ``(f*j*(id%17+3) + 23*f*(id%13+1) + 7*j*(id%11+1) + 31*id) % 4001
+    - 2000``. The cross-term makes per-frame energy PROFILES vary per
+    id (the textured-BMP lesson: linear patterns collapse to a handful
+    of fingerprints) — measured 500/500 distinct fingerprints and 4
+    organic Hamming <= 3 pairs across 500 ids. Pure integer formula,
+    so SQL oracles replay every sample. Arrow-batched; bytes are born
+    inside the stage."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 1040 + d % 257
+                i = np.arange(n, dtype=np.int64)
+                f, j = i // 16, i % 16
+                samples = (
+                    (
+                        f * j * (d % 17 + 3)
+                        + 23 * f * (d % 13 + 1)
+                        + 7 * j * (d % 11 + 1)
+                        + 31 * d
+                    )
+                    % 4001
+                    - 2000
+                ).astype(np.int16)
+                payloads.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
+
+    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+
+
+def audio_fingerprint_bands(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    frame: int = 16,
+    n_frames: int = 65,
+) -> DataFrame:
+    """Perceptual AUDIO fingerprint as four 16-bit band integers
+    ``(id, b0..b3)`` — the WAV member of the banded near-dup family
+    (dHash covers images; this is the same gradient-sign idea over the
+    energy envelope, the core of published audio fingerprints a la
+    Haitsma-Kalker, reduced to its integer-exact skeleton):
+
+    1. decode (vendored RIFF/WAVE codec — real chunk walking, loud
+       failure on non-PCM payloads; never a stub),
+    2. split the first ``n_frames`` non-overlapping ``frame``-sample
+       windows and take each window's INTEGER energy (sum of squared
+       amplitudes — exact in int64: |amp| <= 32767 over <= 2^16
+       samples fits with headroom),
+    3. bit f = 1 iff energy(f+1) > energy(f) — ``n_frames - 1`` = 64
+       gradient bits (the dHash rule applied along time),
+    4. bits pack 16 per band: band t = ``sum bit << (f % 16)`` for
+       f in [16t, 16t+16) (< 2^16 — the bands ARE the LSH keys).
+
+    Output is schema-compatible with :func:`dhash_bands`, so the WHOLE
+    downstream near-dup engine — :func:`_dhash_banded` table explode,
+    :func:`dhash_candidate_volume` pre-join audit, and
+    :func:`dhash_near_pairs`'s guarded banded self-join with its
+    pigeonhole recall bound — is reused verbatim: one banded-LSH join
+    engine, two modalities. Raises if a payload has fewer than
+    ``frame * n_frames`` samples (fingerprints of different lengths
+    are not comparable; callers pad or gate upstream). Every step is
+    integer-exact, so a SQL oracle replays the fingerprint from the
+    sample formula without touching bytes. Arrow-batched mapInPandas;
+    bytes never shuffle — only (id, 4 smallint bands) rows come out."""
+    if n_frames != 65:
+        # 64 bits / 4 bands is the contract the downstream LSH keys,
+        # the recall bound, and the SQL oracles are written against
+        raise ValueError("audio_fingerprint_bands packs exactly 65 "
+                         "frames (64 delta bits); got n_frames="
+                         f"{n_frames}")
+    need = frame * n_frames
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, b0, b1, b2, b3 = [], [], [], [], []
+            for rid, b in zip(pdf["id"], pdf["_bytes"]):
+                _rate, samples = wav_decode(bytes(b) if b is not None else b"")
+                if len(samples) < need:
+                    raise ValueError(
+                        f"audio_fingerprint_bands: id {rid} has "
+                        f"{len(samples)} samples < {need} required "
+                        f"({n_frames} frames of {frame})"
+                    )
+                a = samples[:need].astype(np.int64)
+                e = (a * a).reshape(n_frames, frame).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # (64,)
+                vals = bits << (np.arange(64) % 16)
+                ids.append(rid)
+                b0.append(int(vals[0:16].sum()))
+                b1.append(int(vals[16:32].sum()))
+                b2.append(int(vals[32:48].sum()))
+                b3.append(int(vals[48:64].sum()))
+            yield pd.DataFrame(
+                {"id": ids, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")
+    ).mapInPandas(_run, schema="id long, b0 int, b1 int, b2 int, b3 int")
+
+
 def dhash_bands(
     df: DataFrame,
     id_col: str = "id",

@@ -1,0 +1,112 @@
+"""Round-11 audio fingerprint near-dedup: the WAV member of the
+banded near-dup family (eclipse_spark.operators.multimodal
+.audio_fingerprint_bands + encode_tone_wav), reusing the image dHash
+join engine (dhash_near_pairs) verbatim. Reference parity:
+the reference's capability here is modality-generic near-dup over
+opaque payloads; the engine expresses it as decode-kernel ->
+fixed-width fingerprint -> guarded banded LSH self-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eclipse_spark.operators import multimodal as mm
+
+
+def _ref_fingerprint(did: int) -> np.ndarray:
+    """Pure-numpy replay of encode_tone_wav + audio_fingerprint_bands:
+    the 64 energy-delta bits, computed without any Spark or codec."""
+    n = 1040 + did % 257
+    i = np.arange(n, dtype=np.int64)
+    f, j = i // 16, i % 16
+    s = (
+        f * j * (did % 17 + 3)
+        + 23 * f * (did % 13 + 1)
+        + 7 * j * (did % 11 + 1)
+        + 31 * did
+    ) % 4001 - 2000
+    e = (s[: 16 * 65] ** 2).reshape(65, 16).sum(axis=1)
+    return (e[1:] > e[:-1]).astype(np.int64)
+
+
+def _bands_from_bits(bits: np.ndarray) -> list[int]:
+    vals = bits << (np.arange(64) % 16)
+    return [int(vals[16 * t : 16 * t + 16].sum()) for t in range(4)]
+
+
+def test_tone_wav_roundtrip(spark):
+    """encode_tone_wav emits REAL RIFF/WAVE payloads: wav_decode
+    recovers the exact formula samples, rate, and length."""
+    ids = spark.range(0, 7).select(F.col("id"))
+    rows = mm.encode_tone_wav(ids, id_col="id").collect()
+    assert len(rows) == 7
+    for r in rows:
+        rate, samples = mm.wav_decode(bytes(r["bytes"]))
+        d = r["id"]
+        n = 1040 + d % 257
+        assert rate == 8000 and len(samples) == n
+        i = np.arange(n, dtype=np.int64)
+        f, j = i // 16, i % 16
+        want = (
+            f * j * (d % 17 + 3)
+            + 23 * f * (d % 13 + 1)
+            + 7 * j * (d % 11 + 1)
+            + 31 * d
+        ) % 4001 - 2000
+        assert (samples.astype(np.int64) == want).all()
+
+
+def test_fingerprint_bit_exact_vs_numpy(spark):
+    """The Spark kernel's band integers equal the pure-numpy replay of
+    the formula for every id — a flipped gradient bit or a wrong band
+    packing position fails here before any oracle does."""
+    ids = spark.range(0, 40).select(F.col("id"))
+    fp = mm.audio_fingerprint_bands(mm.encode_tone_wav(ids, id_col="id"))
+    got = {r["id"]: [r["b0"], r["b1"], r["b2"], r["b3"]] for r in fp.collect()}
+    assert len(got) == 40
+    for d, bands in got.items():
+        assert bands == _bands_from_bits(_ref_fingerprint(d)), f"id {d}"
+
+
+def test_planted_duplicates_hamming_zero(spark):
+    """Exact-duplicate payloads under shifted ids surface at hamming 0
+    through the SAME guarded banded join the image path uses."""
+    ids = spark.range(0, 60).select(F.col("id"))
+    wavs = mm.encode_tone_wav(ids, id_col="id")
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    fp = mm.audio_fingerprint_bands(wavs.unionByName(planted))
+    pairs = mm.dhash_near_pairs(fp, max_hamming=3).collect()
+    planted_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in pairs
+        if r["id_b"] == r["id_a"] + 100000
+    }
+    assert set(planted_pairs) == {(d, d + 100000) for d in range(0, 60, 10)}
+    assert all(h == 0 for h in planted_pairs.values())
+
+
+def test_short_payload_raises(spark):
+    """encode_pattern_wav's 64-120 sample clips cannot carry the 65
+    frames the fingerprint is defined over — loud failure, never a
+    truncated/padded fingerprint that would silently miscompare."""
+    ids = spark.range(0, 3).select(F.col("id"))
+    short = mm.encode_pattern_wav(ids, id_col="id")
+    with pytest.raises(Exception, match="samples < 1040 required"):
+        mm.audio_fingerprint_bands(short).collect()
+
+
+def test_audio_candidate_guard_fires(spark):
+    """The pre-join candidate-volume audit guards the audio path with
+    the same max_pairs discipline as images: a degenerate corpus (all
+    payloads identical -> every pair cohabits every band bucket) must
+    REFUSE before scheduling the quadratic join."""
+    ids = spark.range(0, 80).select(F.lit(5).alias("src"), "id")
+    one = mm.encode_tone_wav(ids.select(F.col("src").alias("id")).limit(1))
+    clones = ids.crossJoin(one.select("bytes")).select("id", "bytes")
+    fp = mm.audio_fingerprint_bands(clones)
+    with pytest.raises(ValueError, match="candidate pairs > max_pairs"):
+        mm.dhash_near_pairs(fp, max_hamming=3, max_pairs=1000)

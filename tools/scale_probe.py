@@ -105,6 +105,11 @@ PROBE = [
     # scans, nothing quadratic to hide)
     "stream_near_dedup",
     "lineage_audit",
+    # the audio member of the banded near-dup family: same guarded
+    # banded self-join as media_dhash (identical asymptotic risk — 4 x
+    # 16-bit band keys saturate as n^2/2^16), so it gets the same
+    # candidate-volume work counter
+    "media_audio_fingerprint",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
@@ -287,6 +292,29 @@ def _dhash_wide_raised_probe(spark, sf_dir):
     )
 
 
+def _audio_fp_corpus(spark, sf_dir):
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    wavs = mm.encode_tone_wav(ids, id_col="id")
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    return wavs.unionByName(planted)
+
+
+def _audio_fp_cand_count(spark, sf_dir) -> int:
+    """Banded self-join candidate volume of q_media_audio_fingerprint
+    (4 x 16-bit single-band keys over the energy-envelope fingerprint)
+    — the same pre-join audit quantity the image dHash rows track,
+    with the same ~4 n^2 / 2^16 saturation risk."""
+    from eclipse_spark.operators import multimodal as mm
+
+    fp = mm.audio_fingerprint_bands(_audio_fp_corpus(spark, sf_dir))
+    return mm.dhash_candidate_volume(fp, n_bands=4, composed=False)
+
+
 def _interval_cand_count(spark, sf_dir) -> int:
     """Bucket-cohabiting pair count of q_interval_join BEFORE the
     overlap filter — the join's real shuffle volume (sum over
@@ -365,6 +393,7 @@ WORK_COUNTS = {
     "apss_jaccard": _apss_jaccard_cand_count,
     "ktruss": _ktruss_tri_count,
     "media_dhash": _dhash_cand_count,
+    "media_audio_fingerprint": _audio_fp_cand_count,
     "media_dhash_wide": _dhash_wide_cand_count,
     "media_dhash_wide_raised": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
