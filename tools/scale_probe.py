@@ -110,6 +110,10 @@ PROBE = [
     # 16-bit band keys saturate as n^2/2^16), so it gets the same
     # candidate-volume work counter
     "media_audio_fingerprint",
+    # the AUDIO flagship composition (decode -> rms quality gate ->
+    # fingerprint dedup -> per-bucket accounting): every stage linear
+    # in clips except the guarded banded join above
+    "media_audio_pipeline",
 ]
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
@@ -554,6 +558,10 @@ def main() -> None:
         # run to a measured completion wall.
         deep_names += ["media_dhash", "media_dhash_wide",
                        "media_dhash_wide_raised"]
+        # the audio fingerprint shares the narrow path's 4 x 16-bit
+        # keyspace, so its sf10 row records the same saturation story
+        # (guard trip + measured pair curve) the image rows do
+        deep_names += ["media_audio_fingerprint"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
             # the iterative peel kernels get their second decade too;
             # their sf1 number is already a COLD single run (PROBE_COLD
@@ -562,7 +570,8 @@ def main() -> None:
                            "coreness"]
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
                       "kcore", "coreness", "media_dhash",
-                      "media_dhash_wide", "media_dhash_wide_raised"}
+                      "media_dhash_wide", "media_dhash_wide_raised",
+                      "media_audio_fingerprint"}
         # clustering_coeff's sf10 wall swung 3.81 <-> 5.92 across
         # sessions with exactly-10x work — it gets min-of-2 at sf10
         # (VERDICT r10 task 6), cold-ish (clearCache between runs)
