@@ -319,6 +319,22 @@ def _audio_fp_cand_count(spark, sf_dir) -> int:
     return mm.dhash_candidate_volume(fp, n_bands=4, composed=False)
 
 
+def _audio_fp_raised_probe(spark, sf_dir):
+    """The audio fingerprint ESCAPE HATCH run to completion — the
+    audio analogue of :func:`_dhash_wide_raised_probe`: same corpus as
+    q_media_audio_fingerprint but with an EXPLICIT raised budget
+    (2e9 > the measured 1.63e9 sf10 candidate volume). The
+    default-budget row records the designed refusal at 550k clips;
+    this row records the measured WALL when a caller who knows the
+    volume opts in."""
+    from eclipse_spark.operators import multimodal as mm
+
+    fp = mm.audio_fingerprint_bands(_audio_fp_corpus(spark, sf_dir))
+    return mm.dhash_near_pairs(
+        fp, max_hamming=3, max_pairs=2_000_000_000
+    )
+
+
 def _interval_cand_count(spark, sf_dir) -> int:
     """Bucket-cohabiting pair count of q_interval_join BEFORE the
     overlap filter — the join's real shuffle volume (sum over
@@ -398,6 +414,7 @@ WORK_COUNTS = {
     "ktruss": _ktruss_tri_count,
     "media_dhash": _dhash_cand_count,
     "media_audio_fingerprint": _audio_fp_cand_count,
+    "media_audio_fingerprint_raised": _audio_fp_cand_count,
     "media_dhash_wide": _dhash_wide_cand_count,
     "media_dhash_wide_raised": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
@@ -560,8 +577,12 @@ def main() -> None:
                        "media_dhash_wide_raised"]
         # the audio fingerprint shares the narrow path's 4 x 16-bit
         # keyspace, so its sf10 row records the same saturation story
-        # (guard trip + measured pair curve) the image rows do
-        deep_names += ["media_audio_fingerprint"]
+        # (guard trip + measured pair curve) the image rows do;
+        # media_audio_fingerprint_raised is the explicit-budget escape
+        # hatch run to a measured completion wall (the
+        # media_dhash_wide_raised discipline)
+        deep_names += ["media_audio_fingerprint",
+                       "media_audio_fingerprint_raised"]
         if os.path.exists(os.path.join(big10, "lineitem.parquet")):
             # the iterative peel kernels get their second decade too;
             # their sf1 number is already a COLD single run (PROBE_COLD
@@ -571,7 +592,8 @@ def main() -> None:
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
                       "kcore", "coreness", "media_dhash",
                       "media_dhash_wide", "media_dhash_wide_raised",
-                      "media_audio_fingerprint"}
+                      "media_audio_fingerprint",
+                      "media_audio_fingerprint_raised"}
         # clustering_coeff's sf10 wall swung 3.81 <-> 5.92 across
         # sessions with exactly-10x work — it gets min-of-2 at sf10
         # (VERDICT r10 task 6), cold-ish (clearCache between runs)
@@ -581,6 +603,8 @@ def main() -> None:
                 fn = _semdedup_scaled_probe
             elif name == "media_dhash_wide_raised":
                 fn = _dhash_wide_raised_probe
+            elif name == "media_audio_fingerprint_raised":
+                fn = _audio_fp_raised_probe
             else:
                 fn = queries[name]
             if name in single_run:
