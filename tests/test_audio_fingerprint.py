@@ -10,9 +10,16 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from eclipse_spark.operators import multimodal as mm
+
+HSETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 
 
 def _ref_fingerprint(did: int) -> np.ndarray:
@@ -129,6 +136,74 @@ def test_audio_pipeline_accounting(spark, sf_smoke):
     ).collect()
     planted_pairs = [r for r in fp_pairs if r["id_b"] == r["id_a"] + 100000]
     assert planted_pairs and all(r["hamming"] == 0 for r in planted_pairs)
+
+
+def _np_fingerprint_bands(samples: np.ndarray) -> list[int]:
+    """Reference fingerprint over arbitrary PCM (not the tone formula):
+    the spec audio_fingerprint_bands implements, in four numpy lines."""
+    a = samples[: 16 * 65].astype(np.int64)
+    e = (a * a).reshape(65, 16).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    vals = bits << (np.arange(64) % 16)
+    return [int(vals[16 * t : 16 * t + 16].sum()) for t in range(4)]
+
+
+@HSETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_extra=st.integers(min_value=0, max_value=300),
+)
+def test_fingerprint_property_arbitrary_pcm(spark, seed, n_extra):
+    """On ARBITRARY int16 PCM (any length >= 1040, any rate) the Spark
+    kernel equals the numpy spec — the codec round-trip and the kernel
+    are exercised beyond the tone corpus, including full-scale
+    amplitudes and constant runs."""
+    rng = np.random.default_rng(seed)
+    n = 1040 + n_extra
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+    if seed % 3 == 0:
+        samples[100:400] = 0  # constant run: ties must be bit=0
+    if seed % 3 == 1:
+        samples[:] = np.abs(samples)  # one-sided signal
+    samples = samples.astype(np.int16)
+    rate = 4000 + (seed % 5) * 4000
+    payload = mm.wav_encode(samples, rate)
+    df = spark.createDataFrame([(7, bytearray(payload))], "id long, bytes binary")
+    row = mm.audio_fingerprint_bands(df).collect()[0]
+    assert [row["b0"], row["b1"], row["b2"], row["b3"]] == \
+        _np_fingerprint_bands(samples)
+
+
+@HSETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    frame_idx=st.integers(min_value=0, max_value=64),
+)
+def test_fingerprint_locality_single_frame_perturbation(
+    spark, seed, frame_idx
+):
+    """Provable locality invariant: perturbing samples inside ONE
+    16-sample frame changes that frame's energy only, which can flip
+    at most the two delta bits adjacent to it (bit frame_idx-1 and bit
+    frame_idx) — total Hamming <= 2. This is the property that makes
+    the fingerprint a NEAR-dup key (local edits stay within the
+    banded-join Hamming budget) rather than a content hash."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-2000, 2001, size=1100, dtype=np.int16)
+    mutated = samples.copy()
+    lo = frame_idx * 16
+    mutated[lo : lo + 16] = rng.integers(-2000, 2001, size=16)
+    df = spark.createDataFrame(
+        [(0, bytearray(mm.wav_encode(samples, 8000))),
+         (1, bytearray(mm.wav_encode(mutated, 8000)))],
+        "id long, bytes binary",
+    )
+    got = {r["id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+           for r in mm.audio_fingerprint_bands(df).collect()}
+    ham = sum(
+        bin(a ^ b).count("1") for a, b in zip(got[0], got[1])
+    )
+    assert ham <= 2
 
 
 def test_audio_candidate_guard_fires(spark):
