@@ -6769,6 +6769,40 @@ def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_near_pairs(fp, max_hamming=3)
 
 
+def q_media_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs via per-frame perceptual dHash with
+    temporal alignment (multimodal.video_dhash_bands ->
+    video_near_pairs) — the third modality through the banded near-dup
+    engine: textured EBMV videos per doc_id (3 + id % 5 real BMP
+    frames, per-frame textured formula seeded id + 131*g), plus TWO
+    plant classes — exact copies under +100000 (every 10th: all F
+    frames align at hamming 0) and TRUNCATED copies under +200000
+    (every 20th: the same video minus its last frame — F-1 aligned
+    frames, exercising differing frame counts). Real container-index
+    walk + real per-frame BMP decode -> 9x8 dHash per frame -> banded
+    join keyed (frame_idx, band, key) -> exact aligned-frame Hamming
+    verify -> video-level rollup (n_close, sum_hamming) keeping pairs
+    with >= 2 close frames. The oracle replays container layout,
+    every frame's 64 gradient bits, and the alignment rollup from the
+    pixel formula; the three plant-pair classes (d, d+100000),
+    (d, d+200000), (d+100000, d+200000) must all surface with
+    n_close = F, F-1, F-1 and sum_hamming 0."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    full = multimodal.encode_textured_video(ids, id_col="id")
+    planted = full.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trunc_src = ids.filter(F.col("id") % 20 == 0).select(
+        "id", (F.lit(2) + F.col("id") % 5).cast("int").alias("nf")
+    )
+    trunc = multimodal.encode_textured_video(
+        trunc_src, id_col="id", frames_col="nf"
+    ).select((F.col("id") + 200000).alias("id"), "bytes")
+    corpus = full.unionByName(planted).unionByName(trunc)
+    hs = multimodal.video_dhash_bands(corpus, id_col="id", bytes_col="bytes")
+    return multimodal.video_near_pairs(hs, max_hamming=3, min_frames=2)
+
+
 def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO curation composition — the WAV analogue of
     q_media_curation_pipeline, completing the per-modality pipeline
@@ -7390,15 +7424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. As of round 10 EVERY registry key has a
     driver-green hash-exact row in some round, so the discipline
     shifted from "first evidence" to FRESHNESS (VERDICT r10 task 7):
-    the round-11 window leads with the four round-11 additions
+    the round-11 window leads with the five round-11 additions
     (stream_near_dedup, lineage_audit, media_audio_fingerprint,
-    media_audio_pipeline — same-round evidence discipline), then
-    rotates onto the LEAST-RECENTLY-CONFIRMED tail — the 46 queries
-    whose only driver rows date to round 1 (CORRECTNESS_r01: the
-    TPC-H suite, core relational/window ops, scalar-function
-    batteries). The two round-3 stragglers (ann_topk, bpe_train)
-    yielded their slots to the new ops; they keep their r03 green
-    rows + the local parity check. The reorder is applied
+    media_audio_pipeline, media_video_near_dup — same-round evidence
+    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED
+    tail — 45 of the 46 queries whose only driver rows date to round
+    1 (CORRECTNESS_r01: the TPC-H suite, core relational/window ops,
+    scalar-function batteries). The two round-3 stragglers (ann_topk,
+    bpe_train) and r01's window_topk yielded their slots to the new
+    ops; they keep their prior green rows + the local parity check.
+    The reorder is applied
     by ``_R11_WINDOW`` below over the stable literal, so no key is
     ever duplicated. Queries rotated out retain a prior round's
     driver-green row (aggregate CORRECTNESS_r01..r10 covers all 285 +
@@ -7411,6 +7446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_audit": q_lineage_audit,
         "media_audio_fingerprint": q_media_audio_fingerprint,
         "media_audio_pipeline": q_media_audio_pipeline,
+        "media_video_near_dup": q_media_video_near_dup,
         # ===== round-10 additions (same-round evidence discipline) =====
         "media_dhash_wide": q_media_dhash_wide,
         "interval_join": q_interval_join,
@@ -7727,6 +7763,7 @@ _R11_WINDOW = [
     "lineage_audit",
     "media_audio_fingerprint",
     "media_audio_pipeline",
+    "media_video_near_dup",
     "anti_join",
     "argmax",
     "array_funcs",
@@ -7772,7 +7809,6 @@ _R11_WINDOW = [
     "unpivot",
     "window_nav",
     "window_running",
-    "window_topk",
 ]
 
 
@@ -11109,6 +11145,60 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "media_video_near_dup": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid,
+                     CAST(3 + doc_id % 5 AS BIGINT) AS nf FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 3 + doc_id % 5
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 200000, doc_id, 2 + doc_id % 5
+              FROM documents WHERE doc_id % 20 = 0),
+            dims AS (SELECT id, pid, nf, 8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            fr AS (SELECT id, w0, h0, g.g AS g, pid + 131*g.g AS e
+                   FROM dims
+                   CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, nf)) AS g) g),
+            lum AS (SELECT id, g, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + e) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 11 + e) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 22 + e) % 256)
+                      ) // 1000 AS l
+                    FROM fr
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.g, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.g = b.g
+                                AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, g, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2, 3),
+            fham AS (SELECT a.id AS id_a, b.id AS id_b, a.g AS g,
+                            CAST(sum(bit_count(xor(a.val, b.val)))
+                                 AS BIGINT) AS fham
+                     FROM bands a
+                     JOIN bands b ON a.g = b.g AND a.tbl = b.tbl
+                                  AND a.id < b.id
+                     GROUP BY 1, 2, 3)
+            SELECT id_a, id_b,
+                   CAST(count(*) AS BIGINT) AS n_close,
+                   CAST(sum(fham) AS BIGINT) AS sum_hamming
+            FROM fham WHERE fham <= 3
+            GROUP BY id_a, id_b
+            HAVING count(*) >= 2
         """,
         "media_audio_pipeline": """
             WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents

@@ -215,6 +215,7 @@ HEADLINE = [
     "lineage_audit",
     "media_audio_fingerprint",
     "media_audio_pipeline",
+    "media_video_near_dup",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

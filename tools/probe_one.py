@@ -5,8 +5,12 @@ registry changes shape; this runner reuses scale_probe's own probe
 functions, session config, and single-cold-run deep-tier protocol so
 the merged row is protocol-identical).
 
-Usage: python tools/probe_one.py <name>
-where <name> is a deep-tier entry known to tools/scale_probe.py.
+Usage: python tools/probe_one.py <name> [first]
+where <name> is a probe entry known to tools/scale_probe.py. With
+``first`` the row measures the FIRST decade (sf0.1 -> benchdata/sf1,
+merged into the top-level queries map, cold single runs + work
+counts at both scales); otherwise the second decade
+(sf1 -> benchdata/sf10, merged into the sf10 tier).
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 from tools import scale_probe as sp  # noqa: E402
 
 
-def main(name: str) -> None:
+def main(name: str, tier: str = "sf10") -> None:
+    small = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     big = os.path.join(REPO, "benchdata", "sf1")
     big10 = os.path.join(REPO, "benchdata", "sf10")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -47,7 +52,7 @@ def main(name: str) -> None:
     elif name == "media_dhash_wide_raised":
         fn = sp._dhash_wide_raised_probe
     else:
-        fn = entrymod.queries()[name]
+        fn = sp.PROBE_FN_OVERRIDES.get(name) or entrymod.queries()[name]
 
     def cold(sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -56,19 +61,35 @@ def main(name: str) -> None:
         spark.catalog.clearCache()
         return wall
 
-    t1, t10 = cold(big), cold(big10)
-    row = {
-        "sf1_sec": round(t1, 3),
-        "sf10_sec": round(t10, 3),
-        "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
-        "runs": 1,
-    }
-    if name in sp.WORK_COUNTS:
-        row["n_candidates_sf10"] = sp.WORK_COUNTS[name](spark, big10)
     path = os.path.join(REPO, "bench_scaling.json")
     with open(path) as fh:
         payload = json.load(fh)
-    payload.setdefault("sf10", {}).setdefault("queries", {})[name] = row
+    if tier == "first":
+        t0, t1 = cold(small), cold(big)
+        row = {
+            "sf0.1_sec": round(t0, 3),
+            "sf1_sec": round(t1, 3),
+            "ratio": round(t1 / t0 if t0 > 0 else float("inf"), 2),
+            "runs": 1,
+        }
+        if name in sp.WORK_COUNTS:
+            wc = sp.WORK_COUNTS[name]
+            n0, n1 = wc(spark, small), wc(spark, big)
+            row["n_candidates_sf0.1"] = n0
+            row["n_candidates_sf1"] = n1
+            row["work_ratio"] = round(n1 / n0 if n0 else float("inf"), 2)
+        payload["queries"][name] = row
+    else:
+        t1, t10 = cold(big), cold(big10)
+        row = {
+            "sf1_sec": round(t1, 3),
+            "sf10_sec": round(t10, 3),
+            "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
+            "runs": 1,
+        }
+        if name in sp.WORK_COUNTS:
+            row["n_candidates_sf10"] = sp.WORK_COUNTS[name](spark, big10)
+        payload.setdefault("sf10", {}).setdefault("queries", {})[name] = row
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps({name: row}))
@@ -76,4 +97,4 @@ def main(name: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "sf10")

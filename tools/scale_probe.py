@@ -114,7 +114,19 @@ PROBE = [
     # fingerprint dedup -> per-bucket accounting): every stage linear
     # in clips except the guarded banded join above
     "media_audio_pipeline",
+    # the VIDEO near-dup path (per-frame dHash + temporal alignment):
+    # probed with an EXPLICIT raised budget because the derived
+    # corpus' aligned-candidate volume is quadratic per decade
+    # (704k -> 70.2M measured) and crosses the 20M default inside the
+    # first decade — the registry query keeps the default budget and
+    # correctly refuses at sf1; this row measures the wall when a
+    # caller who knows the volume opts in
+    "media_video_near_dup_raised",
 ]
+
+# Probe-only fn overrides (rows that are not registry queries:
+# explicit-budget escape hatches, kernel-tier variants)
+PROBE_FN_OVERRIDES = {}
 
 # Iterative peel/fixpoint kernels (VERDICT r8 task 1): probed with ONE
 # COLD run per scale — warm+min-of-2 would triple a minutes-long sf1
@@ -335,6 +347,57 @@ def _audio_fp_raised_probe(spark, sf_dir):
     )
 
 
+def _video_corpus(spark, sf_dir):
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    full = mm.encode_textured_video(ids)
+    planted = full.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trunc_src = ids.filter(F.col("id") % 20 == 0).select(
+        "id", (F.lit(2) + F.col("id") % 5).cast("int").alias("nf")
+    )
+    trunc = mm.encode_textured_video(trunc_src, frames_col="nf").select(
+        (F.col("id") + 200000).alias("id"), "bytes"
+    )
+    return full.unionByName(planted).unionByName(trunc)
+
+
+def _video_cand_count(spark, sf_dir) -> int:
+    """Aligned-frame candidate volume of the video near-dup banded
+    join — the audited quantity; (frame_idx, band, key) bucketing
+    delays saturation ~frame_count-fold vs the still path but the
+    derived corpus still grows it ~100x per decade."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.video_dhash_bands(_video_corpus(spark, sf_dir))
+    return mm.video_candidate_volume(hs)
+
+
+def _video_raised_probe(spark, sf_dir):
+    """q_media_video_near_dup with an EXPLICIT raised budget (1e9 >
+    the measured 70.2M sf1 volume) so the first-decade wall is a
+    completion, while the registry query's default 20M budget records
+    the designed refusal at that scale."""
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.video_dhash_bands(_video_corpus(spark, sf_dir))
+    return mm.video_near_pairs(
+        hs, max_hamming=3, min_frames=2, max_pairs=1_000_000_000
+    )
+
+
+PROBE_FN_OVERRIDES["media_video_near_dup_raised"] = _video_raised_probe
+
+# sf10 rows recorded as measured refusal volumes only (see the deep
+# loop): the video join at sf10 would shuffle ~7e9 aligned-frame
+# candidates — larger than local disk — so no budget is "acceptable"
+# single-node and the honest row is the audited number itself.
+DEEP_VOLUME_ONLY = {"media_video_near_dup": _video_cand_count}
+
+
 def _interval_cand_count(spark, sf_dir) -> int:
     """Bucket-cohabiting pair count of q_interval_join BEFORE the
     overlap filter — the join's real shuffle volume (sum over
@@ -415,6 +478,7 @@ WORK_COUNTS = {
     "media_dhash": _dhash_cand_count,
     "media_audio_fingerprint": _audio_fp_cand_count,
     "media_audio_fingerprint_raised": _audio_fp_cand_count,
+    "media_video_near_dup_raised": _video_cand_count,
     "media_dhash_wide": _dhash_wide_cand_count,
     "media_dhash_wide_raised": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
@@ -469,7 +533,7 @@ def main() -> None:
     queries = entrymod.queries()
     out: dict[str, dict] = {}
     for name in PROBE:
-        fn = queries[name]
+        fn = PROBE_FN_OVERRIDES.get(name) or queries[name]
         t_small = _time(fn, spark, small)
         spark.catalog.clearCache()
         t_big = _time(fn, spark, big)
@@ -495,7 +559,7 @@ def main() -> None:
               flush=True)
     # iterative peel kernels: ONE cold run per scale (see PROBE_COLD)
     for name in PROBE_COLD:
-        fn = queries[name]
+        fn = PROBE_FN_OVERRIDES.get(name) or queries[name]
         t0 = time.perf_counter()
         fn(spark, small).write.format("noop").mode("overwrite").save()
         t_small = time.perf_counter() - t0
@@ -606,7 +670,7 @@ def main() -> None:
             elif name == "media_audio_fingerprint_raised":
                 fn = _audio_fp_raised_probe
             else:
-                fn = queries[name]
+                fn = PROBE_FN_OVERRIDES.get(name) or queries[name]
             if name in single_run:
                 # single-run deep queries compare COLD sf1 vs COLD
                 # sf10 — the min-of-2-warm sf1 number conflates cache
@@ -692,6 +756,26 @@ def main() -> None:
                     deep[name]["work_ratio"] = round(n10 / base, 2)
             print(f"[100x] {name}: {t1:.2f}s -> {t10:.2f}s  "
                   f"ratio {deep[name]['ratio']:.1f}x", flush=True)
+        # VOLUME-ONLY sf10 rows: paths whose guard refuses at sf1
+        # already (so the deep loop's t1 would raise) and whose
+        # raised-budget join would exceed this box (the video path's
+        # ~7e9 aligned candidates imply a shuffle bigger than local
+        # disk). The row records the measured refusal volume — the
+        # number a 1000-executor cluster operator would use to size
+        # the job — without scheduling the join anywhere.
+        for name, counter in DEEP_VOLUME_ONLY.items():
+            n10 = counter(spark, big10)
+            spark.catalog.clearCache()
+            deep[name] = {
+                "sf10_sec": None,
+                "guarded": "volume-only row: the default budget "
+                           "refuses from sf1 up and the raised join "
+                           "is deliberately not scheduled single-node "
+                           "(shuffle would exceed local disk); see "
+                           "SCALE.md for the cluster-scale levers",
+                "n_candidates_sf10": n10,
+            }
+            print(f"[100x] {name}: VOLUME-ONLY {n10:,}", flush=True)
         payload["sf10"] = {
             "data_ratio": 10,
             "note": "second decade sf1 -> sf10 for the steepest 10x "
