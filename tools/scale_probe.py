@@ -122,6 +122,13 @@ PROBE = [
     # correctly refuses at sf1; this row measures the wall when a
     # caller who knows the volume opts in
     "media_video_near_dup_raised",
+    # NOTE: a "sample every 2nd frame" lever row was measured and
+    # deliberately NOT added: it cuts the sf1 aligned volume only
+    # 70.2M -> 40.7M (still over the 20M default) because the DENSE
+    # frame classes (0 and 2 — present in every video) dominate;
+    # class-dropping is a LINEAR lever for aligned joins. The
+    # quadratic levers are per-class key width (wide/composed keys,
+    # measured end-to-end on the image rows) — see SCALE.md.
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -391,6 +398,37 @@ def _video_raised_probe(spark, sf_dir):
 
 PROBE_FN_OVERRIDES["media_video_near_dup_raised"] = _video_raised_probe
 
+
+def _video_sampled_hashes(spark, sf_dir):
+    from eclipse_spark.operators import multimodal as mm
+
+    hs = mm.video_dhash_bands(_video_corpus(spark, sf_dir))
+    return hs.filter(F.col("frame_idx") % 2 == 0)
+
+
+def _video_sampled_cand_count(spark, sf_dir) -> int:
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_candidate_volume(_video_sampled_hashes(spark, sf_dir))
+
+
+def _video_sampled_probe(spark, sf_dir):
+    """Every-2nd-frame sampling before the banded join (planted
+    copies still share >= 2 even-indexed frames, so min_frames=2
+    recall holds). MEASURED at sf1: volume falls only 70.2M -> 40.7M
+    — still over the 20M default — because the dense frame classes
+    dominate; kept out of PROBE for that reason (see the PROBE list
+    note) but retained with its counter so the finding stays
+    reproducible."""
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_near_pairs(
+        _video_sampled_hashes(spark, sf_dir), max_hamming=3, min_frames=2
+    )
+
+
+PROBE_FN_OVERRIDES["media_video_near_dup_sampled"] = _video_sampled_probe
+
 # sf10 rows recorded as measured refusal volumes only (see the deep
 # loop): the video join at sf10 would shuffle ~7e9 aligned-frame
 # candidates — larger than local disk — so no budget is "acceptable"
@@ -479,6 +517,7 @@ WORK_COUNTS = {
     "media_audio_fingerprint": _audio_fp_cand_count,
     "media_audio_fingerprint_raised": _audio_fp_cand_count,
     "media_video_near_dup_raised": _video_cand_count,
+    "media_video_near_dup_sampled": _video_sampled_cand_count,
     "media_dhash_wide": _dhash_wide_cand_count,
     "media_dhash_wide_raised": _dhash_wide_cand_count,
     "interval_join": _interval_cand_count,
