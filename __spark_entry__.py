@@ -6874,8 +6874,13 @@ def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(kept, F.col("peak_amp")).otherwise(F.lit(0))
         ).cast("long").alias("kept_sum_peak"),
     )
-    rows = out.collect()
-    staged.unpersist()
+    # unpersist even when dhash_near_pairs raises (e.g. the max_pairs
+    # guard at sf>=10 corpus sizes) — the persist/unpersist-on-raise
+    # discipline dhash_near_pairs itself follows
+    try:
+        rows = out.collect()
+    finally:
+        staged.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -677,6 +677,13 @@ def encode_textured_video(
                 ys = np.arange(h)[:, None, None]
                 cs = np.arange(3)[None, None, :]
                 count = int(nf.iloc[k]) if nf is not None else 3 + d % 5
+                if count < 1:
+                    # loud failure over a degenerate zero-frame EBMV
+                    # container that would silently vanish downstream
+                    raise ValueError(
+                        f"encode_textured_video: id {d} requests "
+                        f"{count} frames; every video needs >= 1"
+                    )
                 frames = []
                 for g in range(count):
                     e = d + 131 * g
@@ -808,9 +815,13 @@ def video_near_pairs(
     pair within Hamming <= ``max_hamming`` shares a clean band
     (pigeonhole at ``max_hamming <= n_bands - 1``), so every
     qualifying frame is a candidate and every qualifying video pair is
-    found. Truncated or re-cut copies still qualify through the frames
-    they share at the same index (min_frames tunes how much overlap
-    counts as near-dup).
+    found. TAIL-truncated copies still qualify through the prefix
+    frames they share at the same index (min_frames tunes how much
+    overlap counts as near-dup); a head-trimmed or shifted re-cut
+    shares NO frames at the same index under strict ``frame_idx``
+    alignment — shift-robust matching would need offset enumeration
+    (join on ``frame_idx + k`` for each candidate shift k) or sequence
+    alignment layered on top of this aligned join.
 
     100 TB posture: identical levers to :func:`dhash_near_pairs` — a
     pre-join candidate-volume audit (:func:`video_candidate_volume`)
@@ -932,10 +943,18 @@ def audio_fingerprint_bands(
        windows and take each window's INTEGER energy (sum of squared
        amplitudes — exact in int64: |amp| <= 32767 over <= 2^16
        samples fits with headroom),
-    3. bit f = 1 iff energy(f+1) > energy(f) — ``n_frames - 1`` = 64
+    3. bit f = 1 iff energy(f+1) > energy(f) — ``n_frames - 1``
        gradient bits (the dHash rule applied along time),
-    4. bits pack 16 per band: band t = ``sum bit << (f % 16)`` for
-       f in [16t, 16t+16) (< 2^16 — the bands ARE the LSH keys).
+    4. bits pack ``(n_frames - 1) / 4`` per band: band t =
+       ``sum bit << (f % w)`` for f in [w*t, w*(t+1)) with
+       ``w = (n_frames - 1) // 4`` (< 2^16 — the bands ARE the LSH
+       keys). ``n_frames`` must give a multiple of 4 delta bits with
+       band width in [4, 16]; the default 65 -> the full 64-bit
+       fingerprint in 16-bit bands, schema- and value-compatible with
+       every prior round. Shorter fingerprints (e.g. ``n_frames=33``
+       -> 8-bit bands) trade discrimination for shorter minimum
+       payloads; the pigeonhole recall bound is band-count math and
+       holds for any width.
 
     Output is schema-compatible with :func:`dhash_bands`, so the WHOLE
     downstream near-dup engine — :func:`_dhash_banded` table explode,
@@ -948,12 +967,16 @@ def audio_fingerprint_bands(
     integer-exact, so a SQL oracle replays the fingerprint from the
     sample formula without touching bytes. Arrow-batched mapInPandas;
     bytes never shuffle — only (id, 4 smallint bands) rows come out."""
-    if n_frames != 65:
-        # 64 bits / 4 bands is the contract the downstream LSH keys,
-        # the recall bound, and the SQL oracles are written against
-        raise ValueError("audio_fingerprint_bands packs exactly 65 "
-                         "frames (64 delta bits); got n_frames="
-                         f"{n_frames}")
+    nbits = n_frames - 1
+    width = nbits // 4
+    if nbits % 4 != 0 or not 4 <= width <= 16:
+        # 4 equal bands is the downstream LSH / pigeonhole contract;
+        # width > 16 would overflow the 16-bit band keyspace
+        raise ValueError(
+            "audio_fingerprint_bands needs n_frames - 1 divisible by "
+            "4 with band width (n_frames - 1) / 4 in [4, 16]; got "
+            f"n_frames={n_frames}"
+        )
     need = frame * n_frames
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -969,13 +992,13 @@ def audio_fingerprint_bands(
                     )
                 a = samples[:need].astype(np.int64)
                 e = (a * a).reshape(n_frames, frame).sum(axis=1)
-                bits = (e[1:] > e[:-1]).astype(np.int64)  # (64,)
-                vals = bits << (np.arange(64) % 16)
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # (nbits,)
+                vals = bits << (np.arange(nbits) % width)
                 ids.append(rid)
-                b0.append(int(vals[0:16].sum()))
-                b1.append(int(vals[16:32].sum()))
-                b2.append(int(vals[32:48].sum()))
-                b3.append(int(vals[48:64].sum()))
+                b0.append(int(vals[0 * width:1 * width].sum()))
+                b1.append(int(vals[1 * width:2 * width].sum()))
+                b2.append(int(vals[2 * width:3 * width].sum()))
+                b3.append(int(vals[3 * width:4 * width].sum()))
             yield pd.DataFrame(
                 {"id": ids, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
             )

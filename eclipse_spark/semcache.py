@@ -36,6 +36,22 @@ At 100 TB the cache directory lives on shared storage (S3/HDFS) so a
 hit is a parquet scan — still a win when the cached subtree contains
 shuffles or Python UDF stages.
 
+TWO KEY REGIMES — pick deliberately. The never-stale guarantee above
+belongs to the *fingerprint* regime: `Pipeline.run()` keys entries by
+the op-DAG fingerprint whose scan leaves embed the input SNAPSHOT
+VERSION (``pipeline.py:94``, ``plans/dag.py:124``), so a version bump
+changes the key and the next run MISSES — stale results are
+unreachable by construction. `get_or_compute` itself, though, caches
+under whatever string the caller passes; a caller that passes a stable
+NAME (e.g. an app id) opts into the *identity-stable* regime: the key
+survives input mutation, hits keep serving the result built against
+the old version, and freshness becomes an auditable property instead
+of a guarantee — exactly what `lineage_audit` measures by comparing
+each entry's built-against version with the table's current one. Name
+keys trade the staleness guarantee for cross-version identity (useful
+for lineage, A/B pinning, and explicit refresh policies); fingerprint
+keys trade identity for safety. Nothing in between is offered.
+
 Cross-query SUBPLAN reuse (beyond Orthrus, which can only reuse whole
 (app, input) map outputs): interior op-DAG prefixes get their own
 app-agnostic fingerprints; the pipeline layer probes them deepest-first
@@ -221,6 +237,10 @@ class SemanticCache:
     def get_or_compute(
         self, fingerprint: str, compute: Callable[[], DataFrame]
     ) -> tuple[DataFrame, bool]:
+        """Caches under the caller's literal key string. Pass an op-DAG
+        fingerprint (never-stale regime) or a stable name
+        (identity-stable, auditable-staleness regime) — see the module
+        doc's TWO KEY REGIMES paragraph."""
         hit = self.lookup(fingerprint)
         if hit is not None:
             return hit, True

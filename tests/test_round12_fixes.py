@@ -1,0 +1,116 @@
+"""Round-12 fixes.
+
+- VERDICT r11 task 5: the semcache TWO KEY REGIMES nuance — the
+  fingerprint+snapshot-version key must MISS after a version bump
+  exactly where a stable name key HITS (the staleness `lineage_audit`
+  measures is a property of name keys only).
+- ADVICE r11 (multimodal.py:929): audio_fingerprint_bands' n_frames is
+  a real knob now — other frame counts derive the band width; invalid
+  counts fail loudly; the default is bit-identical to the 65-frame
+  contract every prior oracle pinned.
+- ADVICE r11 (multimodal.py:672): encode_textured_video rejects
+  per-row frame counts < 1 instead of emitting a degenerate container.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_fingerprint_key_misses_where_name_key_hits(spark, sf_smoke):
+    """After a version bump, the op-DAG fingerprint key (scan leaf
+    embeds the snapshot version) MISSES — stale results unreachable —
+    while the name key HITS and keeps serving the old build (the
+    identity-stable regime lineage_audit audits)."""
+    from eclipse_spark.plans.dag import PlanNode
+    from eclipse_spark.semcache import SemanticCache
+    from eclipse_spark.storage import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="eclipse_regimes_"))
+    cache = SemanticCache(spark, tempfile.mkdtemp(prefix="eclipse_regimes_sc_"))
+    orders = spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+    cat.put("reg_orders", orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    def app():
+        return (
+            cat.get("reg_orders")
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def fp_key():
+        ver = cat.info("reg_orders").version
+        return (
+            PlanNode.leaf("scan", table="reg_orders", version=ver)
+            .child("agg", by="bucket")
+            .fingerprint()
+        )
+
+    res_name, hit0 = cache.get_or_compute("regimes_app", app)
+    res_fp, fhit0 = cache.get_or_compute(fp_key(), app)
+    assert not hit0 and not fhit0
+    n_v1 = res_name.count()
+
+    cat.merge(
+        "reg_orders",
+        orders.filter(F.col("o_orderkey") % 5 == 0),
+        on=["o_orderkey"],
+    )
+
+    res_name2, hit1 = cache.get_or_compute("regimes_app", app)
+    assert hit1, "name key must survive the version bump (identity-stable)"
+    assert res_name2.count() == n_v1, "name hit serves the v1 build"
+    res_fp2, fhit1 = cache.get_or_compute(fp_key(), app)
+    assert not fhit1, "fingerprint key must MISS after the version bump"
+    assert res_fp2.agg(F.sum("n")).collect()[0][0] == cat.get(
+        "reg_orders"
+    ).count(), "fingerprint miss recomputes against the current version"
+
+
+def test_audio_fingerprint_n_frames_knob(spark):
+    """n_frames=33 yields 8-bit bands with the same gradient rule
+    (every band < 2^8), n_frames=65 stays the pinned 64-bit contract,
+    and counts that don't give 4 equal bands in [4,16] bits raise."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(20).select(F.col("id"))
+    wavs = mm.encode_tone_wav(ids, id_col="id")
+
+    full = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in mm.audio_fingerprint_bands(wavs).collect()}
+    short = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+             for r in mm.audio_fingerprint_bands(wavs, n_frames=33).collect()}
+    assert set(full) == set(short) == set(range(20))
+    assert all(0 <= b < 65536 for bs in full.values() for b in bs)
+    assert all(0 <= b < 256 for bs in short.values() for b in bs)
+    # first 8 delta bits agree between the two widths (same energies,
+    # same rule — only the packing differs)
+    for i in short:
+        assert short[i][0] == full[i][0] % 256
+
+    for bad in (0, 1, 64, 66, 200):
+        with pytest.raises(ValueError, match="n_frames"):
+            mm.audio_fingerprint_bands(wavs, n_frames=bad).collect()
+
+
+def test_encode_textured_video_rejects_empty(spark):
+    """A per-row frame count < 1 fails loudly instead of emitting a
+    zero-frame EBMV container that contributes no hash rows."""
+    from eclipse_spark.operators import multimodal as mm
+
+    bad = spark.range(3).select(
+        "id", F.when(F.col("id") == 1, 0).otherwise(4).alias("nf")
+    )
+    with pytest.raises(Exception, match="frames"):
+        mm.encode_textured_video(bad, id_col="id", frames_col="nf").collect()
+    good = spark.range(3).select("id", F.lit(2).alias("nf"))
+    out = mm.encode_textured_video(good, id_col="id", frames_col="nf")
+    assert out.count() == 3
