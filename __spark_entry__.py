@@ -7424,28 +7424,245 @@ def q_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dedup for the AUDIO modality (VERDICT r11 task
+    7's second suggested composition: the `minhash_bucket_rollup`
+    pattern applied to the banded media fingerprints): clip ids arrive
+    as two finite streams — originals plus every 10th id re-emitted at
+    id+100000 whose tone is synthesized from the ORIGINAL seed, so the
+    planted copy is fingerprint-identical — and flow through REAL
+    WAV synthesis (encode_tone_wav) → REAL decode + energy-envelope
+    fingerprint (audio_fingerprint_bands), both stateless Arrow
+    mapInPandas stages legal under streaming, into ONE stateful
+    aggregation: multimodal.fingerprint_bucket_rollup's
+    groupBy(band, bkey) with min-id representative and count. The
+    drained complete-mode result equals the batch rollup
+    (order-independent aggregate), so the oracle replays the integer
+    fingerprint formula relationally and keeps buckets with n_clips
+    >= 2 — every planted clip must co-bucket with its original in all
+    4 bands, and a flipped energy bit, wrong band key, or dropped
+    stream row hash-mismatches. State is one row per distinct
+    (band, bkey) — bounded by the 4 x 2^16 keyspace, not stream
+    length; bytes are born and die inside each stage (never shuffle,
+    never enter state)."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(docs_path).schema
+    originals = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "documents.*"), raw_schema
+    ).select(F.col("doc_id").alias("id"))
+    planted_seeds = (
+        stream_windows.stream_from_parquet(
+            spark, os.path.join(sf_dir, "documents.*"), raw_schema
+        )
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("id"))
+    )
+    wav_o = multimodal.encode_tone_wav(originals)
+    wav_p = multimodal.encode_tone_wav(planted_seeds).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    fp = multimodal.audio_fingerprint_bands(wav_o.unionByName(wav_p))
+    rollup = multimodal.fingerprint_bucket_rollup(fp)
+    stream_windows.run_stream_to_memory(
+        rollup, "stream_audio_dedup", "complete"
+    )
+    return spark.table("stream_audio_dedup").filter(F.col("n_clips") >= 2)
+
+
+def q_media_video_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-ROBUST video near-dup (multimodal.video_near_pairs_shifted
+    — the offset-enumeration upgrade the strict operator's docstring
+    names): textured videos + exact planted copies (every 10th,
+    id+100000 — must surface at shift 0 with all frames close) + REAL
+    head-trimmed re-cuts (every 20th, id+300000, first frame removed
+    by trim_video_head's actual EBMV container surgery — invisible to
+    strict alignment, must surface at shift 1 with the 2 surviving
+    frames close). Per (pair, shift) the aligned-frame verify is the
+    strict kernel; each pair keeps its best shift (max n_close, min
+    sum_hamming, min shift — deterministic). The oracle replays the
+    pixel formula WITH the trim offset (frame g of a trimmed video is
+    the original's g+1) and the full shift enumeration, so a missed
+    re-cut, a wrong best-shift pick, or one flipped gradient bit all
+    hash-mismatch. Scale: b-side banded rows explode x5 (shift range)
+    — only (id, frame_idx, k, 4 smallints) shuffle; the pre-join
+    audit raises with the measured volume before a saturated join."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    full = multimodal.encode_textured_video(ids)
+    planted = full.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trimmed = multimodal.trim_video_head(
+        full.filter(F.col("id") % 20 == 0), n=1
+    ).select((F.col("id") + 300000).alias("id"), "bytes")
+    corpus = full.unionByName(planted).unionByName(trimmed)
+    hs = multimodal.video_dhash_bands(corpus)
+    out = multimodal.video_near_pairs_shifted(
+        hs, max_hamming=3, min_frames=2, max_shift=2
+    )
+    return out.select(
+        "id_a", "id_b", F.col("shift").cast("long").alias("shift"),
+        "n_close", "sum_hamming",
+    )
+
+
+def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY curation run sharing ONE semantic cache (VERDICT
+    r11 task 7's named composition): three modality pipelines — text,
+    image, audio — all start from the SAME quality-gated survivor
+    prefix over the documents corpus, expressed as an identical staged
+    Pipeline chain under three different app keys. The text run (cold)
+    computes and MATERIALIZES the prefix; the image and audio runs
+    must each serve it from the cache on their own cold runs — the
+    cross-modality subplan reuse `semcache.note_subplan`/`stage()`
+    implements, observed as exactly one interior hit per follower
+    while every full-plan (app-keyed) lookup misses. Each modality
+    then runs its REAL dedup kernel over the shared survivors + that
+    modality's planted duplicates (every 10th survivor, id+100000,
+    byte/text-identical): text groups by exact text, image runs
+    encode_textured_bmp → dhash_bands → dhash_near_pairs, audio runs
+    encode_tone_wav → audio_fingerprint_bands → dhash_near_pairs. One
+    row per modality: corpus/pair/drop/keep accounting + the cache
+    observations. The oracle replays the gate, all three fingerprint
+    formulas, and the expected cache behavior as literals — a missed
+    interior reuse, a false full-plan hit, a wrong survivor set, or
+    one flipped fingerprint bit all hash-mismatch. Scale: the prefix
+    materializes once (at 100 TB that is the point — the gate scan is
+    the expensive shared stage), each banded join is the guarded
+    engine, and the only collects are O(1) scalars."""
+    import tempfile
+
+    from eclipse_spark.semcache import SemanticCache
+
+    cache = SemanticCache(spark, tempfile.mkdtemp(prefix="eclipse_xmodal_"))
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def gate(app: str) -> Pipeline:
+        return (
+            Pipeline.from_parquet(spark, path, app=app)
+            .select("doc_id", "text")
+            .filter("length(text) >= 240")
+            .stage()
+        )
+
+    gated_t, t_full = gate("xmodal_text").cached(cache).run()
+    h0 = cache.stats.hits
+    gated_i, i_full = gate("xmodal_image").cached(cache).run()
+    i_int = cache.stats.hits - h0
+    h1 = cache.stats.hits
+    gated_a, a_full = gate("xmodal_audio").cached(cache).run()
+    a_int = cache.stats.hits - h1
+
+    def planted_ids(gated: DataFrame) -> DataFrame:
+        return gated.filter(F.col("doc_id") % 10 == 0)
+
+    # text: exact-content groups over survivors + planted copies
+    t_corpus = gated_t.unionByName(
+        planted_ids(gated_t).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    t_stats = (
+        t_corpus.groupBy("text")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("n_corpus"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_dropped"),
+        )
+        .collect()[0]
+    )
+
+    def media_stats(corpus_pairs, n_corpus: int):
+        dropped = corpus_pairs.select("id_b").distinct().count()
+        return corpus_pairs.count(), dropped, n_corpus - dropped
+
+    # image: survivors' textured BMPs + byte-identical planted copies
+    ids_i = gated_i.select(F.col("doc_id").alias("id"))
+    imgs = multimodal.encode_textured_bmp(ids_i)
+    i_corpus = imgs.unionByName(
+        imgs.filter(F.col("id") % 10 == 0).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    n_corpus_i = i_corpus.count()
+    i_pairs, i_dropped, i_kept = media_stats(
+        multimodal.dhash_near_pairs(
+            multimodal.dhash_bands(i_corpus), max_hamming=3
+        ),
+        n_corpus_i,
+    )
+
+    # audio: survivors' tone WAVs + byte-identical planted copies
+    ids_a = gated_a.select(F.col("doc_id").alias("id"))
+    wavs = multimodal.encode_tone_wav(ids_a)
+    a_corpus = wavs.unionByName(
+        wavs.filter(F.col("id") % 10 == 0).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    n_corpus_a = a_corpus.count()
+    a_pairs, a_dropped, a_kept = media_stats(
+        multimodal.dhash_near_pairs(
+            multimodal.audio_fingerprint_bands(a_corpus), max_hamming=3
+        ),
+        n_corpus_a,
+    )
+
+    n_source = gated_t.count()
+    rows = [
+        (
+            "text",
+            n_source,
+            int(t_stats["n_corpus"]),
+            int(t_stats["n_pairs"]),
+            int(t_stats["n_dropped"]),
+            int(t_stats["n_corpus"]) - int(t_stats["n_dropped"]),
+            int(t_full),
+            0,
+        ),
+        (
+            "image", n_source, n_corpus_i, i_pairs, i_dropped, i_kept,
+            int(i_full), int(i_int),
+        ),
+        (
+            "audio", n_source, n_corpus_a, a_pairs, a_dropped, a_kept,
+            int(a_full), int(a_int),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "modality string, n_source long, n_corpus long, n_pairs long, "
+        "n_dropped long, n_kept long, full_hit long, prefix_hits long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    checks the FIRST 50 keys. As of round 10 EVERY registry key has a
-    driver-green hash-exact row in some round, so the discipline
-    shifted from "first evidence" to FRESHNESS (VERDICT r10 task 7):
-    the round-11 window leads with the five round-11 additions
-    (stream_near_dedup, lineage_audit, media_audio_fingerprint,
-    media_audio_pipeline, media_video_near_dup — same-round evidence
-    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED
-    tail — 45 of the 46 queries whose only driver rows date to round
-    1 (CORRECTNESS_r01: the TPC-H suite, core relational/window ops,
-    scalar-function batteries). The two round-3 stragglers (ann_topk,
-    bpe_train) and r01's window_topk yielded their slots to the new
-    ops; they keep their prior green rows + the local parity check.
-    The reorder is applied
-    by ``_R11_WINDOW`` below over the stable literal, so no key is
-    ever duplicated. Queries rotated out retain a prior round's
-    driver-green row (aggregate CORRECTNESS_r01..r10 covers all 285 +
-    the r11 additions land this round), and every query at every
+    checks the FIRST 50 keys. Every registry key has a driver-green
+    hash-exact row in some round, so the discipline is FRESHNESS
+    (VERDICT r10 task 7, continued by r11 task 4): the round-12
+    window leads with the three round-12 additions
+    (cross_modal_curation, media_video_shifted, stream_audio_dedup —
+    same-round evidence discipline), then rotates onto the
+    LEAST-RECENTLY-CONFIRMED tail: window_topk (last green r01 — its
+    only remaining r01-era row), the full 25-query round-3 block
+    (ann_topk, bpe_train, the dedup/MR/text-quality families, tpch_q2
+    — deferred by the r11 rotation), and the alphabetically-first 21
+    of the 49-query round-4 block. This completes the freshness sweep
+    the r11 rotation started: after this window lands, no evidence
+    predates r04 and the oldest block is r04-r05's remainder. The
+    reorder is applied by ``_R12_WINDOW`` below over the stable
+    literal, so no key is ever duplicated. Queries rotated out retain
+    a prior round's driver-green row, and every query at every
     position stays locally oracle-checked by
     tests/test_oracle_parity.py."""
     reg = {
+        # ===== round-12 additions (same-round evidence discipline) =====
+        "cross_modal_curation": q_cross_modal_curation,
+        "media_video_shifted": q_media_video_shifted,
+        "stream_audio_dedup": q_stream_audio_dedup,
         # ===== round-11 additions (same-round evidence discipline) =====
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
@@ -7754,66 +7971,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax": q_argmax,
     }
     return {
-        **{k: reg[k] for k in _R11_WINDOW},
-        **{k: v for k, v in reg.items() if k not in _R11_WINDOW},
+        **{k: reg[k] for k in _R12_WINDOW},
+        **{k: v for k, v in reg.items() if k not in _R12_WINDOW},
     }
 
 
-# Round-11 correctness window (the driver checks the FIRST 50 keys):
-# the 2 round-11 additions, then the 46 queries whose last driver-green
-# row is CORRECTNESS_r01 (the registry's oldest evidence), then the 2
-# alphabetically-first round-3 stragglers — see queries() docstring.
-_R11_WINDOW = [
-    "stream_near_dedup",
-    "lineage_audit",
-    "media_audio_fingerprint",
-    "media_audio_pipeline",
-    "media_video_near_dup",
-    "anti_join",
-    "argmax",
-    "array_funcs",
-    "asof_join",
-    "collect_agg",
-    "conditional_funcs",
-    "count_distinct",
-    "cross_join",
-    "cube",
-    "date_funcs",
-    "distinct_pairs",
-    "exists_subquery",
-    "full_outer_join",
-    "grouping_sets",
-    "hash_sample",
-    "join_5way",
-    "join_orders_customer",
-    "ntile_rank",
-    "percentiles",
-    "pivot",
-    "posexplode",
-    "range_join",
-    "rollup",
-    "scalar_subquery",
-    "semi_join",
-    "set_ops",
-    "stats_agg",
-    "string_funcs",
-    "topk_global",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "unpivot",
-    "window_nav",
-    "window_running",
+# Round-12 correctness window (the driver checks the FIRST 50 keys):
+# the 3 round-12 additions, then window_topk (the last r01-era row),
+# the full 25-query round-3 evidence block, and the alphabetically-
+# first 21 of the round-4 block — see queries() docstring.
+_R12_WINDOW = [
+    "cross_modal_curation",
+    "media_video_shifted",
+    "stream_audio_dedup",
+    "window_topk",
+    "ann_topk",
+    "bpe_train",
+    "chunking",
+    "decontaminate",
+    "dedup_cc",
+    "dedup_exact",
+    "embedding_centroids",
+    "events_stream_stateful",
+    "events_stream_upsert",
+    "group_sample",
+    "kmeans_iter2",
+    "media_meta",
+    "mr_group_reduce",
+    "mr_word_count",
+    "ngram_jaccard",
+    "pagerank",
+    "pandas_udaf_gmean",
+    "pandas_udf_tokens",
+    "pii_scrub",
+    "pretrain_filter",
+    "repetition_stats",
+    "text_quality",
+    "tpch_q2",
+    "udtf_ngrams",
+    "unigram_logprob",
+    "agg_misc",
+    "ann_lsh",
+    "anomaly_zscore",
+    "array_hof",
+    "bm25",
+    "dedup_groups",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "events_json",
+    "events_resample",
+    "events_sessionize",
+    "events_sliding",
+    "events_stream_dedup",
+    "events_stream_join",
+    "events_stream_session",
+    "events_stream_tumbling",
+    "events_tumbling",
+    "funnel",
+    "hypertable_rollup",
+    "json_funcs",
+    "kmeans_step",
 ]
 
 
@@ -11118,6 +11335,134 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """,
+        "stream_audio_dedup": """
+            WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, doc_id FROM documents
+                         WHERE doc_id % 10 = 0),
+            eng AS (SELECT id, f.f AS f,
+                           CAST(sum(CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM ids
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY id, f.f),
+            bits AS (SELECT a.id, a.f AS x,
+                            CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                     FROM eng a
+                     JOIN eng b ON a.id = b.id AND b.f = a.f + 1
+                     WHERE a.f < 64),
+            bands AS (SELECT id, x // 16 AS tbl,
+                             CAST(sum(bit * (1 << (x % 16))) AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2)
+            SELECT CAST(tbl AS BIGINT) AS band, val AS bkey,
+                   CAST(min(id) AS BIGINT) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "cross_modal_curation": """
+            WITH surv AS (SELECT doc_id, text FROM documents
+                          WHERE length(text) >= 240),
+            tids AS (SELECT doc_id AS id, text FROM surv
+                     UNION ALL
+                     SELECT doc_id + 100000, text FROM surv
+                     WHERE doc_id % 10 = 0),
+            tgrp AS (SELECT text, count(*) AS n FROM tids GROUP BY text),
+            trow AS (SELECT 'text' AS modality,
+                            (SELECT count(*) FROM surv) AS n_source,
+                            CAST(sum(n) AS BIGINT) AS n_corpus,
+                            CAST(sum(n*(n-1)//2) AS BIGINT) AS n_pairs,
+                            CAST(sum(n-1) AS BIGINT) AS n_dropped,
+                            CAST(sum(n) - sum(n-1) AS BIGINT) AS n_kept,
+                            CAST(0 AS BIGINT) AS full_hit,
+                            CAST(0 AS BIGINT) AS prefix_hits
+                     FROM tgrp),
+            iids AS (SELECT doc_id AS id, doc_id AS pid FROM surv
+                     UNION ALL
+                     SELECT doc_id + 100000, doc_id FROM surv
+                     WHERE doc_id % 10 = 0),
+            idims AS (SELECT id, pid, 8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                      FROM iids),
+            ilum AS (SELECT id, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
+                      ) // 1000 AS l
+                    FROM idims
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            ibits AS (SELECT a.id, a.y, a.x,
+                             CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                      FROM ilum a
+                      JOIN ilum b ON a.id = b.id AND a.y = b.y
+                                  AND b.x = a.x + 1
+                      WHERE a.x < 8),
+            ibands AS (SELECT id, y // 2 AS tbl,
+                              CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                   AS BIGINT) AS val
+                       FROM ibits GROUP BY 1, 2),
+            ipairs AS (SELECT a.id AS id_a, b.id AS id_b
+                       FROM ibands a
+                       JOIN ibands b ON a.tbl = b.tbl AND a.id < b.id
+                       GROUP BY 1, 2
+                       HAVING sum(bit_count(xor(a.val, b.val))) <= 3),
+            irow AS (SELECT 'image',
+                            (SELECT count(*) FROM surv),
+                            (SELECT count(*) FROM iids),
+                            (SELECT count(*) FROM ipairs),
+                            (SELECT count(DISTINCT id_b) FROM ipairs),
+                            (SELECT count(*) FROM iids)
+                              - (SELECT count(DISTINCT id_b) FROM ipairs),
+                            0, 1),
+            aeng AS (SELECT id, f.f AS f,
+                           CAST(sum(CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM iids
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY id, f.f),
+            abits AS (SELECT a.id, a.f AS x,
+                             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                      FROM aeng a
+                      JOIN aeng b ON a.id = b.id AND b.f = a.f + 1
+                      WHERE a.f < 64),
+            abands AS (SELECT id, x // 16 AS tbl,
+                              CAST(sum(bit * (1 << (x % 16)))
+                                   AS BIGINT) AS val
+                       FROM abits GROUP BY 1, 2),
+            apairs AS (SELECT a.id AS id_a, b.id AS id_b
+                       FROM abands a
+                       JOIN abands b ON a.tbl = b.tbl AND a.id < b.id
+                       GROUP BY 1, 2
+                       HAVING sum(bit_count(xor(a.val, b.val))) <= 3),
+            arow AS (SELECT 'audio',
+                            (SELECT count(*) FROM surv),
+                            (SELECT count(*) FROM iids),
+                            (SELECT count(*) FROM apairs),
+                            (SELECT count(DISTINCT id_b) FROM apairs),
+                            (SELECT count(*) FROM iids)
+                              - (SELECT count(DISTINCT id_b) FROM apairs),
+                            0, 1)
+            SELECT * FROM trow
+            UNION ALL SELECT * FROM irow
+            UNION ALL SELECT * FROM arow
+        """,
         "media_audio_fingerprint": """
             WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents
                          UNION ALL
@@ -11204,6 +11549,74 @@ def oracle_sql() -> dict[str, str]:
             FROM fham WHERE fham <= 3
             GROUP BY id_a, id_b
             HAVING count(*) >= 2
+        """,
+        "media_video_shifted": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid,
+                     CAST(3 + doc_id % 5 AS BIGINT) AS nf,
+                     0 AS trim FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 3 + doc_id % 5, 0
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 300000, doc_id, 3 + doc_id % 5 - 1, 1
+              FROM documents WHERE doc_id % 20 = 0),
+            dims AS (SELECT id, pid, nf, trim,
+                            8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            fr AS (SELECT id, w0, h0, g.g AS g,
+                          pid + 131*(g.g + trim) AS e
+                   FROM dims
+                   CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, nf)) AS g) g),
+            lum AS (SELECT id, g, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + e) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 11 + e) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 22 + e) % 256)
+                      ) // 1000 AS l
+                    FROM fr
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.g, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.g = b.g
+                                AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, g, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2, 3),
+            fham AS (SELECT a.id AS id_a, b.id AS id_b, k.k AS shift,
+                            a.g AS g,
+                            CAST(sum(bit_count(xor(a.val, b.val)))
+                                 AS BIGINT) AS fham
+                     FROM bands a
+                     CROSS JOIN (SELECT unnest(range(-2, 3)) AS k) k
+                     JOIN bands b ON a.g = b.g + k.k AND a.tbl = b.tbl
+                                  AND a.id < b.id
+                     GROUP BY 1, 2, 3, 4),
+            ps AS (SELECT id_a, id_b, shift,
+                          CAST(count(*) AS BIGINT) AS n_close,
+                          CAST(sum(fham) AS BIGINT) AS sum_hamming
+                   FROM fham WHERE fham <= 3
+                   GROUP BY 1, 2, 3
+                   HAVING count(*) >= 2),
+            best AS (SELECT id_a, id_b, shift, n_close, sum_hamming,
+                            row_number() OVER (
+                              PARTITION BY id_a, id_b
+                              ORDER BY n_close DESC, sum_hamming ASC,
+                                       shift ASC) AS rk
+                     FROM ps)
+            SELECT id_a, id_b, CAST(shift AS BIGINT) AS shift,
+                   n_close, sum_hamming
+            FROM best WHERE rk = 1
         """,
         "media_audio_pipeline": """
             WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents

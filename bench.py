@@ -216,6 +216,13 @@ HEADLINE = [
     "media_audio_fingerprint",
     "media_audio_pipeline",
     "media_video_near_dup",
+    # round-12 additions: the shared-semcache cross-modality curation
+    # run, the shift-robust (offset-enumerated) video near-dup, and
+    # the streaming audio bucket rollup (NOT in STABLE_TIER — created
+    # this round, no baseline to drift from)
+    "cross_modal_curation",
+    "media_video_shifted",
+    "stream_audio_dedup",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

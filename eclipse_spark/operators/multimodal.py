@@ -32,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -877,6 +877,233 @@ def video_near_pairs(
             F.sum("fham").cast("long").alias("sum_hamming"),
         )
         .filter(F.col("n_close") >= min_frames)
+    )
+    if max_pairs is not None:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
+
+
+def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
+    """STREAMING-compatible banded-bucket rollup over any
+    ``(id, b0..b{n-1})`` fingerprint frame (image dHash, audio
+    energy-envelope — the whole :func:`dhash_bands` family): explode
+    each row into its ``(band, bkey)`` LSH table rows (a stateless
+    projection, so Structured Streaming's single allowed aggregation
+    remains the bucket rollup itself), then ``groupBy(band, bkey)``
+    with min-id representative and count — the media analogue of
+    ``dedup.minhash_bucket_rollup`` (same r11 pattern: candidate
+    GROUPS, not pairs, because pair expansion is a second shuffle a
+    stream cannot afford and the downstream consumer dedups against
+    ``rep_id``). Works unchanged on a batch frame (same plan minus
+    stream state); state is one row per distinct (band, bkey) —
+    bounded by the 16-bit keyspace x n_bands, NOT by stream length.
+    Emits ``(band, bkey, rep_id, n_clips)``."""
+    structs = [
+        F.struct(
+            F.lit(t).cast("long").alias("band"),
+            F.col(f"b{t}").cast("long").alias("bkey"),
+        )
+        for t in range(n_bands)
+    ]
+    return (
+        fp.select("id", F.explode(F.array(*structs)).alias("bb"))
+        .select("id", "bb.band", "bb.bkey")
+        .groupBy("band", "bkey")
+        .agg(
+            F.min("id").cast("long").alias("rep_id"),
+            F.count("*").cast("long").alias("n_clips"),
+        )
+    )
+
+
+def trim_video_head(
+    df: DataFrame,
+    n: int = 1,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Drop the first ``n`` frames of each EBMV container — REAL
+    container surgery (index walk, offset arithmetic, re-packed
+    header), the transform that produces the head-trimmed re-cuts
+    :func:`video_near_pairs` cannot see and
+    :func:`video_near_pairs_shifted` exists to catch. Loud failure on
+    bad magic, truncated data, or a trim that leaves no frames.
+    Arrow-batched mapInPandas; linear in bytes, no shuffle."""
+    if n < 1:
+        raise ValueError(f"trim_video_head: n must be >= 1, got {n}")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, b in zip(pdf["id"], pdf["_bytes"]):
+                b = bytes(b)
+                count = video_frame_count(b)
+                if count - n < 1:
+                    raise ValueError(
+                        f"trim_video_head: id {rid} has {count} frames;"
+                        f" trimming {n} would leave none"
+                    )
+                payloads.append(
+                    video_encode(
+                        [video_decode_frame(b, g) for g in range(n, count)]
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"], "bytes": payloads})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")
+    ).mapInPandas(_run, schema="id long, bytes binary")
+
+
+def video_shifted_candidate_volume(
+    hashes: DataFrame, n_bands: int = 4, max_shift: int = 2
+) -> int:
+    """Exact row count of :func:`video_near_pairs_shifted`'s banded
+    join (the pre-join audit): the b side is exploded over the
+    ``2*max_shift + 1`` offsets, so the volume is the sum over
+    matching ((frame_idx, tbl, bkey), (join_idx, tbl, bkey)) bucket
+    pairs of |A|x|B| — ordered pairs including self-matches, i.e. the
+    size of the join the engine would actually schedule (the id_a <
+    id_b filter runs after). Upper-bounds the aligned volume by
+    ~(2*max_shift + 1)x."""
+    banded = _video_banded(hashes, n_bands)
+    na = banded.groupBy("frame_idx", "tbl", "bkey").agg(
+        F.count("*").alias("_na")
+    )
+    shifts = F.array(
+        *[F.lit(k) for k in range(-max_shift, max_shift + 1)]
+    )
+    nb = (
+        banded.withColumn("k", F.explode(shifts))
+        .withColumn("join_idx", F.col("frame_idx") + F.col("k"))
+        .groupBy("join_idx", "tbl", "bkey")
+        .agg(F.count("*").alias("_nb"))
+    )
+    row = (
+        na.join(
+            nb,
+            (na["frame_idx"] == nb["join_idx"])
+            & (na["tbl"] == nb["tbl"])
+            & (na["bkey"] == nb["bkey"]),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0))
+            .cast("long")
+            .alias("vol")
+        )
+        .collect()[0]
+    )
+    return int(row["vol"])
+
+
+def video_near_pairs_shifted(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    n_bands: int = 4,
+    max_shift: int = 2,
+    max_pairs: int | None = 20_000_000,
+) -> DataFrame:
+    """SHIFT-ROBUST video near-dup — the offset-enumeration upgrade
+    :func:`video_near_pairs`' docstring names: a head-trimmed or
+    shifted re-cut shares no frames at the same index, so strict
+    alignment misses it; enumerating a bounded shift range k in
+    [-max_shift, max_shift] catches any re-cut whose temporal offset
+    is within the range. Candidate (a, b, k) pairs frames with
+    ``a.frame_idx = b.frame_idx + k``; per (pair, k) the aligned
+    frames within ``max_hamming`` are counted exactly as in the
+    strict operator, and each (id_a, id_b) keeps its BEST shift
+    (max n_close, then min sum_hamming, then min k — deterministic).
+    Output: ``(id_a, id_b, shift, n_close, sum_hamming)`` with
+    ``n_close >= min_frames``.
+
+    Recall is EXACT within the enumerated range (per-frame pigeonhole
+    at ``max_hamming <= n_bands - 1``, per shift). Cost is the strict
+    join x ~(2*max_shift + 1): the b side of the banded table is
+    exploded over the offsets — still only (id, frame_idx, k,
+    4 smallints) rows shuffle, and the same pre-join volume audit
+    (:func:`video_shifted_candidate_volume`) RAISES with the measured
+    number before scheduling a saturated join. At cluster scale the
+    ``(frame_idx, tbl, bkey)`` bucket key still shards the work; the
+    frame-class slicing lever applies unchanged."""
+    bound = n_bands - 1
+    if not 0 <= max_hamming <= bound:
+        raise ValueError(
+            f"video_near_pairs_shifted guarantees recall only for "
+            f"max_hamming <= {bound} ({n_bands} single-band tables, "
+            f"pigeonhole); got {max_hamming}"
+        )
+    if max_shift < 1:
+        raise ValueError(
+            f"max_shift must be >= 1 (use video_near_pairs for strict "
+            f"alignment); got {max_shift}"
+        )
+    base = hashes.select(
+        "id", "frame_idx", *[f"b{t}" for t in range(n_bands)]
+    )
+    if max_pairs is not None:
+        base = base.persist()
+        vol = video_shifted_candidate_volume(base, n_bands, max_shift)
+        if vol > max_pairs:
+            base.unpersist()
+            raise ValueError(
+                f"video_near_pairs_shifted: banded join over "
+                f"{2 * max_shift + 1} offsets would generate {vol:,} "
+                f"candidate rows > max_pairs={max_pairs:,}. Narrow "
+                f"max_shift, shard by frame class, or raise max_pairs "
+                f"if the volume is genuinely acceptable."
+            )
+    banded = _video_banded(base, n_bands)
+    shifts = F.array(
+        *[F.lit(k) for k in range(-max_shift, max_shift + 1)]
+    )
+    a = banded.alias("a")
+    b = (
+        banded.withColumn("k", F.explode(shifts))
+        .withColumn("join_idx", F.col("frame_idx") + F.col("k"))
+        .alias("b")
+    )
+    ham = None
+    for t in range(n_bands):
+        term = F.bit_count(
+            F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.join_idx"))
+            & (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.k").alias("shift"),
+            F.col("a.frame_idx").alias("g"),
+            ham.cast("long").alias("fham"),
+        )
+        .filter(F.col("fham") <= max_hamming)
+        .distinct()
+    )
+    per_shift = (
+        frame_pairs.groupBy("id_a", "id_b", "shift")
+        .agg(
+            F.count("*").cast("long").alias("n_close"),
+            F.sum("fham").cast("long").alias("sum_hamming"),
+        )
+        .filter(F.col("n_close") >= min_frames)
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("n_close").desc(), F.col("sum_hamming").asc(),
+        F.col("shift").asc(),
+    )
+    out = (
+        per_shift.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
     )
     if max_pairs is not None:
         out = out.localCheckpoint(eager=True)

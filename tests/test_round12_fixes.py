@@ -114,3 +114,72 @@ def test_encode_textured_video_rejects_empty(spark):
     good = spark.range(3).select("id", F.lit(2).alias("nf"))
     out = mm.encode_textured_video(good, id_col="id", frames_col="nf")
     assert out.count() == 3
+
+
+def test_video_shifted_catches_head_trim(spark):
+    """A head-trimmed re-cut is invisible to strict frame_idx
+    alignment but must surface at shift 1 with the surviving frames
+    close (and the shifted operator must still find exact copies at
+    shift 0)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(40).select((F.col("id") * 20).alias("id"))
+    full = mm.encode_textured_video(ids)  # id%20==0 -> 3 frames each
+    trimmed = mm.trim_video_head(full, n=1).select(
+        (F.col("id") + 300000).alias("id"), "bytes"
+    )
+    exact = full.select((F.col("id") + 100000).alias("id"), "bytes")
+    hs = mm.video_dhash_bands(
+        full.unionByName(trimmed).unionByName(exact)
+    )
+    strict = {(r["id_a"], r["id_b"])
+              for r in mm.video_near_pairs(hs, min_frames=2).collect()}
+    shifted = {(r["id_a"], r["id_b"]): (r["shift"], r["n_close"])
+               for r in mm.video_near_pairs_shifted(
+                   hs, min_frames=2, max_shift=2).collect()}
+    for base in range(0, 800, 20):
+        assert (base, base + 300000) not in strict
+        assert shifted[(base, base + 300000)] == (1, 2)
+        assert shifted[(base, base + 100000)][0] == 0
+        assert shifted[(base, base + 100000)][1] == 3
+
+
+def test_trim_video_head_validates(spark):
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(3).select((F.col("id") * 5).alias("id"))
+    vids = mm.encode_textured_video(ids)  # 3 frames each (id%5==0)
+    with pytest.raises(Exception, match="leave none"):
+        mm.trim_video_head(vids, n=3).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        mm.trim_video_head(vids, n=0)
+    out = mm.trim_video_head(vids, n=2).collect()
+    assert all(mm.video_frame_count(bytes(r["bytes"])) == 1 for r in out)
+
+
+def test_fingerprint_bucket_rollup_batch_equals_banded(spark):
+    """The streaming-compatible rollup must bucket BIT-IDENTICALLY to
+    the batch banded family: every (band, bkey) group of size >= 2 in
+    the rollup is exactly a bucket the batch _dhash_banded explode
+    produces, with the same membership counts."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(60).select("id")
+    wavs = mm.encode_tone_wav(ids)
+    corpus = wavs.unionByName(
+        wavs.filter(F.col("id") % 10 == 0).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    fp = mm.audio_fingerprint_bands(corpus).persist()
+    roll = {(r["band"], r["bkey"]): (r["rep_id"], r["n_clips"])
+            for r in mm.fingerprint_bucket_rollup(fp).collect()}
+    banded = (
+        mm._dhash_banded(fp, 4, composed=False)
+        .groupBy("tbl", "bkey")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert roll == {(r["tbl"], r["bkey"]): (r["rep"], r["n"])
+                    for r in banded}
+    fp.unpersist()

@@ -129,6 +129,16 @@ PROBE = [
     # class-dropping is a LINEAR lever for aligned joins. The
     # quadratic levers are per-class key width (wide/composed keys,
     # measured end-to-end on the image rows) — see SCALE.md.
+    # round-12 additions: the shared-semcache cross-modality curation
+    # run (linear stages + the guarded banded joins over the survivor
+    # subset), the streaming audio bucket rollup (state bounded by the
+    # 4 x 2^16 keyspace), and the shift-robust video join probed with
+    # an explicit raised budget (the offset explode multiplies the
+    # aligned volume ~10x — ordered-pair accounting — so the registry
+    # query's default budget refuses from sf1 up BY DESIGN)
+    "cross_modal_curation",
+    "stream_audio_dedup",
+    "media_video_shifted_raised",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -429,6 +439,57 @@ def _video_sampled_probe(spark, sf_dir):
 
 PROBE_FN_OVERRIDES["media_video_near_dup_sampled"] = _video_sampled_probe
 
+
+def _video_shifted_hashes(spark, sf_dir):
+    """The q_media_video_shifted corpus: full + exact plants (+100000)
+    + head-trimmed re-cuts (every 20th, first frame removed,
+    +300000)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    full = mm.encode_textured_video(ids)
+    planted = full.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trimmed = mm.trim_video_head(
+        full.filter(F.col("id") % 20 == 0), n=1
+    ).select((F.col("id") + 300000).alias("id"), "bytes")
+    return mm.video_dhash_bands(
+        full.unionByName(planted).unionByName(trimmed)
+    )
+
+
+def _video_shifted_cand_count(spark, sf_dir) -> int:
+    """Exact scheduled-join row count of the shift-enumerated banded
+    join (ordered pairs incl. self-matches — the join's actual input
+    volume, ~10x the strict aligned pair count: x(2*max_shift+1)
+    offsets x2 orders)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_shifted_candidate_volume(
+        _video_shifted_hashes(spark, sf_dir), 4, 2
+    )
+
+
+def _video_shifted_raised_probe(spark, sf_dir):
+    """q_media_video_shifted with an EXPLICIT raised budget so the
+    first-decade wall is a completion; the registry query keeps the
+    default 20M budget and correctly refuses at sf1 (the shifted
+    volume crosses it an order earlier than the strict path)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_near_pairs_shifted(
+        _video_shifted_hashes(spark, sf_dir),
+        max_hamming=3,
+        min_frames=2,
+        max_shift=2,
+        max_pairs=2_000_000_000,
+    )
+
+
+PROBE_FN_OVERRIDES["media_video_shifted_raised"] = _video_shifted_raised_probe
+
 # sf10 rows recorded as measured refusal volumes only (see the deep
 # loop): the video join at sf10 would shuffle ~7e9 aligned-frame
 # candidates — larger than local disk — so no budget is "acceptable"
@@ -523,7 +584,10 @@ WORK_COUNTS = {
     "interval_join": _interval_cand_count,
     "kcore": _kcore_dec_count,
     "clustering_coeff": _clustering_tri_count,
+    "media_video_shifted_raised": _video_shifted_cand_count,
 }
+
+DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
 
 
 def _time(fn, spark, sf_dir) -> float:
@@ -796,22 +860,28 @@ def main() -> None:
             print(f"[100x] {name}: {t1:.2f}s -> {t10:.2f}s  "
                   f"ratio {deep[name]['ratio']:.1f}x", flush=True)
         # VOLUME-ONLY sf10 rows: paths whose guard refuses at sf1
-        # already (so the deep loop's t1 would raise) and whose
-        # raised-budget join would exceed this box (the video path's
-        # ~7e9 aligned candidates imply a shuffle bigger than local
-        # disk). The row records the measured refusal volume — the
-        # number a 1000-executor cluster operator would use to size
-        # the job — without scheduling the join anywhere.
+        # already (so the deep loop's t1 would raise) and whose full
+        # raised-budget join is deliberately not scheduled single-node.
+        # The row records the measured refusal volume — the number a
+        # 1000-executor cluster operator sizes the job against — and
+        # since round 12 the video family also carries a MEASURED
+        # per-candidate cost: tools/video_slice_probe.py executed two
+        # frame-class slices of the aligned join at sf10 (the
+        # media_video_near_dup_sliced row: 890M candidates / 41.6 s,
+        # ~49 ns/candidate), so the sizing story is volume x measured
+        # rate, not extrapolation alone.
         for name, counter in DEEP_VOLUME_ONLY.items():
             n10 = counter(spark, big10)
             spark.catalog.clearCache()
             deep[name] = {
                 "sf10_sec": None,
                 "guarded": "volume-only row: the default budget "
-                           "refuses from sf1 up and the raised join "
-                           "is deliberately not scheduled single-node "
-                           "(shuffle would exceed local disk); see "
-                           "SCALE.md for the cluster-scale levers",
+                           "refuses from sf1 up and the full raised "
+                           "join is deliberately not scheduled "
+                           "single-node; per-candidate cost measured "
+                           "on executed frame-class slices (the "
+                           "_sliced row) — see SCALE.md for the "
+                           "cluster-scale levers",
                 "n_candidates_sf10": n10,
             }
             print(f"[100x] {name}: VOLUME-ONLY {n10:,}", flush=True)
