@@ -732,3 +732,43 @@ def test_kmv_sketch_stream_never_shuffles(spark, sf_smoke):
     assert exch != -1 and arrow != -1 and arrow > exch, (
         "the Arrow bottom-k stage must sit below the merge Exchange"
     )
+
+
+def test_video_shifted_join_no_cartesian(spark):
+    """The shift-enumerated banded join must stay an equi-join on
+    (frame_idx/join_idx, tbl, bkey) — never a cartesian/BNL product —
+    and only slim hash rows reach the shuffle (no binary column)."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(30).select((F.col("id") * 20).alias("id"))
+    full = mm.encode_textured_video(ids)
+    trimmed = mm.trim_video_head(full, n=1).select(
+        (F.col("id") + 300000).alias("id"), "bytes"
+    )
+    hs = mm.video_dhash_bands(full.unionByName(trimmed))
+    out = mm.video_near_pairs_shifted(
+        hs, min_frames=2, max_shift=2, max_pairs=None
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bytes" not in plan.split("Exchange")[-1][:400], (
+        "payload bytes must not ride the pair shuffle"
+    )
+
+
+def test_fingerprint_bucket_rollup_single_aggregation(spark):
+    """The streaming-compatible rollup is ONE aggregation (map-side
+    partial + final around a single shuffle) — the shape Structured
+    Streaming's single-stateful-op budget requires."""
+    from pyspark.sql import functions as F
+
+    from eclipse_spark.operators import multimodal as mm
+
+    wavs = mm.encode_tone_wav(spark.range(20).select("id"))
+    roll = mm.fingerprint_bucket_rollup(mm.audio_fingerprint_bands(wavs))
+    plan = _plan(roll)
+    assert _n_exchanges(plan) == 1, "rollup must be a single shuffle"
+    assert plan.count("HashAggregate") >= 2, "no map-side partial agg"
