@@ -7469,6 +7469,48 @@ def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_audio_dedup").filter(F.col("n_clips") >= 2)
 
 
+def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dedup for the VIDEO modality — completes the
+    streaming triad (text r11, audio + video r12): ids arrive as two
+    finite streams (originals plus every 10th re-synthesized FROM THE
+    ORIGINAL SEED and re-keyed at id+100000, so the planted copy is
+    per-frame hash-identical), flow through REAL video synthesis
+    (encode_textured_video) → REAL EBMV container walks + per-frame
+    dHash (video_dhash_bands) — stateless Arrow stages — into the ONE
+    stateful aggregation multimodal.video_bucket_rollup provides:
+    groupBy(frame_idx, band, bkey) with min-id representative and
+    count, the exact bucketing of the batch temporal-aligned join.
+    Drained complete-mode result equals the batch rollup, so the
+    oracle replays the pixel formula relationally and keeps buckets
+    with n_videos >= 2: every planted video must co-bucket with its
+    original at EVERY frame index in all 4 bands. State is one row
+    per distinct (frame_idx, band, bkey) — bounded by frame classes x
+    the 16-bit keyspace, not stream length; container bytes never
+    shuffle or enter state."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(docs_path).schema
+    originals = stream_windows.stream_from_parquet(
+        spark, os.path.join(sf_dir, "documents.*"), raw_schema
+    ).select(F.col("doc_id").alias("id"))
+    planted_seeds = (
+        stream_windows.stream_from_parquet(
+            spark, os.path.join(sf_dir, "documents.*"), raw_schema
+        )
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("id"))
+    )
+    vid_o = multimodal.encode_textured_video(originals)
+    vid_p = multimodal.encode_textured_video(planted_seeds).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    hs = multimodal.video_dhash_bands(vid_o.unionByName(vid_p))
+    rollup = multimodal.video_bucket_rollup(hs)
+    stream_windows.run_stream_to_memory(
+        rollup, "stream_video_dedup", "complete"
+    )
+    return spark.table("stream_video_dedup").filter(F.col("n_videos") >= 2)
+
+
 def q_media_video_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHIFT-ROBUST video near-dup (multimodal.video_near_pairs_shifted
     — the offset-enumeration upgrade the strict operator's docstring
@@ -7643,14 +7685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued by r11 task 4): the round-12
-    window leads with the three round-12 additions
-    (cross_modal_curation, media_video_shifted, stream_audio_dedup —
-    same-round evidence discipline), then rotates onto the
-    LEAST-RECENTLY-CONFIRMED tail: window_topk (last green r01 — its
-    only remaining r01-era row), the full 25-query round-3 block
-    (ann_topk, bpe_train, the dedup/MR/text-quality families, tpch_q2
-    — deferred by the r11 rotation), and the alphabetically-first 21
-    of the 49-query round-4 block. This completes the freshness sweep
+    window leads with the four round-12 additions
+    (cross_modal_curation, media_video_shifted, stream_audio_dedup,
+    stream_video_dedup — same-round evidence discipline), then
+    rotates onto the LEAST-RECENTLY-CONFIRMED tail: window_topk (last
+    green r01 — its only remaining r01-era row), the full 25-query
+    round-3 block (ann_topk, bpe_train, the dedup/MR/text-quality
+    families, tpch_q2 — deferred by the r11 rotation), and the
+    alphabetically-first 20 of the 49-query round-4 block. This completes the freshness sweep
     the r11 rotation started: after this window lands, no evidence
     predates r04 and the oldest block is r04-r05's remainder. The
     reorder is applied by ``_R12_WINDOW`` below over the stable
@@ -7663,6 +7705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
         "stream_audio_dedup": q_stream_audio_dedup,
+        "stream_video_dedup": q_stream_video_dedup,
         # ===== round-11 additions (same-round evidence discipline) =====
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
@@ -7977,13 +8020,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-12 correctness window (the driver checks the FIRST 50 keys):
-# the 3 round-12 additions, then window_topk (the last r01-era row),
+# the 4 round-12 additions, then window_topk (the last r01-era row),
 # the full 25-query round-3 evidence block, and the alphabetically-
-# first 21 of the round-4 block — see queries() docstring.
+# first 20 of the round-4 block — see queries() docstring.
 _R12_WINDOW = [
     "cross_modal_curation",
     "media_video_shifted",
     "stream_audio_dedup",
+    "stream_video_dedup",
     "window_topk",
     "ann_topk",
     "bpe_train",
@@ -8030,7 +8074,6 @@ _R12_WINDOW = [
     "funnel",
     "hypertable_rollup",
     "json_funcs",
-    "kmeans_step",
 ]
 
 
@@ -11334,6 +11377,49 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bands b ON a.tbl = b.tbl AND a.id < b.id
                     GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "stream_video_dedup": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid,
+                     CAST(3 + doc_id % 5 AS BIGINT) AS nf FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 3 + doc_id % 5
+              FROM documents WHERE doc_id % 10 = 0),
+            dims AS (SELECT id, pid, nf, 8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            fr AS (SELECT id, w0, h0, g.g AS g, pid + 131*g.g AS e
+                   FROM dims
+                   CROSS JOIN LATERAL
+                     (SELECT unnest(range(0, nf)) AS g) g),
+            lum AS (SELECT id, g, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + e) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 11 + e) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(e % 17 + 3)
+                             + 5*((x.x*w0)//9)*(e % 11 + 1)
+                             + 3*((y.y*h0)//8)*(e % 7 + 1) + 22 + e) % 256)
+                      ) // 1000 AS l
+                    FROM fr
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.g, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.g = b.g
+                                AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, g, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2, 3)
+            SELECT CAST(g AS BIGINT) AS frame_idx,
+                   CAST(tbl AS BIGINT) AS band, val AS bkey,
+                   CAST(min(id) AS BIGINT) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_videos
+            FROM bands GROUP BY 1, 2, 3 HAVING count(*) >= 2
         """,
         "stream_audio_dedup": """
             WITH ids AS (SELECT doc_id AS id, doc_id AS pid FROM documents

@@ -917,6 +917,38 @@ def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
     )
 
 
+def video_bucket_rollup(hashes: DataFrame, n_bands: int = 4) -> DataFrame:
+    """STREAMING-compatible bucket rollup for per-frame VIDEO hashes —
+    :func:`fingerprint_bucket_rollup` with the temporal-alignment key:
+    explode ``(id, frame_idx, b0..b3)`` rows into their
+    ``(frame_idx, band, bkey)`` LSH table rows (stateless), then ONE
+    stateful ``groupBy`` with min-id representative and count. Videos
+    sharing a bucket at the same frame index are near-dup candidate
+    groups, exactly the strict aligned join's bucketing — batch and
+    stream bucket bit-identically. State is one row per distinct
+    (frame_idx, band, bkey): bounded by frame-class count x the 16-bit
+    keyspace x n_bands, not by stream length. Emits
+    ``(frame_idx, band, bkey, rep_id, n_videos)``."""
+    structs = [
+        F.struct(
+            F.lit(t).cast("long").alias("band"),
+            F.col(f"b{t}").cast("long").alias("bkey"),
+        )
+        for t in range(n_bands)
+    ]
+    return (
+        hashes.select(
+            "id", "frame_idx", F.explode(F.array(*structs)).alias("bb")
+        )
+        .select("id", "frame_idx", "bb.band", "bb.bkey")
+        .groupBy("frame_idx", "band", "bkey")
+        .agg(
+            F.min("id").cast("long").alias("rep_id"),
+            F.count("*").cast("long").alias("n_videos"),
+        )
+    )
+
+
 def trim_video_head(
     df: DataFrame,
     n: int = 1,

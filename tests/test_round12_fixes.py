@@ -183,3 +183,36 @@ def test_fingerprint_bucket_rollup_batch_equals_banded(spark):
     assert roll == {(r["tbl"], r["bkey"]): (r["rep"], r["n"])
                     for r in banded}
     fp.unpersist()
+
+
+def test_video_bucket_rollup_batch_equals_banded(spark):
+    """The streaming-compatible video rollup must bucket
+    BIT-IDENTICALLY to the batch temporal-aligned banded explode
+    (_video_banded), with the same membership counts per
+    (frame_idx, band, bkey) bucket."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(40).select("id")
+    vids = mm.encode_textured_video(ids)
+    corpus = vids.unionByName(
+        vids.filter(F.col("id") % 10 == 0).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    hs = mm.video_dhash_bands(corpus).persist()
+    roll = {(r["frame_idx"], r["band"], r["bkey"]):
+            (r["rep_id"], r["n_videos"])
+            for r in mm.video_bucket_rollup(hs).collect()}
+    banded = (
+        mm._video_banded(hs, 4)
+        .groupBy("frame_idx", "tbl", "bkey")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert roll == {(r["frame_idx"], r["tbl"], r["bkey"]):
+                    (r["rep"], r["n"]) for r in banded}
+    # every planted video co-buckets with its original at every frame
+    for (g, band, bkey), (rep, n) in roll.items():
+        if n >= 2:
+            assert rep < 100000
+    hs.unpersist()

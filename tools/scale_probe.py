@@ -138,6 +138,7 @@ PROBE = [
     # query's default budget refuses from sf1 up BY DESIGN)
     "cross_modal_curation",
     "stream_audio_dedup",
+    "stream_video_dedup",
     "media_video_shifted_raised",
 ]
 
