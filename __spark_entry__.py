@@ -7616,6 +7616,13 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
 
+    # corpus sizes derive from the (cache-materialized) gated frame —
+    # never from a second pass over the encoded bytes: n_corpus =
+    # survivors + every-10th planted replica, by construction
+    n_source = gated_t.count()
+    n_plant = gated_t.filter(F.col("doc_id") % 10 == 0).count()
+    n_corpus_media = n_source + n_plant
+
     def media_stats(corpus_pairs, n_corpus: int):
         dropped = corpus_pairs.select("id_b").distinct().count()
         return corpus_pairs.count(), dropped, n_corpus - dropped
@@ -7628,7 +7635,7 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 100000).alias("id"), "bytes"
         )
     )
-    n_corpus_i = i_corpus.count()
+    n_corpus_i = n_corpus_media
     i_pairs, i_dropped, i_kept = media_stats(
         multimodal.dhash_near_pairs(
             multimodal.dhash_bands(i_corpus), max_hamming=3
@@ -7644,15 +7651,13 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 100000).alias("id"), "bytes"
         )
     )
-    n_corpus_a = a_corpus.count()
+    n_corpus_a = n_corpus_media
     a_pairs, a_dropped, a_kept = media_stats(
         multimodal.dhash_near_pairs(
             multimodal.audio_fingerprint_bands(a_corpus), max_hamming=3
         ),
         n_corpus_a,
     )
-
-    n_source = gated_t.count()
     rows = [
         (
             "text",

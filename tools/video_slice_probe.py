@@ -112,9 +112,20 @@ def main(classes: list[int]) -> None:
     path = os.path.join(REPO, "bench_scaling.json")
     with open(path) as fh:
         payload = json.load(fh)
-    payload.setdefault("sf10", {}).setdefault("queries", {})[
-        "media_video_near_dup_sliced"
-    ] = row
+    tier = payload.setdefault("sf10", {}).setdefault("queries", {})
+    prior = tier.get("media_video_near_dup_sliced")
+    if prior and prior.get("slices"):
+        # merge: keep previously-executed classes, recompute aggregates
+        merged = {**prior["slices"], **row["slices"]}
+        row["slices"] = merged
+        meas_vol = sum(s["volume"] for s in merged.values())
+        meas_wall = sum(s["wall_sec"] for s in merged.values())
+        ns = meas_wall / meas_vol * 1e9
+        row["ns_per_candidate"] = round(ns, 3)
+        row["extrapolated_full_join_sec"] = round(
+            row["n_candidates_sf10"] * ns / 1e9, 1
+        )
+    tier["media_video_near_dup_sliced"] = row
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps(row))
