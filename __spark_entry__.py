@@ -7511,6 +7511,43 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_video_dedup").filter(F.col("n_videos") >= 2)
 
 
+def q_media_audio_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-ROBUST audio near-dup — the windowed-fingerprint view
+    that catches head-trimmed re-takes the whole-clip fingerprint
+    cannot (a trim shifts EVERY frame energy, scrambling all 64 bits):
+    long tone clips (2080 + id%509 samples → 9-13 sliding 65-frame
+    windows at hop 8) + exact planted copies (every 10th, id+100000 —
+    surface at shift 0 with every window close) + REAL head-trimmed
+    re-takes (every 20th, id+300000, first 128 samples = one hop
+    removed by trim_wav_head's actual RIFF surgery — their windows
+    equal the original's at index+1, so they surface at shift 1 with
+    all surviving windows close). audio_window_bands emits
+    (id, window_idx, b0..b3) SCHEMA-COMPATIBLE with video_dhash_bands,
+    so the offset-enumerated temporal join
+    (multimodal.video_near_pairs_shifted) is reused VERBATIM — one
+    temporal-alignment engine, two modalities. The oracle replays
+    every sample, window, band, the shift enumeration, and the
+    deterministic best-shift pick. Scale posture identical to the
+    video shifted path: slim rows only, pre-join volume audit."""
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    wavs = multimodal.encode_tone_wav(ids, base_samples=2080, mod=509)
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trimmed = multimodal.trim_wav_head(
+        wavs.filter(F.col("id") % 20 == 0), n_samples=128
+    ).select((F.col("id") + 300000).alias("id"), "bytes")
+    corpus = wavs.unionByName(planted).unionByName(trimmed)
+    hs = multimodal.audio_window_bands(corpus)
+    out = multimodal.video_near_pairs_shifted(
+        hs, max_hamming=3, min_frames=2, max_shift=2
+    )
+    return out.select(
+        "id_a", "id_b", F.col("shift").cast("long").alias("shift"),
+        "n_close", "sum_hamming",
+    )
+
+
 def q_media_video_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHIFT-ROBUST video near-dup (multimodal.video_near_pairs_shifted
     — the offset-enumeration upgrade the strict operator's docstring
@@ -7690,14 +7727,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued by r11 task 4): the round-12
-    window leads with the four round-12 additions
-    (cross_modal_curation, media_video_shifted, stream_audio_dedup,
-    stream_video_dedup — same-round evidence discipline), then
-    rotates onto the LEAST-RECENTLY-CONFIRMED tail: window_topk (last
-    green r01 — its only remaining r01-era row), the full 25-query
-    round-3 block (ann_topk, bpe_train, the dedup/MR/text-quality
-    families, tpch_q2 — deferred by the r11 rotation), and the
-    alphabetically-first 20 of the 49-query round-4 block. This completes the freshness sweep
+    window leads with the five round-12 additions
+    (cross_modal_curation, media_video_shifted, media_audio_shifted,
+    stream_audio_dedup, stream_video_dedup — same-round evidence
+    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED tail:
+    window_topk (last green r01 — its only remaining r01-era row),
+    the full 25-query round-3 block (ann_topk, bpe_train, the
+    dedup/MR/text-quality families, tpch_q2 — deferred by the r11
+    rotation), and the alphabetically-first 19 of the 49-query
+    round-4 block. This completes the freshness sweep
     the r11 rotation started: after this window lands, no evidence
     predates r04 and the oldest block is r04-r05's remainder. The
     reorder is applied by ``_R12_WINDOW`` below over the stable
@@ -7711,6 +7749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_shifted": q_media_video_shifted,
         "stream_audio_dedup": q_stream_audio_dedup,
         "stream_video_dedup": q_stream_video_dedup,
+        "media_audio_shifted": q_media_audio_shifted,
         # ===== round-11 additions (same-round evidence discipline) =====
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
@@ -8025,12 +8064,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-12 correctness window (the driver checks the FIRST 50 keys):
-# the 4 round-12 additions, then window_topk (the last r01-era row),
+# the 5 round-12 additions, then window_topk (the last r01-era row),
 # the full 25-query round-3 evidence block, and the alphabetically-
-# first 20 of the round-4 block — see queries() docstring.
+# first 19 of the round-4 block — see queries() docstring.
 _R12_WINDOW = [
     "cross_modal_curation",
     "media_video_shifted",
+    "media_audio_shifted",
     "stream_audio_dedup",
     "stream_video_dedup",
     "window_topk",
@@ -8078,7 +8118,6 @@ _R12_WINDOW = [
     "events_tumbling",
     "funnel",
     "hypertable_rollup",
-    "json_funcs",
 ]
 
 
@@ -11640,6 +11679,76 @@ def oracle_sql() -> dict[str, str]:
             FROM fham WHERE fham <= 3
             GROUP BY id_a, id_b
             HAVING count(*) >= 2
+        """,
+        "media_audio_shifted": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid, 0 AS off FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 0 FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 300000, doc_id, 8 FROM documents
+              WHERE doc_id % 20 = 0),
+            nfr AS (SELECT id, pid, off,
+                           (2080 + pid % 509) // 16 - off AS nf
+                    FROM ids),
+            eng AS (SELECT n.id, f.f AS f,
+                           CAST(sum(CAST(
+                             ((f.f + n.off)*j.j*(n.pid % 17 + 3)
+                              + 23*(f.f + n.off)*(n.pid % 13 + 1)
+                              + 7*j.j*(n.pid % 11 + 1) + 31*n.pid)
+                             % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             ((f.f + n.off)*j.j*(n.pid % 17 + 3)
+                              + 23*(f.f + n.off)*(n.pid % 13 + 1)
+                              + 7*j.j*(n.pid % 11 + 1) + 31*n.pid)
+                             % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM nfr n
+                    CROSS JOIN LATERAL
+                      (SELECT unnest(range(0, n.nf)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY n.id, f.f),
+            win AS (SELECT id, w.w AS g FROM nfr
+                    CROSS JOIN LATERAL
+                      (SELECT unnest(range(0, (nf - 65) // 8 + 1))
+                       AS w) w),
+            wbits AS (SELECT win.id, win.g, x.x AS x,
+                             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                      FROM win
+                      CROSS JOIN (SELECT unnest(range(0, 64)) AS x) x
+                      JOIN eng a ON a.id = win.id
+                                 AND a.f = win.g * 8 + x.x
+                      JOIN eng b ON b.id = win.id
+                                 AND b.f = win.g * 8 + x.x + 1),
+            bands AS (SELECT id, g, x // 16 AS tbl,
+                             CAST(sum(bit * (1 << (x % 16)))
+                                  AS BIGINT) AS val
+                      FROM wbits GROUP BY 1, 2, 3),
+            fham AS (SELECT a.id AS id_a, b.id AS id_b, k.k AS shift,
+                            a.g AS g,
+                            CAST(sum(bit_count(xor(a.val, b.val)))
+                                 AS BIGINT) AS fham
+                     FROM bands a
+                     CROSS JOIN (SELECT unnest(range(-2, 3)) AS k) k
+                     JOIN bands b ON a.g = b.g + k.k AND a.tbl = b.tbl
+                                  AND a.id < b.id
+                     GROUP BY 1, 2, 3, 4),
+            ps AS (SELECT id_a, id_b, shift,
+                          CAST(count(*) AS BIGINT) AS n_close,
+                          CAST(sum(fham) AS BIGINT) AS sum_hamming
+                   FROM fham WHERE fham <= 3
+                   GROUP BY 1, 2, 3
+                   HAVING count(*) >= 2),
+            best AS (SELECT id_a, id_b, shift, n_close, sum_hamming,
+                            row_number() OVER (
+                              PARTITION BY id_a, id_b
+                              ORDER BY n_close DESC, sum_hamming ASC,
+                                       shift ASC) AS rk
+                     FROM ps)
+            SELECT id_a, id_b, CAST(shift AS BIGINT) AS shift,
+                   n_close, sum_hamming
+            FROM best WHERE rk = 1
         """,
         "media_video_shifted": """
             WITH ids AS (

@@ -224,6 +224,7 @@ HEADLINE = [
     "media_video_shifted",
     "stream_audio_dedup",
     "stream_video_dedup",
+    "media_audio_shifted",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

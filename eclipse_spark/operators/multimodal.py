@@ -1143,28 +1143,35 @@ def video_near_pairs_shifted(
     return out
 
 
-def encode_tone_wav(df: DataFrame, id_col: str = "id") -> DataFrame:
+def encode_tone_wav(
+    df: DataFrame,
+    id_col: str = "id",
+    base_samples: int = 1040,
+    mod: int = 257,
+) -> DataFrame:
     """Deterministic TONE corpus for audio near-dup benchmarking — the
     WAV analogue of :func:`encode_textured_bmp`: one real PCM WAV per
     id, long enough to carry a 64-bit energy fingerprint
     (:func:`audio_fingerprint_bands` needs 65 full frames where
     :func:`encode_pattern_wav`'s 64-120 samples give only 4-8).
-    ``n = 1040 + id % 257`` samples at 8 kHz; with ``f = i div 16``
-    (frame) and ``j = i mod 16`` (offset), sample ``i`` =
-    ``(f*j*(id%17+3) + 23*f*(id%13+1) + 7*j*(id%11+1) + 31*id) % 4001
-    - 2000``. The cross-term makes per-frame energy PROFILES vary per
-    id (the textured-BMP lesson: linear patterns collapse to a handful
-    of fingerprints) — measured 500/500 distinct fingerprints and 4
-    organic Hamming <= 3 pairs across 500 ids. Pure integer formula,
-    so SQL oracles replay every sample. Arrow-batched; bytes are born
-    inside the stage."""
+    ``n = base_samples + id % mod`` samples (default 1040 + id % 257 —
+    the contract every prior oracle pinned; the shifted-audio query
+    uses 2080 + id % 509 for multi-window clips) at 8 kHz; with
+    ``f = i div 16`` (frame) and ``j = i mod 16`` (offset), sample
+    ``i`` = ``(f*j*(id%17+3) + 23*f*(id%13+1) + 7*j*(id%11+1) +
+    31*id) % 4001 - 2000``. The cross-term makes per-frame energy
+    PROFILES vary per id (the textured-BMP lesson: linear patterns
+    collapse to a handful of fingerprints) — measured 500/500
+    distinct fingerprints and 4 organic Hamming <= 3 pairs across
+    500 ids. Pure integer formula, so SQL oracles replay every
+    sample. Arrow-batched; bytes are born inside the stage."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for d in pdf[id_col]:
                 d = int(d)
-                n = 1040 + d % 257
+                n = base_samples + d % mod
                 i = np.arange(n, dtype=np.int64)
                 f, j = i // 16, i % 16
                 samples = (
@@ -1265,6 +1272,129 @@ def audio_fingerprint_bands(
     return df.select(
         F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")
     ).mapInPandas(_run, schema="id long, b0 int, b1 int, b2 int, b3 int")
+
+
+def trim_wav_head(
+    df: DataFrame,
+    n_samples: int,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Drop the first ``n_samples`` PCM samples of each WAV — REAL
+    RIFF surgery (decode, slice, re-encode at the original rate), the
+    audio analogue of :func:`trim_video_head`: the transform that
+    produces leading-silence-trimmed / head-cut re-takes whose
+    whole-clip fingerprint (:func:`audio_fingerprint_bands`) shares
+    NOTHING with the original — every frame energy shifts — and whose
+    windowed fingerprints (:func:`audio_window_bands`) realign at a
+    bounded offset. Loud failure on n_samples < 1 or a trim that
+    leaves no samples. Arrow-batched; linear in bytes, no shuffle."""
+    if n_samples < 1:
+        raise ValueError(
+            f"trim_wav_head: n_samples must be >= 1, got {n_samples}"
+        )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, b in zip(pdf["id"], pdf["_bytes"]):
+                rate, samples = wav_decode(bytes(b))
+                if len(samples) - n_samples < 1:
+                    raise ValueError(
+                        f"trim_wav_head: id {rid} has {len(samples)} "
+                        f"samples; trimming {n_samples} would leave "
+                        f"none"
+                    )
+                payloads.append(wav_encode(samples[n_samples:], rate))
+            yield pd.DataFrame({"id": pdf["id"], "bytes": payloads})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")
+    ).mapInPandas(_run, schema="id long, bytes binary")
+
+
+def audio_window_bands(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    frame: int = 16,
+    window_frames: int = 65,
+    hop: int = 8,
+) -> DataFrame:
+    """WINDOWED audio fingerprints — the temporal-sequence view of
+    :func:`audio_fingerprint_bands` that makes audio near-dup
+    SHIFT-ROBUST by construction: instead of one whole-clip
+    fingerprint (which a head trim scrambles completely — every frame
+    energy moves), each clip emits one 64-bit banded fingerprint per
+    sliding window of ``window_frames`` frame energies, hopping
+    ``hop`` frames: window w covers frames [w*hop, w*hop +
+    window_frames). Output ``(id, frame_idx, b0..b3)`` with
+    ``frame_idx`` = the window index — SCHEMA-COMPATIBLE with
+    :func:`video_dhash_bands`, so the whole temporal near-dup engine
+    downstream (:func:`video_near_pairs` strict alignment,
+    :func:`video_near_pairs_shifted` offset enumeration,
+    :func:`video_bucket_rollup` streaming rollup, the volume audits)
+    is reused VERBATIM: one temporal-alignment engine, two
+    modalities. A clip head-trimmed by exactly ``hop * frame``
+    samples produces windows identical to the original's shifted by
+    one index — the offset-enumerated join finds it at shift 1
+    (trims that are not hop-multiples degrade gracefully: energies
+    desynchronize and the pair is honestly out of the near-dup
+    family's scope, like a re-encoded video). Integer-exact
+    (energies are int64 sums of squared int16), so SQL oracles
+    replay every window. Raises if a clip is shorter than one full
+    window. Arrow-batched; bytes never shuffle — only (id,
+    window_idx, 4 smallint bands) rows come out."""
+    nbits = window_frames - 1
+    width = nbits // 4
+    if nbits % 4 != 0 or not 4 <= width <= 16:
+        raise ValueError(
+            "audio_window_bands needs window_frames - 1 divisible by "
+            "4 with band width in [4, 16]; got "
+            f"window_frames={window_frames}"
+        )
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    need = frame * window_frames
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, b0, b1, b2, b3 = [], [], [], [], [], []
+            for rid, b in zip(pdf["id"], pdf["_bytes"]):
+                _rate, samples = wav_decode(
+                    bytes(b) if b is not None else b""
+                )
+                if len(samples) < need:
+                    raise ValueError(
+                        f"audio_window_bands: id {rid} has "
+                        f"{len(samples)} samples < {need} required "
+                        f"for one {window_frames}-frame window"
+                    )
+                nf = len(samples) // frame
+                a = samples[: nf * frame].astype(np.int64)
+                e = (a * a).reshape(nf, frame).sum(axis=1)
+                shifts = np.arange(nbits) % width
+                for w in range(0, nf - window_frames + 1, hop):
+                    ew = e[w:w + window_frames]
+                    bits = (ew[1:] > ew[:-1]).astype(np.int64)
+                    vals = bits << shifts
+                    ids.append(rid)
+                    ws.append(w // hop)
+                    b0.append(int(vals[0 * width:1 * width].sum()))
+                    b1.append(int(vals[1 * width:2 * width].sum()))
+                    b2.append(int(vals[2 * width:3 * width].sum()))
+                    b3.append(int(vals[3 * width:4 * width].sum()))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": ws,
+                 "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")
+    ).mapInPandas(
+        _run,
+        schema="id long, frame_idx long, b0 int, b1 int, b2 int, b3 int",
+    )
 
 
 def dhash_bands(

@@ -216,3 +216,58 @@ def test_video_bucket_rollup_batch_equals_banded(spark):
         if n >= 2:
             assert rep < 100000
     hs.unpersist()
+
+
+def test_audio_shifted_catches_head_trim(spark):
+    """A head-trimmed re-take (one hop = 128 samples removed by real
+    RIFF surgery) scrambles the whole-clip fingerprint but must
+    surface at shift 1 through the windowed fingerprints — the same
+    offset-enumerated engine the video path uses."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(30).select((F.col("id") * 20).alias("id"))
+    wavs = mm.encode_tone_wav(ids, base_samples=2080, mod=509)
+    trimmed = mm.trim_wav_head(wavs, n_samples=128).select(
+        (F.col("id") + 300000).alias("id"), "bytes"
+    )
+    exact = wavs.select((F.col("id") + 100000).alias("id"), "bytes")
+    hs = mm.audio_window_bands(
+        wavs.unionByName(trimmed).unionByName(exact)
+    )
+    strict = {(r["id_a"], r["id_b"])
+              for r in mm.video_near_pairs(hs, min_frames=2).collect()}
+    shifted = {(r["id_a"], r["id_b"]): (r["shift"], r["n_close"])
+               for r in mm.video_near_pairs_shifted(
+                   hs, min_frames=2, max_shift=2).collect()}
+    for base in range(0, 600, 20):
+        assert (base, base + 300000) not in strict
+        sh, n = shifted[(base, base + 300000)]
+        assert sh == 1 and n >= 2
+        assert shifted[(base, base + 100000)][0] == 0
+    # and the WHOLE-CLIP fingerprint really is scrambled by the trim:
+    # original vs trimmed clip disagree in many gradient bits
+    fp_o = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in mm.audio_fingerprint_bands(wavs).collect()}
+    fp_t = {r["id"] - 300000: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in mm.audio_fingerprint_bands(trimmed).collect()}
+    diff = sum(
+        bin(a ^ b).count("1")
+        for i in fp_o
+        for a, b in zip(fp_o[i], fp_t[i])
+    ) / len(fp_o)
+    assert diff > 10, f"trim should scramble the whole-clip hash, {diff}"
+
+
+def test_trim_wav_head_validates(spark):
+    from eclipse_spark.operators import multimodal as mm
+
+    wavs = mm.encode_tone_wav(spark.range(3).select("id"))
+    with pytest.raises(ValueError, match=">= 1"):
+        mm.trim_wav_head(wavs, n_samples=0)
+    with pytest.raises(Exception, match="leave none"):
+        mm.trim_wav_head(wavs, n_samples=10000).collect()
+    out = mm.trim_wav_head(wavs, n_samples=16).collect()
+    from eclipse_spark.operators.multimodal import wav_decode
+    for r in out:
+        _rate, s = wav_decode(bytes(r["bytes"]))
+        assert len(s) >= 1024

@@ -140,6 +140,7 @@ PROBE = [
     "stream_audio_dedup",
     "stream_video_dedup",
     "media_video_shifted_raised",
+    "media_audio_shifted_raised",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -491,6 +492,54 @@ def _video_shifted_raised_probe(spark, sf_dir):
 
 PROBE_FN_OVERRIDES["media_video_shifted_raised"] = _video_shifted_raised_probe
 
+
+def _audio_shifted_hashes(spark, sf_dir):
+    """The q_media_audio_shifted corpus: long tone clips + exact
+    plants (+100000) + head-trimmed re-takes (every 20th, first 128
+    samples removed, +300000), windowed into (id, window_idx, bands)
+    rows."""
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    wavs = mm.encode_tone_wav(ids, base_samples=2080, mod=509)
+    planted = wavs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"), "bytes"
+    )
+    trimmed = mm.trim_wav_head(
+        wavs.filter(F.col("id") % 20 == 0), n_samples=128
+    ).select((F.col("id") + 300000).alias("id"), "bytes")
+    return mm.audio_window_bands(
+        wavs.unionByName(planted).unionByName(trimmed)
+    )
+
+
+def _audio_shifted_cand_count(spark, sf_dir) -> int:
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_shifted_candidate_volume(
+        _audio_shifted_hashes(spark, sf_dir), 4, 2
+    )
+
+
+def _audio_shifted_raised_probe(spark, sf_dir):
+    """q_media_audio_shifted with an explicit raised budget (the
+    media_video_shifted_raised discipline) so the first decade is a
+    completion while the registry query's default budget documents
+    the refusal point."""
+    from eclipse_spark.operators import multimodal as mm
+
+    return mm.video_near_pairs_shifted(
+        _audio_shifted_hashes(spark, sf_dir),
+        max_hamming=3,
+        min_frames=2,
+        max_shift=2,
+        max_pairs=2_000_000_000,
+    )
+
+
+PROBE_FN_OVERRIDES["media_audio_shifted_raised"] = _audio_shifted_raised_probe
+
 # sf10 rows recorded as measured refusal volumes only (see the deep
 # loop): the video join at sf10 would shuffle ~7e9 aligned-frame
 # candidates — larger than local disk — so no budget is "acceptable"
@@ -586,9 +635,11 @@ WORK_COUNTS = {
     "kcore": _kcore_dec_count,
     "clustering_coeff": _clustering_tri_count,
     "media_video_shifted_raised": _video_shifted_cand_count,
+    "media_audio_shifted_raised": _audio_shifted_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
+DEEP_VOLUME_ONLY["media_audio_shifted"] = _audio_shifted_cand_count
 
 
 def _time(fn, spark, sf_dir) -> float:
