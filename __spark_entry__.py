@@ -7511,6 +7511,41 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_video_dedup").filter(F.col("n_videos") >= 2)
 
 
+def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL media near-dup (multimodal.dhash_pairs_against) —
+    the refresh-run shape for the banded media family, completing the
+    incremental story across modalities (text has
+    `incremental_dedup`/`_cached`; this is the image/audio
+    equivalent): the EXISTING corpus (textured BMPs of doc_id % 4 !=
+    0, i.e. 75% — already deduped and signed in production) is joined
+    new x ref ONLY against a NEW batch (doc_id % 4 == 0 plus
+    byte-identical copies of every ref image with doc_id % 8 == 1,
+    re-keyed +100000 — planted cross-set duplicates that MUST flag).
+    Never ref x ref; hashes are the only thing of the ref side that
+    enters the join (4 smallints per image — the persisted-index
+    shape). Output is the flagged pair list (id_new, id_ref,
+    hamming); the oracle replays both sides' pixel-formula dHashes
+    and the exhaustive cross-set Hamming join, so a missed plant, a
+    phantom pair, or one flipped gradient bit hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    ref_ids = docs.filter(F.col("id") % 4 != 0)
+    new_ids = docs.filter(F.col("id") % 4 == 0)
+    ref_imgs = multimodal.encode_textured_bmp(ref_ids)
+    new_imgs = multimodal.encode_textured_bmp(new_ids).unionByName(
+        ref_imgs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    out = multimodal.dhash_pairs_against(
+        multimodal.dhash_bands(new_imgs),
+        multimodal.dhash_bands(ref_imgs),
+        max_hamming=3,
+    )
+    return out
+
+
 def q_media_audio_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHIFT-ROBUST audio near-dup — the windowed-fingerprint view
     that catches head-trimmed re-takes the whole-clip fingerprint
@@ -7727,15 +7762,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued by r11 task 4): the round-12
-    window leads with the five round-12 additions
+    window leads with the six round-12 additions
     (cross_modal_curation, media_video_shifted, media_audio_shifted,
-    stream_audio_dedup, stream_video_dedup — same-round evidence
-    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED tail:
-    window_topk (last green r01 — its only remaining r01-era row),
-    the full 25-query round-3 block (ann_topk, bpe_train, the
-    dedup/MR/text-quality families, tpch_q2 — deferred by the r11
-    rotation), and the alphabetically-first 19 of the 49-query
-    round-4 block. This completes the freshness sweep
+    media_incremental_dedup, stream_audio_dedup, stream_video_dedup —
+    same-round evidence discipline), then rotates onto the
+    LEAST-RECENTLY-CONFIRMED tail: window_topk (last green r01 — its
+    only remaining r01-era row), the full 25-query round-3 block
+    (ann_topk, bpe_train, the dedup/MR/text-quality families, tpch_q2
+    — deferred by the r11 rotation), and the alphabetically-first 18
+    of the 49-query round-4 block. This completes the freshness sweep
     the r11 rotation started: after this window lands, no evidence
     predates r04 and the oldest block is r04-r05's remainder. The
     reorder is applied by ``_R12_WINDOW`` below over the stable
@@ -7750,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_audio_dedup": q_stream_audio_dedup,
         "stream_video_dedup": q_stream_video_dedup,
         "media_audio_shifted": q_media_audio_shifted,
+        "media_incremental_dedup": q_media_incremental_dedup,
         # ===== round-11 additions (same-round evidence discipline) =====
         "stream_near_dedup": q_stream_near_dedup,
         "lineage_audit": q_lineage_audit,
@@ -8064,13 +8100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-12 correctness window (the driver checks the FIRST 50 keys):
-# the 5 round-12 additions, then window_topk (the last r01-era row),
+# the 6 round-12 additions, then window_topk (the last r01-era row),
 # the full 25-query round-3 evidence block, and the alphabetically-
-# first 19 of the round-4 block — see queries() docstring.
+# first 18 of the round-4 block — see queries() docstring.
 _R12_WINDOW = [
     "cross_modal_curation",
     "media_video_shifted",
     "media_audio_shifted",
+    "media_incremental_dedup",
     "stream_audio_dedup",
     "stream_video_dedup",
     "window_topk",
@@ -8117,7 +8154,6 @@ _R12_WINDOW = [
     "events_stream_tumbling",
     "events_tumbling",
     "funnel",
-    "hypertable_rollup",
 ]
 
 
@@ -11679,6 +11715,52 @@ def oracle_sql() -> dict[str, str]:
             FROM fham WHERE fham <= 3
             GROUP BY id_a, id_b
             HAVING count(*) >= 2
+        """,
+        "media_incremental_dedup": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid, 'n' AS side
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 'n' FROM documents
+              WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
+              UNION ALL
+              SELECT doc_id, doc_id, 'r' FROM documents
+              WHERE doc_id % 4 != 0),
+            dims AS (SELECT id, pid, side,
+                            8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            lum AS (SELECT id, side, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
+                      ) // 1000 AS l
+                    FROM dims
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.side, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.side = b.side
+                                AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, side, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2, 3)
+            SELECT n.id AS id_new, r.id AS id_ref,
+                   CAST(sum(bit_count(xor(n.val, r.val))) AS BIGINT)
+                     AS hamming
+            FROM bands n
+            JOIN bands r ON n.tbl = r.tbl
+            WHERE n.side = 'n' AND r.side = 'r'
+            GROUP BY 1, 2
+            HAVING sum(bit_count(xor(n.val, r.val))) <= 3
         """,
         "media_audio_shifted": """
             WITH ids AS (

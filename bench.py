@@ -225,6 +225,7 @@ HEADLINE = [
     "stream_audio_dedup",
     "stream_video_dedup",
     "media_audio_shifted",
+    "media_incremental_dedup",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

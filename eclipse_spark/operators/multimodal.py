@@ -884,6 +884,109 @@ def video_near_pairs(
     return out
 
 
+def dhash_cross_candidate_volume(
+    new_hashes: DataFrame, ref_hashes: DataFrame, n_bands: int = 4
+) -> int:
+    """Exact candidate count of :func:`dhash_pairs_against`'s banded
+    new x ref join: sum over shared (table, band-key) buckets of
+    |new bucket| x |ref bucket| — the pre-join audit, cross-set
+    variant (counts exactly the rows the join schedules; there is no
+    self-pair or ordering term because the sides are disjoint)."""
+    na = (
+        _dhash_banded(new_hashes, n_bands, composed=False)
+        .groupBy("tbl", "bkey")
+        .agg(F.count("*").alias("_na"))
+    )
+    nr = (
+        _dhash_banded(ref_hashes, n_bands, composed=False)
+        .groupBy("tbl", "bkey")
+        .agg(F.count("*").alias("_nr"))
+    )
+    row = (
+        na.join(nr, on=["tbl", "bkey"])
+        .agg(
+            F.coalesce(F.sum(F.col("_na") * F.col("_nr")), F.lit(0))
+            .cast("long")
+            .alias("vol")
+        )
+        .collect()[0]
+    )
+    return int(row["vol"])
+
+
+def dhash_pairs_against(
+    new_hashes: DataFrame,
+    ref_hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_pairs: int | None = 20_000_000,
+) -> DataFrame:
+    """INCREMENTAL media near-dup: pairs between a NEW batch's
+    fingerprints and an EXISTING reference corpus's — the refresh-run
+    shape (`minhash_dedup_against` for the banded media family):
+    yesterday's 100 TB of images/clips is already deduped and SIGNED;
+    today's batch joins new x ref ONLY on the (table, band-key)
+    buckets — never ref x ref, so the heavy side is touched once for
+    hashes and once in the bucket join. Accepts any
+    :func:`dhash_bands`-schema frame (image dHash, audio
+    fingerprint), so one incremental engine serves both modalities;
+    the ref side can come straight from a persisted catalog artifact
+    (hashes are 4 smallints per id — the index IS the slim frame).
+    Recall is the pigeonhole bound per pair (max_hamming <=
+    n_bands - 1); the pre-join audit
+    (:func:`dhash_cross_candidate_volume`) RAISES with the measured
+    number before scheduling a saturated join. Emits
+    ``(id_new, id_ref, hamming)``."""
+    bound = n_bands - 1
+    if not 0 <= max_hamming <= bound:
+        raise ValueError(
+            f"dhash_pairs_against guarantees recall only for "
+            f"max_hamming <= {bound} ({n_bands} single-band tables, "
+            f"pigeonhole); got {max_hamming}"
+        )
+    bcols = [f"b{t}" for t in range(n_bands)]
+    new_h = new_hashes.select("id", *bcols)
+    ref_h = ref_hashes.select("id", *bcols)
+    if max_pairs is not None:
+        new_h = new_h.persist()
+        ref_h = ref_h.persist()
+        vol = dhash_cross_candidate_volume(new_h, ref_h, n_bands)
+        if vol > max_pairs:
+            new_h.unpersist()
+            ref_h.unpersist()
+            raise ValueError(
+                f"dhash_pairs_against: banded new x ref join would "
+                f"generate {vol:,} candidate pairs > "
+                f"max_pairs={max_pairs:,}. The 16-bit band keyspace "
+                f"is saturated for these corpora — use the wide/"
+                f"composed-key hashes or raise max_pairs if the "
+                f"volume is genuinely acceptable."
+            )
+    a = _dhash_banded(new_h, n_bands, composed=False).alias("a")
+    b = _dhash_banded(ref_h, n_bands, composed=False).alias("b")
+    ham = None
+    for t in range(n_bands):
+        term = F.bit_count(
+            F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    out = (
+        a.join(b, on=["tbl", "bkey"])
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("b.id").alias("id_ref"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    if max_pairs is not None:
+        out = out.localCheckpoint(eager=True)
+        new_h.unpersist()
+        ref_h.unpersist()
+    return out
+
+
 def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
     """STREAMING-compatible banded-bucket rollup over any
     ``(id, b0..b{n-1})`` fingerprint frame (image dHash, audio

@@ -271,3 +271,30 @@ def test_trim_wav_head_validates(spark):
     for r in out:
         _rate, s = wav_decode(bytes(r["bytes"]))
         assert len(s) >= 1024
+
+
+def test_media_incremental_flags_only_cross_set(spark):
+    """dhash_pairs_against joins new x ref only: every planted copy
+    flags against its ref original, and no pair has both ids from the
+    same side."""
+    from eclipse_spark.operators import multimodal as mm
+
+    ids = spark.range(120).select("id")
+    ref = mm.encode_textured_bmp(ids.filter(F.col("id") % 4 != 0))
+    new = mm.encode_textured_bmp(
+        ids.filter(F.col("id") % 4 == 0)
+    ).unionByName(
+        ref.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    pairs = mm.dhash_pairs_against(
+        mm.dhash_bands(new), mm.dhash_bands(ref), max_hamming=3
+    ).collect()
+    got = {(r["id_new"], r["id_ref"]): r["hamming"] for r in pairs}
+    for i in range(1, 120, 8):  # id % 8 == 1 plants
+        assert got[(i + 100000, i)] == 0, f"plant {i} must flag"
+    ref_ids = set(range(120)) - set(range(0, 120, 4))
+    for (idn, idr) in got:
+        assert idr in ref_ids
+        assert idn % 4 == 0 or (idn - 100000) in ref_ids

@@ -141,6 +141,11 @@ PROBE = [
     "stream_video_dedup",
     "media_video_shifted_raised",
     "media_audio_shifted_raised",
+    # the incremental (new x ref) media refresh join — cross-set
+    # volume counted below; completes under the default budget in the
+    # first decade (the join is a subset product of the self-join the
+    # media_dhash row already guards)
+    "media_incremental_dedup",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -540,6 +545,27 @@ def _audio_shifted_raised_probe(spark, sf_dir):
 
 PROBE_FN_OVERRIDES["media_audio_shifted_raised"] = _audio_shifted_raised_probe
 
+
+def _media_incr_cand_count(spark, sf_dir) -> int:
+    """Cross-set candidate volume of the incremental media refresh
+    join (new x ref bucket products — no self/ordering terms)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(F.col("doc_id").alias("id"))
+    ref = mm.encode_textured_bmp(docs.filter(F.col("id") % 4 != 0))
+    new = mm.encode_textured_bmp(
+        docs.filter(F.col("id") % 4 == 0)
+    ).unionByName(
+        ref.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    return mm.dhash_cross_candidate_volume(
+        mm.dhash_bands(new), mm.dhash_bands(ref)
+    )
+
 # sf10 rows recorded as measured refusal volumes only (see the deep
 # loop): the video join at sf10 would shuffle ~7e9 aligned-frame
 # candidates — larger than local disk — so no budget is "acceptable"
@@ -636,6 +662,7 @@ WORK_COUNTS = {
     "clustering_coeff": _clustering_tri_count,
     "media_video_shifted_raised": _video_shifted_cand_count,
     "media_audio_shifted_raised": _audio_shifted_cand_count,
+    "media_incremental_dedup": _media_incr_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
