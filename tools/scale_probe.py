@@ -781,12 +781,21 @@ def main() -> None:
             "guarded by semantic_dedup max_pairs (trips at the 100x "
             "tier); production scales n_cells with the corpus"
         )
+    # MERGE with the standing artifact: rows this run does not produce
+    # (probe_one incremental rows, the executed frame-class slice rows,
+    # manual volume-only rows) survive; fresh same-key rows win. The
+    # ratio headlines describe THIS run's fresh rows only.
+    prior: dict = {}
+    prior_path = os.path.join(REPO, "bench_scaling.json")
+    if os.path.exists(prior_path):
+        with open(prior_path) as fh:
+            prior = json.load(fh)
     payload = {
         "data_ratio": 10,
         "note": "sf1 is the derived 10x replication of sf0.1 "
                 "(tools/make_scaled_sf.py); ratio ~<= 10 + shuffle "
                 "log-factors = linear-ish plan, >> 10 = superlinear",
-        "queries": out,
+        "queries": {**prior.get("queries", {}), **out},
         "max_ratio": max(v["ratio"] for v in out.values()),
         "max_ratio_excl_guarded": max(
             v["ratio"] for k, v in out.items() if k != "semdedup"
@@ -835,6 +844,15 @@ def main() -> None:
             # tier), so it is reused as the like-for-like baseline
             deep_names += ["clustering_coeff", "ktruss", "kcore",
                            "coreness"]
+        # round-12 ops get standing second decades: the streaming
+        # dedups and the incremental media refresh (whose sf10 is a
+        # DESIGNED guard trip recorded with the measured cross-set
+        # count by the except branch below); cross_modal's sf10 is
+        # likewise a designed guard trip (survivor-subset banded join
+        # saturates the narrow keyspace)
+        deep_names += ["stream_audio_dedup", "stream_video_dedup",
+                       "media_incremental_dedup",
+                       "cross_modal_curation"]
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
                       "kcore", "coreness", "media_dhash",
                       "media_dhash_wide", "media_dhash_wide_raised",
@@ -969,7 +987,10 @@ def main() -> None:
             "note": "second decade sf1 -> sf10 for the steepest 10x "
                     "ratios; a ratio near or below the first decade's "
                     "means the curve is NOT bending superlinear",
-            "queries": deep,
+            "queries": {
+                **prior.get("sf10", {}).get("queries", {}),
+                **deep,
+            },
         }
     with open(os.path.join(REPO, "bench_scaling.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
