@@ -7643,12 +7643,26 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once (at 100 TB that is the point — the gate scan is
     the expensive shared stage), each banded join is the guarded
     engine, and the only collects are O(1) scalars."""
+    import shutil
     import tempfile
 
     from eclipse_spark.semcache import SemanticCache
 
-    cache = SemanticCache(spark, tempfile.mkdtemp(prefix="eclipse_xmodal_"))
+    cache_root = tempfile.mkdtemp(prefix="eclipse_xmodal_")
+    cache = SemanticCache(spark, cache_root)
     path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return _xmodal_body(spark, cache, path)
+    finally:
+        # every cache-backed read is consumed (counted/collected)
+        # inside the body — the returned frame is a literal
+        # createDataFrame — so the materialized parquet cache dir can
+        # go as soon as the rows exist (ADVICE r12: repeated bench/
+        # driver runs in one session were accumulating these dirs).
+        shutil.rmtree(cache_root, ignore_errors=True)
+
+
+def _xmodal_body(spark: SparkSession, cache, path: str) -> DataFrame:
 
     def gate(app: str) -> Pipeline:
         return (

@@ -950,41 +950,43 @@ def dhash_pairs_against(
     if max_pairs is not None:
         new_h = new_h.persist()
         ref_h = ref_h.persist()
-        vol = dhash_cross_candidate_volume(new_h, ref_h, n_bands)
-        if vol > max_pairs:
+    try:
+        if max_pairs is not None:
+            vol = dhash_cross_candidate_volume(new_h, ref_h, n_bands)
+            if vol > max_pairs:
+                raise ValueError(
+                    f"dhash_pairs_against: banded new x ref join would "
+                    f"generate {vol:,} candidate pairs > "
+                    f"max_pairs={max_pairs:,}. The 16-bit band keyspace "
+                    f"is saturated for these corpora — use the wide/"
+                    f"composed-key hashes or raise max_pairs if the "
+                    f"volume is genuinely acceptable."
+                )
+        a = _dhash_banded(new_h, n_bands, composed=False).alias("a")
+        b = _dhash_banded(ref_h, n_bands, composed=False).alias("b")
+        ham = None
+        for t in range(n_bands):
+            term = F.bit_count(
+                F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
+            )
+            ham = term if ham is None else ham + term
+        out = (
+            a.join(b, on=["tbl", "bkey"])
+            .select(
+                F.col("a.id").alias("id_new"),
+                F.col("b.id").alias("id_ref"),
+                ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        if max_pairs is not None:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if max_pairs is not None:
             new_h.unpersist()
             ref_h.unpersist()
-            raise ValueError(
-                f"dhash_pairs_against: banded new x ref join would "
-                f"generate {vol:,} candidate pairs > "
-                f"max_pairs={max_pairs:,}. The 16-bit band keyspace "
-                f"is saturated for these corpora — use the wide/"
-                f"composed-key hashes or raise max_pairs if the "
-                f"volume is genuinely acceptable."
-            )
-    a = _dhash_banded(new_h, n_bands, composed=False).alias("a")
-    b = _dhash_banded(ref_h, n_bands, composed=False).alias("b")
-    ham = None
-    for t in range(n_bands):
-        term = F.bit_count(
-            F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
-        )
-        ham = term if ham is None else ham + term
-    out = (
-        a.join(b, on=["tbl", "bkey"])
-        .select(
-            F.col("a.id").alias("id_new"),
-            F.col("b.id").alias("id_ref"),
-            ham.cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
-    if max_pairs is not None:
-        out = out.localCheckpoint(eager=True)
-        new_h.unpersist()
-        ref_h.unpersist()
-    return out
 
 
 def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
@@ -1179,7 +1181,11 @@ def video_near_pairs_shifted(
     )
     if max_pairs is not None:
         base = base.persist()
-        vol = video_shifted_candidate_volume(base, n_bands, max_shift)
+        try:
+            vol = video_shifted_candidate_volume(base, n_bands, max_shift)
+        except Exception:
+            base.unpersist()
+            raise
         if vol > max_pairs:
             base.unpersist()
             raise ValueError(
@@ -1241,7 +1247,16 @@ def video_near_pairs_shifted(
         .drop("_rk")
     )
     if max_pairs is not None:
-        out = out.localCheckpoint(eager=True)
+        # LAZY tail (r12 verdict task 7): the only construction-time
+        # job is the volume audit itself. The survivor set is
+        # persist()'d (InMemoryRelation, lineage intact — executor
+        # loss recomputes, the round-5 tradeoff) instead of an eager
+        # localCheckpoint, so composing this operator inside a larger
+        # lazy plan no longer fires a hidden join job. `base` can be
+        # unpersisted immediately because unpersist removes blocks,
+        # not lineage: the join's first action recomputes the slim
+        # hash scan once.
+        out = out.persist()
         base.unpersist()
     return out
 

@@ -1,0 +1,115 @@
+"""Round-13 fixes.
+
+- VERDICT r12 task 7: video_near_pairs_shifted's tail is LAZY now —
+  construction fires no join job (only the volume audit's collect when
+  max_pairs is set), so composing the operator inside a larger lazy
+  plan no longer runs a hidden eager localCheckpoint job.
+- ADVICE r12 (multimodal.py:996): dhash_pairs_against releases its
+  persisted hash frames on EVERY exit path (guard trip, audit failure),
+  not just the success path.
+- ADVICE r12 (__spark_entry__.py:7671): q_cross_modal_curation removes
+  its per-invocation semcache tempdir — repeated bench/driver runs no
+  longer accumulate materialized parquet cache dirs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eclipse_spark.operators import multimodal as mm
+
+
+def _persisted_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_video_shifted_construction_is_lazy(spark):
+    """max_pairs=None: ZERO jobs at construction. With the guard: only
+    the audit's jobs run at construction; the banded join itself fires
+    at the first action (VERDICT r12 task 7 — the eager
+    localCheckpoint tail is gone)."""
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    ids = spark.range(24).select((F.col("id") * 20).alias("id"))
+    hs = mm.video_dhash_bands(mm.encode_textured_video(ids)).persist()
+    hs.count()
+
+    sc.setJobGroup("r13_construct_nolimit", "lazy-construction check")
+    out0 = mm.video_near_pairs_shifted(
+        hs, min_frames=2, max_shift=1, max_pairs=None
+    )
+    sc.setJobGroup("r13_idle", "")
+    assert len(st.getJobIdsForGroup("r13_construct_nolimit")) == 0, (
+        "unguarded construction must not fire any job"
+    )
+
+    # reference: how many jobs does the audit alone cost?
+    base = hs.select("id", "frame_idx", "b0", "b1", "b2", "b3")
+    sc.setJobGroup("r13_audit_ref", "audit job count")
+    mm.video_shifted_candidate_volume(base, 4, 1)
+    audit_jobs = len(st.getJobIdsForGroup("r13_audit_ref"))
+
+    sc.setJobGroup("r13_construct_guarded", "audit-only construction")
+    out = mm.video_near_pairs_shifted(
+        hs, min_frames=2, max_shift=1, max_pairs=10_000_000
+    )
+    jobs_construct = len(st.getJobIdsForGroup("r13_construct_guarded"))
+    sc.setJobGroup("r13_action", "join runs here")
+    n = out.count()
+    jobs_action = len(st.getJobIdsForGroup("r13_action"))
+    sc.setJobGroup("r13_done", "")
+
+    assert jobs_construct <= audit_jobs, (
+        f"guarded construction fired {jobs_construct} jobs but the "
+        f"audit alone costs {audit_jobs} — an eager join job leaked "
+        f"back into construction"
+    )
+    assert jobs_action >= 1, "the join must execute at action time"
+    assert n == out0.count(), "guarded and unguarded results must agree"
+    out.unpersist()
+    hs.unpersist()
+
+
+def test_dhash_pairs_against_unpersists_on_guard_trip(spark):
+    """A tripped volume guard must not leak the persisted new/ref hash
+    frames (ADVICE r12: the audit/checkpoint error paths leaked)."""
+    imgs = mm.encode_textured_bmp(spark.range(40).select("id"))
+    hs = mm.dhash_bands(imgs)
+    before = _persisted_count(spark)
+    with pytest.raises(ValueError, match="candidate pairs"):
+        mm.dhash_pairs_against(hs, hs, max_pairs=0)
+    assert _persisted_count(spark) == before, (
+        "guard trip leaked persisted hash frames"
+    )
+
+
+def test_video_shifted_unpersists_on_guard_trip(spark):
+    ids = spark.range(20).select((F.col("id") * 20).alias("id"))
+    hs = mm.video_dhash_bands(mm.encode_textured_video(ids))
+    before = _persisted_count(spark)
+    with pytest.raises(ValueError, match="candidate rows"):
+        mm.video_near_pairs_shifted(hs, max_shift=1, max_pairs=0)
+    assert _persisted_count(spark) == before, (
+        "guard trip leaked the persisted base frame"
+    )
+
+
+def test_cross_modal_curation_cleans_its_cache_dir(spark, sf_smoke):
+    """q_cross_modal_curation must leave no eclipse_xmodal_* tempdir
+    behind (ADVICE r12: dirs accumulated across runs)."""
+    import __spark_entry__ as entrymod
+
+    pat = os.path.join(tempfile.gettempdir(), "eclipse_xmodal_*")
+    before = set(glob.glob(pat))
+    out = entrymod.q_cross_modal_curation(spark, sf_smoke)
+    assert out.count() == 3
+    leaked = set(glob.glob(pat)) - before
+    assert not leaked, f"leaked cache dirs: {sorted(leaked)}"

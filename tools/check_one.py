@@ -1,5 +1,5 @@
 """Driver-style single-query oracle check: python tools/check_one.py
-<name> [sf_dir] — runs the registry query on Spark and its oracle on
+<name> [<name> ...] [--sf SF_DIR] — runs the registry query on Spark and its oracle on
 DuckDB at sf0.01 (default), canonicalizes both frames (columns sorted
 by name, floats to 6 digits, NULL -> ""), and diffs."""
 
@@ -63,6 +63,13 @@ def main(names, sf="/root/testdata/sf0.01"):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[-1] if sys.argv[-1].startswith("/") else "/root/testdata/sf0.01"
-    names = [a for a in sys.argv[1:] if not a.startswith("/")]
-    main(names, sf)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Oracle-check one or more registry queries."
+    )
+    ap.add_argument("names", nargs="+", help="registry query names")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01",
+                    help="scale-factor directory of parquet tables")
+    ns = ap.parse_args()
+    main(ns.names, ns.sf)

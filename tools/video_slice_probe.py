@@ -75,6 +75,10 @@ def main(classes: list[int]) -> None:
 
     slices = {}
     for g in classes:
+        vol = per_class.get(g, 0)
+        if vol == 0:
+            print(f"frame class {g}: zero candidate volume in corpus, skipped")
+            continue
         sl = hs.filter(F.col("frame_idx") == g)
         t0 = time.perf_counter()
         out = mm.video_near_pairs(
@@ -83,15 +87,19 @@ def main(classes: list[int]) -> None:
         n_pairs = out.count()
         wall = round(time.perf_counter() - t0, 3)
         slices[str(g)] = {
-            "volume": per_class.get(g, 0),
+            "volume": vol,
             "wall_sec": wall,
             "n_near_pairs": n_pairs,
-            "ns_per_candidate": round(wall / per_class[g] * 1e9, 3),
+            "ns_per_candidate": round(wall / vol * 1e9, 3),
         }
     hs.unpersist()
 
     meas_vol = sum(s["volume"] for s in slices.values())
     meas_wall = sum(s["wall_sec"] for s in slices.values())
+    if meas_vol == 0:
+        print("no slice with non-zero volume ran; nothing to record")
+        spark.stop()
+        return
     ns_per_cand = meas_wall / meas_vol * 1e9
     row = {
         "n_hash_rows": n_hash_rows,
