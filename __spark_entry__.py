@@ -7771,28 +7771,169 @@ def _xmodal_body(spark: SparkSession, cache, path: str) -> DataFrame:
     )
 
 
+def q_cross_modal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CROSS-MODALITY refresh (VERDICT r12 task 8 — the
+    `media_incremental_dedup` x `cross_modal_curation` product): the
+    daily-batch shape a production training-data pipeline actually
+    runs. Yesterday's curated corpus (doc_id % 4 != 0 survivors of the
+    length >= 240 quality gate) is already deduped and SIGNED; today's
+    batch (doc_id % 4 == 0) flows through the SAME survivor gate
+    expressed as an identical staged Pipeline prefix under three
+    modality app keys sharing ONE semantic cache — the text run (cold)
+    materializes the gated batch once, the image and audio runs each
+    serve it as an interior-subplan hit (full-plan lookups miss: the
+    app key differs). Each modality then dedups new x ref ONLY against
+    its persisted-index analogue via the incremental engine — never
+    ref x ref: text joins on exact content, image runs
+    encode_textured_bmp -> dhash_bands -> dhash_pairs_against, audio
+    runs encode_tone_wav -> audio_fingerprint_bands ->
+    dhash_pairs_against. Planted cross-set duplicates (every ref
+    survivor with doc_id % 8 == 1, re-keyed +200000 with bytes/text
+    copied verbatim) MUST flag in all three modalities. One row per
+    modality: batch/ref/pair/flag/keep accounting + the cache
+    observations. The oracle replays the gate, the exact-text join,
+    both fingerprint formulas, the exhaustive cross-set Hamming joins
+    (recall-equal to the banded engine at max_hamming <= 3 by
+    pigeonhole), and the expected cache behavior as literals. Scale:
+    the gate scan of the batch materializes once (O(batch), not
+    O(corpus x modalities)); each banded join touches the ref side
+    only through its 4-smallint hash index and is volume-audited
+    before scheduling; the only collects are O(1) scalars."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.semcache import SemanticCache
+
+    cache_root = tempfile.mkdtemp(prefix="eclipse_xinc_")
+    cache = SemanticCache(spark, cache_root)
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return _xinc_body(spark, cache, path)
+    finally:
+        shutil.rmtree(cache_root, ignore_errors=True)
+
+
+def _xinc_body(spark: SparkSession, cache, path: str) -> DataFrame:
+
+    def gate(app: str) -> Pipeline:
+        return (
+            Pipeline.from_parquet(spark, path, app=app)
+            .select("doc_id", "text")
+            .filter("doc_id % 4 = 0 AND length(text) >= 240")
+            .stage()
+        )
+
+    new_t, t_full = gate("xinc_text").cached(cache).run()
+    h0 = cache.stats.hits
+    new_i, i_full = gate("xinc_image").cached(cache).run()
+    i_int = cache.stats.hits - h0
+    h1 = cache.stats.hits
+    new_a, a_full = gate("xinc_audio").cached(cache).run()
+    a_int = cache.stats.hits - h1
+
+    ref = (
+        spark.read.parquet(path)
+        .filter((F.col("doc_id") % 4 != 0) & (F.length("text") >= 240))
+        .select("doc_id", "text")
+    )
+    plants = ref.filter(F.col("doc_id") % 8 == 1)
+    n_base = new_t.count()
+    n_plant = plants.count()
+    n_new = n_base + n_plant
+    n_ref = ref.count()
+
+    def accounting(pairs: DataFrame) -> tuple[int, int]:
+        return pairs.count(), pairs.select("id_new").distinct().count()
+
+    # text: exact-content new x ref join (the persisted index is the
+    # ref side's content hash; equality join stands in bit-for-bit)
+    t_corpus = new_t.unionByName(
+        plants.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    t_pairs, t_flagged = accounting(
+        t_corpus.alias("n")
+        .join(ref.alias("r"), F.col("n.text") == F.col("r.text"))
+        .select(
+            F.col("n.doc_id").alias("id_new"),
+            F.col("r.doc_id").alias("id_ref"),
+        )
+    )
+
+    # image: dHash index, new x ref only
+    ref_imgs = multimodal.encode_textured_bmp(
+        ref.select(F.col("doc_id").alias("id"))
+    )
+    i_corpus = multimodal.encode_textured_bmp(
+        new_i.select(F.col("doc_id").alias("id"))
+    ).unionByName(
+        ref_imgs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 200000).alias("id"), "bytes"
+        )
+    )
+    i_pairs, i_flagged = accounting(
+        multimodal.dhash_pairs_against(
+            multimodal.dhash_bands(i_corpus),
+            multimodal.dhash_bands(ref_imgs),
+            max_hamming=3,
+        )
+    )
+
+    # audio: energy-fingerprint index, new x ref only
+    ref_wavs = multimodal.encode_tone_wav(
+        ref.select(F.col("doc_id").alias("id"))
+    )
+    a_corpus = multimodal.encode_tone_wav(
+        new_a.select(F.col("doc_id").alias("id"))
+    ).unionByName(
+        ref_wavs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 200000).alias("id"), "bytes"
+        )
+    )
+    a_pairs, a_flagged = accounting(
+        multimodal.dhash_pairs_against(
+            multimodal.audio_fingerprint_bands(a_corpus),
+            multimodal.audio_fingerprint_bands(ref_wavs),
+            max_hamming=3,
+        )
+    )
+
+    rows = [
+        ("text", n_new, n_ref, t_pairs, t_flagged, n_new - t_flagged,
+         int(t_full), 0),
+        ("image", n_new, n_ref, i_pairs, i_flagged, n_new - i_flagged,
+         int(i_full), int(i_int)),
+        ("audio", n_new, n_ref, a_pairs, a_flagged, n_new - a_flagged,
+         int(a_full), int(a_int)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "modality string, n_new long, n_ref long, n_pairs long, "
+        "n_flagged long, n_kept long, full_hit long, prefix_hits long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
-    (VERDICT r10 task 7, continued by r11 task 4): the round-12
-    window leads with the six round-12 additions
-    (cross_modal_curation, media_video_shifted, media_audio_shifted,
-    media_incremental_dedup, stream_audio_dedup, stream_video_dedup —
+    (VERDICT r10 task 7, continued every round since): the round-13
+    window leads with the round-13 addition (cross_modal_incremental —
     same-round evidence discipline), then rotates onto the
-    LEAST-RECENTLY-CONFIRMED tail: window_topk (last green r01 — its
-    only remaining r01-era row), the full 25-query round-3 block
-    (ann_topk, bpe_train, the dedup/MR/text-quality families, tpch_q2
-    — deferred by the r11 rotation), and the alphabetically-first 18
-    of the 49-query round-4 block. This completes the freshness sweep
-    the r11 rotation started: after this window lands, no evidence
-    predates r04 and the oldest block is r04-r05's remainder. The
-    reorder is applied by ``_R12_WINDOW`` below over the stable
-    literal, so no key is ever duplicated. Queries rotated out retain
-    a prior round's driver-green row, and every query at every
-    position stays locally oracle-checked by
-    tests/test_oracle_parity.py."""
+    LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r12 task 6
+    directs: the FULL 31-key r04 evidence block (hypertable_rollup,
+    the json/regex function families, the media decode/frame ops,
+    minhash/simhash candidates, tpch_q8/q9/q11/q12/q13/q15/q20/q21,
+    ...) and the alphabetically-first 18 of the 46-key r05 block
+    (ann_ivf_recall .. dedup_select_best). After this window lands the
+    oldest evidence is r05's 28-key remainder — one more rotation
+    retires the tail entirely. The reorder is applied by
+    ``_R13_WINDOW`` below over the stable literal, so no key is ever
+    duplicated. Queries rotated out retain a prior round's
+    driver-green row, and every query at every position stays locally
+    oracle-checked by tests/test_oracle_parity.py."""
     reg = {
+        # ===== round-13 additions (same-round evidence discipline) =====
+        "cross_modal_incremental": q_cross_modal_incremental,
         # ===== round-12 additions (same-round evidence discipline) =====
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
@@ -8108,66 +8249,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax": q_argmax,
     }
     return {
-        **{k: reg[k] for k in _R12_WINDOW},
-        **{k: v for k, v in reg.items() if k not in _R12_WINDOW},
+        **{k: reg[k] for k in _R13_WINDOW},
+        **{k: v for k, v in reg.items() if k not in _R13_WINDOW},
     }
 
 
-# Round-12 correctness window (the driver checks the FIRST 50 keys):
-# the 6 round-12 additions, then window_topk (the last r01-era row),
-# the full 25-query round-3 evidence block, and the alphabetically-
-# first 18 of the round-4 block — see queries() docstring.
-_R12_WINDOW = [
-    "cross_modal_curation",
-    "media_video_shifted",
-    "media_audio_shifted",
-    "media_incremental_dedup",
-    "stream_audio_dedup",
-    "stream_video_dedup",
-    "window_topk",
-    "ann_topk",
-    "bpe_train",
-    "chunking",
-    "decontaminate",
-    "dedup_cc",
-    "dedup_exact",
-    "embedding_centroids",
-    "events_stream_stateful",
-    "events_stream_upsert",
-    "group_sample",
-    "kmeans_iter2",
-    "media_meta",
-    "mr_group_reduce",
-    "mr_word_count",
-    "ngram_jaccard",
-    "pagerank",
-    "pandas_udaf_gmean",
-    "pandas_udf_tokens",
-    "pii_scrub",
-    "pretrain_filter",
-    "repetition_stats",
-    "text_quality",
-    "tpch_q2",
-    "udtf_ngrams",
-    "unigram_logprob",
-    "agg_misc",
-    "ann_lsh",
-    "anomaly_zscore",
-    "array_hof",
-    "bm25",
-    "dedup_groups",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "events_json",
-    "events_resample",
-    "events_sessionize",
-    "events_sliding",
-    "events_stream_dedup",
-    "events_stream_join",
-    "events_stream_session",
-    "events_stream_tumbling",
-    "events_tumbling",
-    "funnel",
+# Round-13 correctness window (the driver checks the FIRST 50 keys):
+# the round-13 addition, then the FULL 31-key r04 evidence block and
+# the alphabetically-first 18 of the r05 block — see queries()
+# docstring.
+_R13_WINDOW = [
+    "cross_modal_incremental",
+    "hypertable_rollup",
+    "json_funcs",
+    "kmeans_step",
+    "lang_id",
+    "media_decode",
+    "media_frame_sample",
+    "minhash_candidates",
+    "minhash_dedup",
+    "mixture_sample",
+    "mr_cogroup",
+    "mr_reduce_by_key",
+    "regex_funcs",
+    "retention_cohorts",
+    "scd2",
+    "semcache_invalidate",
+    "sequence_pack",
+    "simhash_candidates",
+    "skew_salted_agg",
+    "source_csv",
+    "span_dedup",
+    "stratified_sample",
+    "token_entropy",
+    "token_stats",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q8",
+    "tpch_q9",
+    "ann_ivf_recall",
+    "ann_pq",
+    "anomaly_mad",
+    "approx_distinct_err",
+    "approx_quantiles_err",
+    "asof_forward",
+    "asof_nearest",
+    "bfs_distances",
+    "bigram_logprob",
+    "bpe_encode",
+    "bucketed_join",
+    "cluster_topics",
+    "containment_lsh",
+    "data_constraints",
+    "data_profile",
+    "data_profile_by",
+    "dataset_split",
+    "dedup_select_best",
 ]
 
 
@@ -11639,6 +11780,123 @@ def oracle_sql() -> dict[str, str]:
                             (SELECT count(*) FROM iids)
                               - (SELECT count(DISTINCT id_b) FROM apairs),
                             0, 1)
+            SELECT * FROM trow
+            UNION ALL SELECT * FROM irow
+            UNION ALL SELECT * FROM arow
+        """,
+        "cross_modal_incremental": """
+            WITH surv AS (SELECT doc_id, text FROM documents
+                          WHERE length(text) >= 240),
+            newb AS (SELECT doc_id, text FROM surv WHERE doc_id % 4 = 0),
+            ref AS (SELECT doc_id, text FROM surv WHERE doc_id % 4 != 0),
+            counts AS (SELECT
+                CAST((SELECT count(*) FROM newb)
+                     + (SELECT count(*) FROM ref WHERE doc_id % 8 = 1)
+                     AS BIGINT) AS n_new,
+                CAST((SELECT count(*) FROM ref) AS BIGINT) AS n_ref),
+            tnew AS (SELECT doc_id AS id, text FROM newb
+                     UNION ALL
+                     SELECT doc_id + 200000, text FROM ref
+                     WHERE doc_id % 8 = 1),
+            tp AS (SELECT n.id AS id_new, r.doc_id AS id_ref
+                   FROM tnew n JOIN ref r ON n.text = r.text),
+            trow AS (SELECT 'text' AS modality, c.n_new, c.n_ref,
+                            CAST((SELECT count(*) FROM tp) AS BIGINT)
+                              AS n_pairs,
+                            CAST((SELECT count(DISTINCT id_new) FROM tp)
+                              AS BIGINT) AS n_flagged,
+                            CAST(c.n_new
+                                 - (SELECT count(DISTINCT id_new) FROM tp)
+                              AS BIGINT) AS n_kept,
+                            CAST(0 AS BIGINT) AS full_hit,
+                            CAST(0 AS BIGINT) AS prefix_hits
+                     FROM counts c),
+            iids AS (SELECT doc_id AS id, doc_id AS pid, 'n' AS side
+                     FROM newb
+                     UNION ALL
+                     SELECT doc_id + 200000, doc_id, 'n' FROM ref
+                     WHERE doc_id % 8 = 1
+                     UNION ALL
+                     SELECT doc_id, doc_id, 'r' FROM ref),
+            idims AS (SELECT id, pid, side,
+                             8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                      FROM iids),
+            ilum AS (SELECT id, side, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
+                      ) // 1000 AS l
+                    FROM idims
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            ibits AS (SELECT a.id, a.side, a.y, a.x,
+                             CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                      FROM ilum a
+                      JOIN ilum b ON a.id = b.id AND a.side = b.side
+                                  AND a.y = b.y AND b.x = a.x + 1
+                      WHERE a.x < 8),
+            ibands AS (SELECT id, side, y // 2 AS tbl,
+                              CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                   AS BIGINT) AS val
+                       FROM ibits GROUP BY 1, 2, 3),
+            ip AS (SELECT n.id AS id_new, r.id AS id_ref
+                   FROM ibands n
+                   JOIN ibands r ON n.tbl = r.tbl
+                   WHERE n.side = 'n' AND r.side = 'r'
+                   GROUP BY 1, 2
+                   HAVING sum(bit_count(xor(n.val, r.val))) <= 3),
+            irow AS (SELECT 'image', c.n_new, c.n_ref,
+                            CAST((SELECT count(*) FROM ip) AS BIGINT),
+                            CAST((SELECT count(DISTINCT id_new) FROM ip)
+                              AS BIGINT),
+                            CAST(c.n_new
+                                 - (SELECT count(DISTINCT id_new) FROM ip)
+                              AS BIGINT),
+                            CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+                     FROM counts c),
+            aeng AS (SELECT id, side, f.f AS f,
+                           CAST(sum(CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT) * CAST(
+                             (f.f*j.j*(pid % 17 + 3) + 23*f.f*(pid % 13 + 1)
+                              + 7*j.j*(pid % 11 + 1) + 31*pid) % 4001 - 2000
+                             AS BIGINT)) AS BIGINT) AS e
+                    FROM iids
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS f) f
+                    CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+                    GROUP BY id, side, f.f),
+            abits AS (SELECT a.id, a.side, a.f AS x,
+                             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                      FROM aeng a
+                      JOIN aeng b ON a.id = b.id AND a.side = b.side
+                                  AND b.f = a.f + 1
+                      WHERE a.f < 64),
+            abands AS (SELECT id, side, x // 16 AS tbl,
+                              CAST(sum(bit * (1 << (x % 16)))
+                                   AS BIGINT) AS val
+                       FROM abits GROUP BY 1, 2, 3),
+            ap AS (SELECT n.id AS id_new, r.id AS id_ref
+                   FROM abands n
+                   JOIN abands r ON n.tbl = r.tbl
+                   WHERE n.side = 'n' AND r.side = 'r'
+                   GROUP BY 1, 2
+                   HAVING sum(bit_count(xor(n.val, r.val))) <= 3),
+            arow AS (SELECT 'audio', c.n_new, c.n_ref,
+                            CAST((SELECT count(*) FROM ap) AS BIGINT),
+                            CAST((SELECT count(DISTINCT id_new) FROM ap)
+                              AS BIGINT),
+                            CAST(c.n_new
+                                 - (SELECT count(DISTINCT id_new) FROM ap)
+                              AS BIGINT),
+                            CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+                     FROM counts c)
             SELECT * FROM trow
             UNION ALL SELECT * FROM irow
             UNION ALL SELECT * FROM arow

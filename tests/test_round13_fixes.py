@@ -113,3 +113,33 @@ def test_cross_modal_curation_cleans_its_cache_dir(spark, sf_smoke):
     assert out.count() == 3
     leaked = set(glob.glob(pat)) - before
     assert not leaked, f"leaked cache dirs: {sorted(leaked)}"
+
+
+def test_cross_modal_incremental_semantics(spark, sf_smoke):
+    """r13 capability row: every planted cross-set duplicate must flag
+    in every modality, the gate prefix must be computed once (interior
+    hit per follower, full-plan miss everywhere), and the tempdir must
+    not leak."""
+    import __spark_entry__ as entrymod
+
+    pat = os.path.join(tempfile.gettempdir(), "eclipse_xinc_*")
+    before = set(glob.glob(pat))
+    rows = {
+        r["modality"]: r
+        for r in entrymod.q_cross_modal_incremental(spark, sf_smoke).collect()
+    }
+    assert set(rows) == {"text", "image", "audio"}
+    n_plant = 33  # sf0.001: gated ref survivors with doc_id % 8 == 1
+    for m, r in rows.items():
+        assert r["n_new"] == 84 + n_plant
+        assert r["n_ref"] == 233
+        # every plant is byte/content-identical to its ref original,
+        # so at least the plants flag; nothing kept exceeds the corpus
+        assert r["n_flagged"] >= n_plant, f"{m}: plants missed"
+        assert r["n_kept"] == r["n_new"] - r["n_flagged"]
+        assert r["full_hit"] == 0, f"{m}: app-keyed full plan must miss"
+    assert rows["text"]["prefix_hits"] == 0
+    assert rows["image"]["prefix_hits"] == 1, "image must reuse the gate"
+    assert rows["audio"]["prefix_hits"] == 1, "audio must reuse the gate"
+    leaked = set(glob.glob(pat)) - before
+    assert not leaked, f"leaked cache dirs: {sorted(leaked)}"
