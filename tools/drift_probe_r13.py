@@ -89,6 +89,32 @@ def main() -> None:
     out["frequent_pairs_work_sf0.1"] = {
         "rows": int(r["rows"]), "support_mass": int(r["mass"] or 0)
     }
+    # host-state references (the r13 lesson: latency-bound queries
+    # move with PER-JOB overhead, so record it every probe run —
+    # media_meta's 0.114 s total in the r12 closing bench bounds that
+    # run's per-job cost below 114 ms; compare against these):
+    for _ in range(5):
+        spark.range(32).count()
+    scan = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        spark.range(32).count()
+        scan.append((time.perf_counter() - t0) * 1000)
+    shuf = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        spark.range(32).repartition(32).count()
+        shuf.append((time.perf_counter() - t0) * 1000)
+    scan.sort(), shuf.sort()
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    out["host_reference"] = {
+        "empty_scan_job_ms_median": round(scan[10], 1),
+        "empty_shuffle_job_ms_median": round(shuf[10], 1),
+        "pyloop20m_sec": round(time.perf_counter() - t0, 3),
+    }
     print(json.dumps(out))
     spark.stop()
 
