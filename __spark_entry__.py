@@ -7619,7 +7619,9 @@ def q_media_video_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cross_modal_curation(
+    spark: SparkSession, sf_dir: str, max_pairs: int = 20_000_000
+) -> DataFrame:
     """CROSS-MODALITY curation run sharing ONE semantic cache (VERDICT
     r11 task 7's named composition): three modality pipelines — text,
     image, audio — all start from the SAME quality-gated survivor
@@ -7652,7 +7654,7 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = SemanticCache(spark, cache_root)
     path = os.path.join(sf_dir, "documents.parquet")
     try:
-        return _xmodal_body(spark, cache, path)
+        return _xmodal_body(spark, cache, path, max_pairs)
     finally:
         # every cache-backed read is consumed (counted/collected)
         # inside the body — the returned frame is a literal
@@ -7662,7 +7664,9 @@ def q_cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cache_root, ignore_errors=True)
 
 
-def _xmodal_body(spark: SparkSession, cache, path: str) -> DataFrame:
+def _xmodal_body(
+    spark: SparkSession, cache, path: str, max_pairs: int = 20_000_000
+) -> DataFrame:
 
     def gate(app: str) -> Pipeline:
         return (
@@ -7724,7 +7728,8 @@ def _xmodal_body(spark: SparkSession, cache, path: str) -> DataFrame:
     n_corpus_i = n_corpus_media
     i_pairs, i_dropped, i_kept = media_stats(
         multimodal.dhash_near_pairs(
-            multimodal.dhash_bands(i_corpus), max_hamming=3
+            multimodal.dhash_bands(i_corpus), max_hamming=3,
+            max_pairs=max_pairs,
         ),
         n_corpus_i,
     )
@@ -7740,7 +7745,8 @@ def _xmodal_body(spark: SparkSession, cache, path: str) -> DataFrame:
     n_corpus_a = n_corpus_media
     a_pairs, a_dropped, a_kept = media_stats(
         multimodal.dhash_near_pairs(
-            multimodal.audio_fingerprint_bands(a_corpus), max_hamming=3
+            multimodal.audio_fingerprint_bands(a_corpus), max_hamming=3,
+            max_pairs=max_pairs,
         ),
         n_corpus_a,
     )

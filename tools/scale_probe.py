@@ -146,6 +146,10 @@ PROBE = [
     # first decade (the join is a subset product of the self-join the
     # media_dhash row already guards)
     "media_incremental_dedup",
+    # round-13 addition: the incremental CROSS-MODALITY refresh (the
+    # daily-batch composition — shared gate + three new x ref index
+    # joins, all guarded; linear stages otherwise)
+    "cross_modal_incremental",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -546,6 +550,21 @@ def _audio_shifted_raised_probe(spark, sf_dir):
 PROBE_FN_OVERRIDES["media_audio_shifted_raised"] = _audio_shifted_raised_probe
 
 
+def _xmodal_raised_probe(spark, sf_dir):
+    """q_cross_modal_curation with an explicit raised budget so the
+    second decade is a completion; the registry query keeps the
+    default 20M budget and correctly refuses at sf10 (measured
+    1.02e9 within-survivor image candidates)."""
+    import __spark_entry__ as entrymod
+
+    return entrymod.q_cross_modal_curation(
+        spark, sf_dir, max_pairs=4_000_000_000
+    )
+
+
+PROBE_FN_OVERRIDES["cross_modal_curation_raised"] = _xmodal_raised_probe
+
+
 def _media_incr_cand_count(spark, sf_dir) -> int:
     """Cross-set candidate volume of the incremental media refresh
     join (new x ref bucket products — no self/ordering terms)."""
@@ -565,6 +584,60 @@ def _media_incr_cand_count(spark, sf_dir) -> int:
     return mm.dhash_cross_candidate_volume(
         mm.dhash_bands(new), mm.dhash_bands(ref)
     )
+
+def _xinc_cand_count(spark, sf_dir) -> int:
+    """Total guarded-join candidate volume of the incremental
+    cross-modality refresh: image + audio new x ref bucket products
+    over the GATED corpora (the query's exact plant scheme)."""
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.length("text") >= 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+    ref_ids = docs.filter(F.col("id") % 4 != 0)
+    new_ids = docs.filter(F.col("id") % 4 == 0)
+
+    def cross(enc, bands):
+        ref = enc(ref_ids)
+        new = enc(new_ids).unionByName(
+            ref.filter(F.col("id") % 8 == 1).select(
+                (F.col("id") + 200000).alias("id"), "bytes"
+            )
+        )
+        return mm.dhash_cross_candidate_volume(bands(new), bands(ref))
+
+    return cross(mm.encode_textured_bmp, mm.dhash_bands) + cross(
+        mm.encode_tone_wav, mm.audio_fingerprint_bands
+    )
+
+
+def _xmodal_within_cand_count(spark, sf_dir) -> int:
+    """Total within-survivor banded volume of the cross-modality
+    curation run (image + audio survivor corpora incl. plants) — the
+    work the raised hatch executes."""
+    from eclipse_spark.operators import multimodal as mm
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.length("text") >= 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+
+    def within(enc, bands):
+        base = enc(docs)
+        corpus = base.unionByName(
+            base.filter(F.col("id") % 10 == 0).select(
+                (F.col("id") + 100000).alias("id"), "bytes"
+            )
+        )
+        return mm.dhash_candidate_volume(bands(corpus), 4, False)
+
+    return within(mm.encode_textured_bmp, mm.dhash_bands) + within(
+        mm.encode_tone_wav, mm.audio_fingerprint_bands
+    )
+
 
 # sf10 rows recorded as measured refusal volumes only (see the deep
 # loop): the video join at sf10 would shuffle ~7e9 aligned-frame
@@ -663,6 +736,8 @@ WORK_COUNTS = {
     "media_video_shifted_raised": _video_shifted_cand_count,
     "media_audio_shifted_raised": _audio_shifted_cand_count,
     "media_incremental_dedup": _media_incr_cand_count,
+    "cross_modal_incremental": _xinc_cand_count,
+    "cross_modal_curation_raised": _xmodal_within_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
@@ -853,6 +928,13 @@ def main() -> None:
         deep_names += ["stream_audio_dedup", "stream_video_dedup",
                        "media_incremental_dedup",
                        "cross_modal_curation"]
+        # round-13: the composition's explicit-budget escape hatch
+        # (executes the whole three-modality run at sf10 — the
+        # media_dhash_wide_raised discipline) and the incremental
+        # cross-modality refresh (sf10 expected to guard-trip with
+        # the measured cross-set count)
+        deep_names += ["cross_modal_curation_raised",
+                       "cross_modal_incremental"]
         single_run = {"clustering_coeff", "apss_jaccard", "ktruss",
                       "kcore", "coreness", "media_dhash",
                       "media_dhash_wide", "media_dhash_wide_raised",
