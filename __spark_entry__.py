@@ -7546,6 +7546,56 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_media_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION refresh shape of incremental media dedup
+    (multimodal.dhash_index_ref + dhash_pairs_against_index —
+    `incremental_dedup_cached`'s media analogue): the reference
+    corpus's banded fingerprint table is precomputed ONCE into a
+    bucketed catalog artifact (4 smallints + band key per image,
+    bucketed on (tbl, bkey) so the refresh join pre-shuffles the ref
+    side at write time), and the daily batch joins against the STORED
+    index — on a refresh run the 100 TB reference corpus's bytes are
+    never decoded, never hashed, never even scanned. Same corpora,
+    plants, and semantics as media_incremental_dedup, so the same
+    oracle must reproduce the result exactly (a wrong index build, a
+    stale bucket, or a broken index-side join all hash-mismatch). The
+    result is materialized before the scratch catalog is removed (no
+    residue across driver runs)."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    ref_ids = docs.filter(F.col("id") % 4 != 0)
+    new_ids = docs.filter(F.col("id") % 4 == 0)
+    ref_imgs = multimodal.encode_textured_bmp(ref_ids)
+    new_imgs = multimodal.encode_textured_bmp(new_ids).unionByName(
+        ref_imgs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_dhash_idx_")
+    table = "dhash_ref_index_demo"
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        multimodal.dhash_index_ref(
+            cat, multimodal.dhash_bands(ref_imgs), table=table
+        )
+        out = multimodal.dhash_pairs_against_index(
+            multimodal.dhash_bands(new_imgs),
+            cat.get_table(table),
+            max_hamming=3,
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_media_audio_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHIFT-ROBUST audio near-dup — the windowed-fingerprint view
     that catches head-trimmed re-takes the whole-clip fingerprint
@@ -7923,15 +7973,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued every round since): the round-13
-    window leads with the round-13 addition (cross_modal_incremental —
-    same-round evidence discipline), then rotates onto the
+    window leads with the two round-13 additions
+    (cross_modal_incremental, media_index_refresh — same-round
+    evidence discipline), then rotates onto the
     LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r12 task 6
     directs: the FULL 31-key r04 evidence block (hypertable_rollup,
     the json/regex function families, the media decode/frame ops,
     minhash/simhash candidates, tpch_q8/q9/q11/q12/q13/q15/q20/q21,
-    ...) and the alphabetically-first 18 of the 46-key r05 block
-    (ann_ivf_recall .. dedup_select_best). After this window lands the
-    oldest evidence is r05's 28-key remainder — one more rotation
+    ...) and the alphabetically-first 17 of the 46-key r05 block
+    (ann_ivf_recall .. dataset_split). After this window lands the
+    oldest evidence is r05's 29-key remainder — one more rotation
     retires the tail entirely. The reorder is applied by
     ``_R13_WINDOW`` below over the stable literal, so no key is ever
     duplicated. Queries rotated out retain a prior round's
@@ -7940,6 +7991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         # ===== round-13 additions (same-round evidence discipline) =====
         "cross_modal_incremental": q_cross_modal_incremental,
+        "media_index_refresh": q_media_index_refresh,
         # ===== round-12 additions (same-round evidence discipline) =====
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
@@ -8261,11 +8313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-13 correctness window (the driver checks the FIRST 50 keys):
-# the round-13 addition, then the FULL 31-key r04 evidence block and
-# the alphabetically-first 18 of the r05 block — see queries()
+# the two round-13 additions, then the FULL 31-key r04 evidence block
+# and the alphabetically-first 17 of the r05 block — see queries()
 # docstring.
 _R13_WINDOW = [
     "cross_modal_incremental",
+    "media_index_refresh",
     "hypertable_rollup",
     "json_funcs",
     "kmeans_step",
@@ -8314,7 +8367,6 @@ _R13_WINDOW = [
     "data_profile",
     "data_profile_by",
     "dataset_split",
-    "dedup_select_best",
 ]
 
 
@@ -8764,6 +8816,57 @@ def _oracle_ann_lsh_multiprobe(k: int = 10, planes: int = 6, seed: int = 7) -> s
                                         ORDER BY cos DESC, match_id) AS rank
               FROM s) t
             WHERE rank <= {k}
+        """
+
+
+# Shared oracle for the incremental media refresh pair: media_incremental_dedup
+# recomputes the ref hashes per run, media_index_refresh serves them from
+# the stored bucketed catalog index — SAME corpora, plants, and result.
+_MEDIA_INCR_ORACLE = """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id AS pid, 'n' AS side
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 'n' FROM documents
+              WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
+              UNION ALL
+              SELECT doc_id, doc_id, 'r' FROM documents
+              WHERE doc_id % 4 != 0),
+            dims AS (SELECT id, pid, side,
+                            8 + pid % 9 AS w0, 8 + pid % 7 AS h0
+                     FROM ids),
+            lum AS (SELECT id, side, x.x AS x, y.y AS y,
+                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
+                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
+                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
+                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
+                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
+                      ) // 1000 AS l
+                    FROM dims
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+            bits AS (SELECT a.id, a.side, a.y, a.x,
+                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                     FROM lum a
+                     JOIN lum b ON a.id = b.id AND a.side = b.side
+                                AND a.y = b.y AND b.x = a.x + 1
+                     WHERE a.x < 8),
+            bands AS (SELECT id, side, y // 2 AS tbl,
+                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
+                                  AS BIGINT) AS val
+                      FROM bits GROUP BY 1, 2, 3)
+            SELECT n.id AS id_new, r.id AS id_ref,
+                   CAST(sum(bit_count(xor(n.val, r.val))) AS BIGINT)
+                     AS hamming
+            FROM bands n
+            JOIN bands r ON n.tbl = r.tbl
+            WHERE n.side = 'n' AND r.side = 'r'
+            GROUP BY 1, 2
+            HAVING sum(bit_count(xor(n.val, r.val))) <= 3
         """
 
 
@@ -11994,52 +12097,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY id_a, id_b
             HAVING count(*) >= 2
         """,
-        "media_incremental_dedup": """
-            WITH ids AS (
-              SELECT doc_id AS id, doc_id AS pid, 'n' AS side
-              FROM documents WHERE doc_id % 4 = 0
-              UNION ALL
-              SELECT doc_id + 100000, doc_id, 'n' FROM documents
-              WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
-              UNION ALL
-              SELECT doc_id, doc_id, 'r' FROM documents
-              WHERE doc_id % 4 != 0),
-            dims AS (SELECT id, pid, side,
-                            8 + pid % 9 AS w0, 8 + pid % 7 AS h0
-                     FROM ids),
-            lum AS (SELECT id, side, x.x AS x, y.y AS y,
-                      (299*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
-                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
-                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + pid) % 256)
-                     + 587*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
-                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
-                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 11 + pid) % 256)
-                     + 114*((((x.x*w0)//9)*((y.y*h0)//8)*(pid % 17 + 3)
-                             + 5*((x.x*w0)//9)*(pid % 11 + 1)
-                             + 3*((y.y*h0)//8)*(pid % 7 + 1) + 22 + pid) % 256)
-                      ) // 1000 AS l
-                    FROM dims
-                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
-                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
-            bits AS (SELECT a.id, a.side, a.y, a.x,
-                            CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-                     FROM lum a
-                     JOIN lum b ON a.id = b.id AND a.side = b.side
-                                AND a.y = b.y AND b.x = a.x + 1
-                     WHERE a.x < 8),
-            bands AS (SELECT id, side, y // 2 AS tbl,
-                             CAST(sum(bit * (1 << ((y % 2) * 8 + x)))
-                                  AS BIGINT) AS val
-                      FROM bits GROUP BY 1, 2, 3)
-            SELECT n.id AS id_new, r.id AS id_ref,
-                   CAST(sum(bit_count(xor(n.val, r.val))) AS BIGINT)
-                     AS hamming
-            FROM bands n
-            JOIN bands r ON n.tbl = r.tbl
-            WHERE n.side = 'n' AND r.side = 'r'
-            GROUP BY 1, 2
-            HAVING sum(bit_count(xor(n.val, r.val))) <= 3
-        """,
+        "media_incremental_dedup": _MEDIA_INCR_ORACLE,
+        "media_index_refresh": _MEDIA_INCR_ORACLE,
         "media_audio_shifted": """
             WITH ids AS (
               SELECT doc_id AS id, doc_id AS pid, 0 AS off FROM documents

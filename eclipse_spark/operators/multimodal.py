@@ -989,6 +989,120 @@ def dhash_pairs_against(
             ref_h.unpersist()
 
 
+def dhash_index_ref(
+    catalog,
+    ref_hashes: DataFrame,
+    table: str = "dhash_ref_index",
+    n_bands: int = 4,
+    buckets: int = 8,
+) -> str:
+    """Materialize a REFERENCE corpus's banded fingerprint table as a
+    bucketed catalog artifact — the precompute half of the production
+    media refresh run (`dedup.minhash_index_ref` for the banded dHash
+    family). At 100 TB the existing corpus is decoded and signed ONCE
+    here (bytes -> dHash/audio fingerprint -> LSH band rows, 4
+    smallints + band key per item); every subsequent daily batch joins
+    against the stored (tbl, bkey, id, b0..b{n-1}) table without
+    touching the reference bytes again, and bucketing on (tbl, bkey)
+    pre-shuffles the ref side so the refresh join moves only the
+    (small) new side. Accepts any :func:`dhash_bands`-schema frame
+    (image dHash, audio fingerprint) — one index shape serves both
+    modalities. Ref analogue: Eclipse persists map output at its DHT
+    home node so reruns skip the map phase
+    (``src/file_distributor/fileserver.hh:354-359``)."""
+    banded = _dhash_banded(
+        ref_hashes.select("id", *[f"b{t}" for t in range(n_bands)]),
+        n_bands,
+        composed=False,
+    )
+    return catalog.put_bucketed(
+        table, banded, keys=["tbl", "bkey"], buckets=buckets
+    )
+
+
+def dhash_pairs_against_index(
+    new_hashes: DataFrame,
+    ref_banded: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_pairs: int | None = 20_000_000,
+) -> DataFrame:
+    """INCREMENTAL media near-dup against a STORED index — the
+    refresh half of :func:`dhash_index_ref`: semantics identical to
+    :func:`dhash_pairs_against` (new x ref only, pigeonhole recall at
+    ``max_hamming <= n_bands - 1``, pre-join volume audit that RAISES
+    with the measured number), but the ref side enters as the
+    persisted banded table, so a refresh run never re-decodes or
+    re-hashes the reference corpus — its bytes are not even scanned.
+    Emits ``(id_new, id_ref, hamming)``."""
+    bound = n_bands - 1
+    if not 0 <= max_hamming <= bound:
+        raise ValueError(
+            f"dhash_pairs_against_index guarantees recall only for "
+            f"max_hamming <= {bound} ({n_bands} single-band tables, "
+            f"pigeonhole); got {max_hamming}"
+        )
+    new_banded = _dhash_banded(
+        new_hashes.select("id", *[f"b{t}" for t in range(n_bands)]),
+        n_bands,
+        composed=False,
+    )
+    if max_pairs is not None:
+        new_banded = new_banded.persist()
+    try:
+        if max_pairs is not None:
+            nn = new_banded.groupBy("tbl", "bkey").agg(
+                F.count("*").alias("_nn")
+            )
+            nr = ref_banded.groupBy("tbl", "bkey").agg(
+                F.count("*").alias("_nr")
+            )
+            vol = int(
+                nn.join(nr, on=["tbl", "bkey"])
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("_nn") * F.col("_nr")), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("vol")
+                )
+                .collect()[0]["vol"]
+            )
+            if vol > max_pairs:
+                raise ValueError(
+                    f"dhash_pairs_against_index: banded new x ref join "
+                    f"would generate {vol:,} candidate pairs > "
+                    f"max_pairs={max_pairs:,}. The 16-bit band keyspace "
+                    f"is saturated for these corpora — rebuild the "
+                    f"index with wide/composed-key hashes or raise "
+                    f"max_pairs if the volume is genuinely acceptable."
+                )
+        a = new_banded.alias("a")
+        b = ref_banded.alias("b")
+        ham = None
+        for t in range(n_bands):
+            term = F.bit_count(
+                F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
+            )
+            ham = term if ham is None else ham + term
+        out = (
+            a.join(b, on=["tbl", "bkey"])
+            .select(
+                F.col("a.id").alias("id_new"),
+                F.col("b.id").alias("id_ref"),
+                ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        if max_pairs is not None:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if max_pairs is not None:
+            new_banded.unpersist()
+
+
 def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
     """STREAMING-compatible banded-bucket rollup over any
     ``(id, b0..b{n-1})`` fingerprint frame (image dHash, audio

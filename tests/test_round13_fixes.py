@@ -143,3 +143,62 @@ def test_cross_modal_incremental_semantics(spark, sf_smoke):
     assert rows["audio"]["prefix_hits"] == 1, "audio must reuse the gate"
     leaked = set(glob.glob(pat)) - before
     assert not leaked, f"leaked cache dirs: {sorted(leaked)}"
+
+
+def test_media_index_refresh_matches_direct_and_skips_ref_decode(
+    spark, sf_smoke, tmp_path
+):
+    """r13 capability: the stored-index refresh must (a) reproduce the
+    direct dhash_pairs_against result exactly, (b) serve the ref side
+    from the bucketed parquet index — no Arrow decode stage on the ref
+    branch and a bucketed scan in the plan."""
+    from eclipse_spark.storage import Catalog
+
+    docs = spark.read.parquet(
+        os.path.join(sf_smoke, "documents.parquet")
+    ).selectExpr("doc_id AS id")
+    ref_ids = docs.filter(F.col("id") % 4 != 0)
+    new_ids = docs.filter(F.col("id") % 4 == 0)
+    ref_imgs = mm.encode_textured_bmp(ref_ids)
+    new_imgs = mm.encode_textured_bmp(new_ids).unionByName(
+        ref_imgs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    direct = mm.dhash_pairs_against(
+        mm.dhash_bands(new_imgs), mm.dhash_bands(ref_imgs), max_hamming=3
+    )
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    table = "dhash_ref_index_test"
+    try:
+        mm.dhash_index_ref(cat, mm.dhash_bands(ref_imgs), table=table)
+        refresh = mm.dhash_pairs_against_index(
+            mm.dhash_bands(new_imgs), cat.get_table(table), max_hamming=3
+        )
+        assert sorted(map(tuple, refresh.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # plan shape: ref branch is a bucketed parquet scan, and the
+        # refresh plan carries strictly fewer Arrow stages than the
+        # direct plan (only the NEW side decodes)
+        lazy = mm.dhash_pairs_against_index(
+            mm.dhash_bands(new_imgs), cat.get_table(table),
+            max_hamming=3, max_pairs=None,
+        )
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        direct_lazy = mm.dhash_pairs_against(
+            mm.dhash_bands(new_imgs), mm.dhash_bands(ref_imgs),
+            max_hamming=3, max_pairs=None,
+        )
+        dplan = direct_lazy._jdf.queryExecution().executedPlan().toString()
+        n_arrow = plan.count("MapInPandas") + plan.count("ArrowEval")
+        n_arrow_direct = dplan.count("MapInPandas") + dplan.count("ArrowEval")
+        assert n_arrow < n_arrow_direct, (
+            f"index plan has {n_arrow} Arrow stages vs direct "
+            f"{n_arrow_direct} — the ref side is being re-decoded"
+        )
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, (
+            "the index side must be a bucketed scan"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -150,6 +150,10 @@ PROBE = [
     # daily-batch composition — shared gate + three new x ref index
     # joins, all guarded; linear stages otherwise)
     "cross_modal_incremental",
+    # round-13 addition: the stored-index media refresh (index build is
+    # scan-linear; the refresh join is the same guarded cross-set
+    # product media_incremental_dedup counts — same work counter)
+    "media_index_refresh",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -738,6 +742,7 @@ WORK_COUNTS = {
     "media_incremental_dedup": _media_incr_cand_count,
     "cross_modal_incremental": _xinc_cand_count,
     "cross_modal_curation_raised": _xmodal_within_cand_count,
+    "media_index_refresh": _media_incr_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
