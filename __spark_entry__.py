@@ -7596,6 +7596,82 @@ def q_media_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_stream_media_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental media refresh — the stream-STATIC join
+    face of media_index_refresh, and the registry's first stream-static
+    join (the streaming surface the prior stream queries don't cover:
+    stream-stream interval joins, stateful rollups, and upserts exist;
+    joining a stream against a STORED reference artifact did not). The
+    reference corpus's banded fingerprint index is built ONCE in batch
+    (multimodal.dhash_index_ref — the bucketed catalog artifact), then
+    the daily batch arrives as finite streams: new ids (doc_id % 4 ==
+    0) plus planted cross-set duplicates (ref ids with doc_id % 8 ==
+    1, re-synthesized FROM THE ORIGINAL SEED and re-keyed +100000, so
+    the plant is byte-identical — the stream_audio_dedup trick). Each
+    micro-batch flows through REAL BMP synthesis + dHash (stateless
+    Arrow stages), the stream-static bucket join against the index
+    (static side never enters state), the stateless full-hash Hamming
+    verify, and ONE stateful min-hamming rollup whose state is the
+    near-pair set only. The drained result equals the batch join
+    bit-for-bit, so the SAME oracle as media_incremental_dedup /
+    media_index_refresh applies — a dropped micro-batch, a stale
+    static read, or a wrong plant seed all hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(docs_path).schema
+    ref_ids = (
+        spark.read.parquet(docs_path)
+        .select(F.col("doc_id").alias("id"))
+        .filter(F.col("id") % 4 != 0)
+    )
+    work = tempfile.mkdtemp(prefix="eclipse_stream_idx_")
+    table = "dhash_stream_ref_index"
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        multimodal.dhash_index_ref(
+            cat,
+            multimodal.dhash_bands(multimodal.encode_textured_bmp(ref_ids)),
+            table=table,
+        )
+        index = cat.get_table(table)
+        new_ids = (
+            stream_windows.stream_from_parquet(
+                spark, os.path.join(sf_dir, "documents.*"), raw_schema
+            )
+            .filter(F.col("doc_id") % 4 == 0)
+            .select(F.col("doc_id").alias("id"))
+        )
+        plant_seeds = (
+            stream_windows.stream_from_parquet(
+                spark, os.path.join(sf_dir, "documents.*"), raw_schema
+            )
+            .filter((F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 8 == 1))
+            .select(F.col("doc_id").alias("id"))
+        )
+        imgs_n = multimodal.encode_textured_bmp(new_ids)
+        imgs_p = multimodal.encode_textured_bmp(plant_seeds).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+        pairs = multimodal.dhash_pairs_against_index_stream(
+            multimodal.dhash_bands(imgs_n.unionByName(imgs_p)),
+            index,
+            max_hamming=3,
+        )
+        stream_windows.run_stream_to_memory(
+            pairs, "stream_media_refresh", "complete"
+        )
+        out = spark.table("stream_media_refresh")
+        rows, schema = out.collect(), out.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_media_audio_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHIFT-ROBUST audio near-dup — the windowed-fingerprint view
     that catches head-trimmed re-takes the whole-clip fingerprint
@@ -7973,16 +8049,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued every round since): the round-13
-    window leads with the two round-13 additions
-    (cross_modal_incremental, media_index_refresh — same-round
-    evidence discipline), then rotates onto the
+    window leads with the three round-13 additions
+    (cross_modal_incremental, media_index_refresh,
+    stream_media_refresh — same-round evidence discipline), then
+    rotates onto the
     LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r12 task 6
     directs: the FULL 31-key r04 evidence block (hypertable_rollup,
     the json/regex function families, the media decode/frame ops,
     minhash/simhash candidates, tpch_q8/q9/q11/q12/q13/q15/q20/q21,
-    ...) and the alphabetically-first 17 of the 46-key r05 block
-    (ann_ivf_recall .. dataset_split). After this window lands the
-    oldest evidence is r05's 29-key remainder — one more rotation
+    ...) and the alphabetically-first 16 of the 46-key r05 block
+    (ann_ivf_recall .. data_profile_by). After this window lands the
+    oldest evidence is r05's 30-key remainder — one more rotation
     retires the tail entirely. The reorder is applied by
     ``_R13_WINDOW`` below over the stable literal, so no key is ever
     duplicated. Queries rotated out retain a prior round's
@@ -7992,6 +8069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== round-13 additions (same-round evidence discipline) =====
         "cross_modal_incremental": q_cross_modal_incremental,
         "media_index_refresh": q_media_index_refresh,
+        "stream_media_refresh": q_stream_media_refresh,
         # ===== round-12 additions (same-round evidence discipline) =====
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
@@ -8313,12 +8391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-13 correctness window (the driver checks the FIRST 50 keys):
-# the two round-13 additions, then the FULL 31-key r04 evidence block
-# and the alphabetically-first 17 of the r05 block — see queries()
-# docstring.
+# the three round-13 additions, then the FULL 31-key r04 evidence
+# block and the alphabetically-first 16 of the r05 block — see
+# queries() docstring.
 _R13_WINDOW = [
     "cross_modal_incremental",
     "media_index_refresh",
+    "stream_media_refresh",
     "hypertable_rollup",
     "json_funcs",
     "kmeans_step",
@@ -8366,7 +8445,6 @@ _R13_WINDOW = [
     "data_constraints",
     "data_profile",
     "data_profile_by",
-    "dataset_split",
 ]
 
 
@@ -12099,6 +12177,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_incremental_dedup": _MEDIA_INCR_ORACLE,
         "media_index_refresh": _MEDIA_INCR_ORACLE,
+        "stream_media_refresh": _MEDIA_INCR_ORACLE,
         "media_audio_shifted": """
             WITH ids AS (
               SELECT doc_id AS id, doc_id AS pid, 0 AS off FROM documents

@@ -237,7 +237,8 @@ HEADLINE = [
     # represented by the iterative headliners (cc_star, pagerank,
     # kcore) — not data-volume scaling. Correctness is driver-gated
     # (window position 26) and the exact fixpoint is oracle-checked.
-    # NOTE: media_index_refresh is deliberately NOT a headliner for the
+    # NOTE: media_index_refresh and stream_media_refresh are
+    # deliberately NOT headliners for the
     # same reason as incremental_dedup_cached below: the self-contained
     # query rebuilds its catalog index artifact every call, so its
     # bench number would measure index construction, not the

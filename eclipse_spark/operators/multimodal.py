@@ -1103,6 +1103,61 @@ def dhash_pairs_against_index(
             new_banded.unpersist()
 
 
+def dhash_pairs_against_index_stream(
+    new_hashes: DataFrame,
+    ref_banded: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """STREAMING face of :func:`dhash_pairs_against_index` — the
+    stream-STATIC join a continuously-arriving batch runs against the
+    stored reference index: the new side's banded explode and the
+    full-hash Hamming verify are stateless projections (legal in any
+    stream position), the join is Structured Streaming's stream-static
+    equi-join on (tbl, bkey) — the static index side is read fresh per
+    micro-batch, never enters state — and the only STATEFUL operator
+    is the final ``groupBy(id_new, id_ref)`` min-hamming rollup that
+    collapses multi-band bucket duplicates (the batch path's
+    ``distinct``). Because the Hamming filter precedes the rollup,
+    state holds NEAR PAIRS ONLY — bounded by the flagged set, not the
+    stream length or the candidate volume. Admission control lives
+    where a stream can afford it: at index build time
+    (:func:`dhash_index_ref`) and in the batch-side volume audit run
+    before the stream is deployed — a stream cannot collect a pre-join
+    count. Emits ``(id_new, id_ref, hamming)``; on a finite source the
+    drained complete-mode result equals the batch join bit-for-bit."""
+    bound = n_bands - 1
+    if not 0 <= max_hamming <= bound:
+        raise ValueError(
+            f"dhash_pairs_against_index_stream guarantees recall only "
+            f"for max_hamming <= {bound} ({n_bands} single-band "
+            f"tables, pigeonhole); got {max_hamming}"
+        )
+    new_banded = _dhash_banded(
+        new_hashes.select("id", *[f"b{t}" for t in range(n_bands)]),
+        n_bands,
+        composed=False,
+    ).alias("a")
+    b = ref_banded.alias("b")
+    ham = None
+    for t in range(n_bands):
+        term = F.bit_count(
+            F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    return (
+        new_banded.join(b, on=["tbl", "bkey"])
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("b.id").alias("id_ref"),
+            ham.cast("long").alias("ham"),
+        )
+        .filter(F.col("ham") <= max_hamming)
+        .groupBy("id_new", "id_ref")
+        .agg(F.min("ham").cast("long").alias("hamming"))
+    )
+
+
 def fingerprint_bucket_rollup(fp: DataFrame, n_bands: int = 4) -> DataFrame:
     """STREAMING-compatible banded-bucket rollup over any
     ``(id, b0..b{n-1})`` fingerprint frame (image dHash, audio

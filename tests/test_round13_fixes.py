@@ -202,3 +202,88 @@ def test_media_index_refresh_matches_direct_and_skips_ref_decode(
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_media_refresh_batch_parity(spark, sf_smoke):
+    """The stream-static refresh must equal the batch new x ref join
+    bit-for-bit on a finite source (same corpora as
+    media_incremental_dedup's plant scheme, modulo the +100000 rekey)."""
+    import __spark_entry__ as entrymod
+
+    streamed = sorted(
+        map(tuple, entrymod.q_stream_media_refresh(spark, sf_smoke).collect())
+    )
+    docs = spark.read.parquet(
+        os.path.join(sf_smoke, "documents.parquet")
+    ).selectExpr("doc_id AS id")
+    ref_imgs = mm.encode_textured_bmp(docs.filter(F.col("id") % 4 != 0))
+    new_imgs = mm.encode_textured_bmp(
+        docs.filter(F.col("id") % 4 == 0)
+    ).unionByName(
+        ref_imgs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            mm.dhash_pairs_against(
+                mm.dhash_bands(new_imgs), mm.dhash_bands(ref_imgs),
+                max_hamming=3,
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_stream_refresh_state_is_near_pairs_only(spark, sf_smoke):
+    """The stream-static refresh's ONLY stateful operator is the
+    min-hamming rollup, and its state rows equal the near-pair count —
+    not the candidate volume, not the stream length."""
+    from eclipse_spark.storage import Catalog
+    from eclipse_spark.streaming import windows as stream_windows
+
+    docs_path = os.path.join(sf_smoke, "documents.parquet")
+    raw_schema = spark.read.parquet(docs_path).schema
+    ref_ids = (
+        spark.read.parquet(docs_path)
+        .selectExpr("doc_id AS id")
+        .filter(F.col("id") % 4 != 0)
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="eclipse_state_idx_"))
+    table = "dhash_state_ref_index"
+    try:
+        mm.dhash_index_ref(
+            cat, mm.dhash_bands(mm.encode_textured_bmp(ref_ids)),
+            table=table,
+        )
+        new_ids = (
+            stream_windows.stream_from_parquet(
+                spark, os.path.join(sf_smoke, "documents.*"), raw_schema
+            )
+            .filter(F.col("doc_id") % 4 == 0)
+            .selectExpr("doc_id AS id")
+        )
+        pairs = mm.dhash_pairs_against_index_stream(
+            mm.dhash_bands(mm.encode_textured_bmp(new_ids)),
+            cat.get_table(table),
+            max_hamming=3,
+        )
+        q = (
+            pairs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("state_probe_refresh")
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        n_pairs = spark.table("state_probe_refresh").count()
+        ops = progress["stateOperators"]
+        assert len(ops) == 1, f"expected ONE stateful op, got {len(ops)}"
+        assert ops[0]["numRowsTotal"] == n_pairs, (
+            f"state rows {ops[0]['numRowsTotal']} != near pairs {n_pairs}"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

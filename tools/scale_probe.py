@@ -154,6 +154,10 @@ PROBE = [
     # scan-linear; the refresh join is the same guarded cross-set
     # product media_incremental_dedup counts — same work counter)
     "media_index_refresh",
+    # round-13 addition: the stream-static face of the stored-index
+    # refresh (static side read per micro-batch, state = near pairs
+    # only; same cross-set work counter)
+    "stream_media_refresh",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -743,6 +747,7 @@ WORK_COUNTS = {
     "cross_modal_incremental": _xinc_cand_count,
     "cross_modal_curation_raised": _xmodal_within_cand_count,
     "media_index_refresh": _media_incr_cand_count,
+    "stream_media_refresh": _media_incr_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
