@@ -287,3 +287,44 @@ def test_stream_refresh_state_is_near_pairs_only(spark, sf_smoke):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dhash_index_ref_serves_audio_fingerprints(spark, tmp_path):
+    """One index shape serves both modalities: an AUDIO fingerprint
+    index stored via dhash_index_ref must reproduce the direct
+    new x ref join over tone WAVs exactly."""
+    from eclipse_spark.storage import Catalog
+
+    ids = spark.range(80).select("id")
+    ref_wavs = mm.encode_tone_wav(ids.filter(F.col("id") % 4 != 0))
+    new_wavs = mm.encode_tone_wav(
+        ids.filter(F.col("id") % 4 == 0)
+    ).unionByName(
+        ref_wavs.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 100000).alias("id"), "bytes"
+        )
+    )
+    direct = mm.dhash_pairs_against(
+        mm.audio_fingerprint_bands(new_wavs),
+        mm.audio_fingerprint_bands(ref_wavs),
+        max_hamming=3,
+    )
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    table = "audio_ref_index_test"
+    try:
+        mm.dhash_index_ref(
+            cat, mm.audio_fingerprint_bands(ref_wavs), table=table
+        )
+        refresh = mm.dhash_pairs_against_index(
+            mm.audio_fingerprint_bands(new_wavs),
+            cat.get_table(table),
+            max_hamming=3,
+        )
+        got = sorted(map(tuple, refresh.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want
+        assert any(a - b == 100000 for a, b, _ in got), (
+            "planted cross-set duplicates must flag"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
