@@ -100,20 +100,22 @@ def main() -> None:
         )
         ham = term if ham is None else ham + term
     t0 = time.perf_counter()
-    n_pairs = (
-        a.join(b, on=["tbl", "bkey"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("long").alias("fham"),
+    try:
+        n_pairs = (
+            a.join(b, on=["tbl", "bkey"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                ham.cast("long").alias("fham"),
+            )
+            .filter(F.col("fham") <= MAX_HAMMING)
+            .distinct()
+            .count()
         )
-        .filter(F.col("fham") <= MAX_HAMMING)
-        .distinct()
-        .count()
-    )
-    wall = round(time.perf_counter() - t0, 3)
-    base.unpersist()
+    finally:
+        wall = round(time.perf_counter() - t0, 3)
+        base.unpersist()
     ns_per_cand = wall / vol * 1e9
 
     row = {
