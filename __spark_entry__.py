@@ -3441,6 +3441,40 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(allv, cents, threshold=0.95)
 
 
+def q_semantic_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup (dedup.semantic_dedup_against) — the
+    EMBEDDING tier of the refresh family, completing the incremental
+    story across every dedup tier (exact/minhash text, banded media,
+    and now vectors): the NEW batch (vec_id % 4 == 0, plus planted
+    SCALED copies of ref vectors with vec_id % 8 == 1 at id+100000 and
+    x1.1 — cosine exactly 1.0 but not bit-identical) is compared
+    against the EXISTING corpus (vec_id % 4 != 0) ONLY, and only
+    inside shared centroid cells (nearest of the 8 fixed centroids,
+    broadcast argmax both sides). Output is one row per new vector
+    (vec_id, cell, n_dups, kept) — a wrong assignment on either side,
+    a missed plant, or a phantom cross-cell hit all hash-mismatch.
+    Scale: cross cost is sum over cells of |new| x |ref| (audited,
+    guarded); the ref corpus is touched once for assignment and once
+    in the cell join — never ref x ref."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        ref.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.1)
+            ).alias("embedding"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return dedup.semantic_dedup_against(new, ref, cents, threshold=0.95)
+
+
 def q_semdedup_autoscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the centroid count scaled to the corpus
     (dedup.semantic_dedup_autoscale): n_cells = ceil(N / 64) from one
@@ -8049,17 +8083,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued every round since): the round-13
-    window leads with the three round-13 additions
+    window leads with the four round-13 additions
     (cross_modal_incremental, media_index_refresh,
-    stream_media_refresh — same-round evidence discipline), then
-    rotates onto the
+    stream_media_refresh, semantic_incremental_dedup — same-round
+    evidence discipline), then rotates onto the
     LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r12 task 6
     directs: the FULL 31-key r04 evidence block (hypertable_rollup,
     the json/regex function families, the media decode/frame ops,
     minhash/simhash candidates, tpch_q8/q9/q11/q12/q13/q15/q20/q21,
-    ...) and the alphabetically-first 16 of the 46-key r05 block
-    (ann_ivf_recall .. data_profile_by). After this window lands the
-    oldest evidence is r05's 30-key remainder — one more rotation
+    ...) and the alphabetically-first 15 of the 46-key r05 block
+    (ann_ivf_recall .. data_profile). After this window lands the
+    oldest evidence is r05's 31-key remainder — one more rotation
     retires the tail entirely. The reorder is applied by
     ``_R13_WINDOW`` below over the stable literal, so no key is ever
     duplicated. Queries rotated out retain a prior round's
@@ -8070,6 +8104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_incremental": q_cross_modal_incremental,
         "media_index_refresh": q_media_index_refresh,
         "stream_media_refresh": q_stream_media_refresh,
+        "semantic_incremental_dedup": q_semantic_incremental_dedup,
         # ===== round-12 additions (same-round evidence discipline) =====
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
@@ -8391,13 +8426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-13 correctness window (the driver checks the FIRST 50 keys):
-# the three round-13 additions, then the FULL 31-key r04 evidence
-# block and the alphabetically-first 16 of the r05 block — see
+# the four round-13 additions, then the FULL 31-key r04 evidence
+# block and the alphabetically-first 15 of the r05 block — see
 # queries() docstring.
 _R13_WINDOW = [
     "cross_modal_incremental",
     "media_index_refresh",
     "stream_media_refresh",
+    "semantic_incremental_dedup",
     "hypertable_rollup",
     "json_funcs",
     "kmeans_step",
@@ -8444,7 +8480,6 @@ _R13_WINDOW = [
     "containment_lsh",
     "data_constraints",
     "data_profile",
-    "data_profile_by",
 ]
 
 
@@ -13264,6 +13299,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, count(*) AS n_hits
             FROM c JOIN b USING (g) GROUP BY c.doc_id
         """.replace("{TOKENS}", TOKENS_SQL),
+        "semantic_incremental_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            ref AS (SELECT * FROM e WHERE vec_id % 4 != 0),
+            newb AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0
+                     UNION ALL
+                     SELECT vec_id + 100000, list_transform(v, x -> x * 1.1)
+                     FROM ref WHERE vec_id % 8 = 1),
+            cents AS (SELECT vec_id AS cell, v AS centroid
+                      FROM e WHERE vec_id < 8),
+            an AS (SELECT vec_id, v, cell FROM
+                     (SELECT n.vec_id, n.v, c.cell,
+                             list_cosine_similarity(n.v, c.centroid) AS sim
+                      FROM newb n, cents c)
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) = 1),
+            ar AS (SELECT vec_id, v, cell FROM
+                     (SELECT r.vec_id, r.v, c.cell,
+                             list_cosine_similarity(r.v, c.centroid) AS sim
+                      FROM ref r, cents c)
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) = 1),
+            hits AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+                     FROM an a JOIN ar b ON a.cell = b.cell
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+                     GROUP BY 1)
+            SELECT a.vec_id, a.cell,
+                   COALESCE(h.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+                   CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM an a LEFT JOIN hits h ON a.vec_id = h.vec_id
+        """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -226,10 +226,13 @@ HEADLINE = [
     "stream_video_dedup",
     "media_audio_shifted",
     "media_incremental_dedup",
-    # round-13 addition: the incremental cross-modality refresh (daily
+    # round-13 additions: the incremental cross-modality refresh (daily
     # batch -> shared survivor gate under one semcache -> per-modality
-    # new x ref index joins; NOT in STABLE_TIER — created this round)
+    # new x ref index joins) and the embedding tier of the incremental
+    # family (cell-partitioned new x ref SemDeDup); NOT in STABLE_TIER —
+    # created this round
     "cross_modal_incremental",
+    "semantic_incremental_dedup",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

@@ -1105,6 +1105,136 @@ def minhash_dedup_against(
     return new_df.join(losers, on=id_col, how="left_anti")
 
 
+def semantic_dedup_against(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+    max_pairs: int | None = 100_000_000,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the EMBEDDING tier of the refresh family
+    (:func:`minhash_dedup_against` for text, ``dhash_pairs_against``
+    for media fingerprints; this completes the incremental story for
+    every dedup tier): a NEW batch's vectors are compared against the
+    EXISTING corpus's ONLY — never ref x ref — and only inside shared
+    centroid cells, so the cross cost is sum over cells of
+    |new_cell| x |ref_cell| instead of |new| x |ref|. Both sides
+    assign by broadcast-centroid argmax (the k-row centroid table is
+    the only thing replicated); the within-cell cross pair count is
+    audited up front and the operator RAISES over ``max_pairs`` (the
+    semantic_dedup contract: the fix at scale is more centroids, not
+    a bigger budget). Pair stage normalizes each vector ONCE and pays
+    a single zip_with dot per pair (the semantic_dedup cost
+    discipline). Returns one row per NEW vector:
+    ``(id_col, cell_col, n_dups, kept)`` with kept=1 iff no ref
+    vector in its cell clears ``threshold`` — kept=0 rows carry the
+    duplicate count as the audit trail."""
+    from pyspark.sql import Window
+
+    from eclipse_spark.operators.similarity import cosine_sim, norm
+
+    cts = centroids.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(centroid_col).cast("array<double>").alias("_c"),
+    )
+
+    def _assign(df: DataFrame) -> DataFrame:
+        pts = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_cell"))
+        return (
+            pts.crossJoin(F.broadcast(cts))
+            .withColumn("_sim", cosine_sim(F.col("_v"), F.col("_c")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_cell", "_id", "_v")
+        )
+
+    an, ar = _assign(new_emb), _assign(ref_emb)
+    if max_pairs is not None:
+        an = an.persist()
+        ar = ar.persist()
+    try:
+        if max_pairs is not None:
+            nn = an.groupBy("_cell").agg(F.count("*").alias("_nn"))
+            nr = ar.groupBy("_cell").agg(F.count("*").alias("_nr"))
+            audit = (
+                nn.join(nr, on="_cell")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.col("_nn").cast("decimal(38,0)")
+                            * F.col("_nr")
+                        ),
+                        F.lit(0),
+                    ).alias("_pairs"),
+                    F.max(F.col("_nn") * F.col("_nr")).alias("_maxcell"),
+                )
+                .collect()[0]
+            )
+            n_pairs = int(audit["_pairs"] or 0)
+            if n_pairs > max_pairs:
+                raise RuntimeError(
+                    f"semantic_dedup_against: within-cell new x ref "
+                    f"pair count {n_pairs:,} exceeds "
+                    f"max_pairs={max_pairs:,} (largest cell product "
+                    f"{int(audit['_maxcell'] or 0):,}) — scale the "
+                    f"centroid count with the corpora so cell sizes "
+                    f"stay bounded, or raise/disable max_pairs "
+                    f"explicitly"
+                )
+
+        def _unit(df: DataFrame) -> DataFrame:
+            return df.withColumn("_n", norm(F.col("_v"))).select(
+                "_cell",
+                "_id",
+                F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
+            )
+
+        hits = (
+            _unit(an).alias("n")
+            .join(_unit(ar).alias("r"), on="_cell")
+            .withColumn(
+                "_cos",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("n._u"), F.col("r._u"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .filter(F.col("_cos") >= threshold)
+            .groupBy(F.col("n._id").alias("_hid"))
+            .agg(F.count("*").cast("long").alias("_ndups"))
+        )
+        out = an.join(hits, an["_id"] == hits["_hid"], "left").select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias(cell_col),
+            F.coalesce(F.col("_ndups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.when(F.col("_hid").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+        if max_pairs is not None:
+            # materialize the small (id, cell, n_dups, kept) result so
+            # the persisted assignments can be released NOW (the
+            # semantic_dedup lifecycle: nothing outlives the call)
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if max_pairs is not None:
+            an.unpersist()
+            ar.unpersist()
+
+
 def minhash_index_ref(
     catalog,
     ref_df: DataFrame,

@@ -328,3 +328,45 @@ def test_dhash_index_ref_serves_audio_fingerprints(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_semantic_dedup_against_flags_plants_and_guards(spark, sf_smoke):
+    """The embedding tier of the incremental family: every planted
+    scaled copy (cos 1.0 vs its ref original) must flag with
+    n_dups >= 1; originals-only new vectors keep; a tripped guard
+    releases the persisted assignments."""
+    from eclipse_spark.operators import dedup
+
+    emb = spark.read.parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        ref.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.1)).alias(
+                "embedding"
+            ),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    out = dedup.semantic_dedup_against(new, ref, cents, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    plants = [v for v in rows if v >= 100000]
+    assert plants, "corpus must contain planted copies"
+    for v in plants:
+        assert rows[v]["kept"] == 0 and rows[v]["n_dups"] >= 1, (
+            f"plant {v} must flag against its ref original"
+        )
+    n_new_total = new.count()
+    assert len(rows) == n_new_total, "one row per NEW vector exactly"
+    assert all(
+        (r["kept"] == 1) == (r["n_dups"] == 0) for r in rows.values()
+    )
+    before = _persisted_count(spark)
+    with pytest.raises(RuntimeError, match="pair count"):
+        dedup.semantic_dedup_against(new, ref, cents, max_pairs=1)
+    assert _persisted_count(spark) == before, "guard trip leaked persists"

@@ -80,13 +80,23 @@ def main(name: str, tier: str = "sf10") -> None:
             row["work_ratio"] = round(n1 / n0 if n0 else float("inf"), 2)
         payload["queries"][name] = row
     else:
-        t1, t10 = cold(big), cold(big10)
-        row = {
-            "sf1_sec": round(t1, 3),
-            "sf10_sec": round(t10, 3),
-            "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
-            "runs": 1,
-        }
+        t1 = cold(big)
+        try:
+            t10 = cold(big10)
+            row = {
+                "sf1_sec": round(t1, 3),
+                "sf10_sec": round(t10, 3),
+                "ratio": round(t10 / t1 if t1 > 0 else float("inf"), 2),
+                "runs": 1,
+            }
+        except Exception as exc:
+            # designed guard trips are recorded rows, not crashes —
+            # the deep-tier protocol's except branch
+            row = {
+                "sf1_sec": round(t1, 3),
+                "sf10_sec": None,
+                "guarded": str(exc)[:300],
+            }
         if name in sp.WORK_COUNTS:
             row["n_candidates_sf10"] = sp.WORK_COUNTS[name](spark, big10)
         payload.setdefault("sf10", {}).setdefault("queries", {})[name] = row

@@ -158,6 +158,10 @@ PROBE = [
     # refresh (static side read per micro-batch, state = near pairs
     # only; same cross-set work counter)
     "stream_media_refresh",
+    # round-13 addition: the embedding tier of the incremental family —
+    # cell-partitioned new x ref SemDeDup (cross pair count audited;
+    # counter below)
+    "semantic_incremental_dedup",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -621,6 +625,55 @@ def _xinc_cand_count(spark, sf_dir) -> int:
     )
 
 
+def _xsem_cand_count(spark, sf_dir) -> int:
+    """Within-cell new x ref pair count of the incremental SemDeDup
+    (the query's exact corpora: new = %4==0 + x1.1 plants of ref
+    %8==1, ref = %4!=0, cells = nearest of the 8 fixed centroids)."""
+    from pyspark.sql import Window
+
+    from eclipse_spark.operators.similarity import cosine_sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        ref.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("v", lambda x: x * F.lit(1.1)).alias("v"),
+        )
+    )
+    cts = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("_cell"), F.col("v").alias("_c")
+    )
+
+    def cells(df):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("_sim"), F.asc("_cell")
+        )
+        return (
+            df.crossJoin(F.broadcast(cts))
+            .withColumn("_sim", cosine_sim(F.col("v"), F.col("_c")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .groupBy("_cell")
+            .agg(F.count("*").alias("n"))
+        )
+
+    nn, nr = cells(new).alias("a"), cells(ref).alias("b")
+    row = (
+        nn.join(nr, on="_cell")
+        .agg(
+            F.coalesce(F.sum(F.col("a.n") * F.col("b.n")), F.lit(0))
+            .cast("long")
+            .alias("vol")
+        )
+        .collect()[0]
+    )
+    return int(row["vol"])
+
+
 def _xmodal_within_cand_count(spark, sf_dir) -> int:
     """Total within-survivor banded volume of the cross-modality
     curation run (image + audio survivor corpora incl. plants) — the
@@ -748,6 +801,7 @@ WORK_COUNTS = {
     "cross_modal_curation_raised": _xmodal_within_cand_count,
     "media_index_refresh": _media_incr_cand_count,
     "stream_media_refresh": _media_incr_cand_count,
+    "semantic_incremental_dedup": _xsem_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
