@@ -3529,6 +3529,39 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup_scaled(allv, threshold=0.95, centroids=cents)
 
 
+def q_semantic_incremental_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy KERNEL tier of incremental SemDeDup
+    (dedup.semantic_dedup_against_scaled) on the SAME fixed-centroid
+    planted corpora as semantic_incremental_dedup: assignment is one
+    float64 GEMM per Arrow batch (argmax first-max ties to the lower
+    cell — the exact tier's rule), the cross stage one
+    |new_cell| x |ref_cell| GEMM per cell via applyInPandas. Oracle
+    identical to semantic_incremental_dedup's: on margin-separated
+    data (organic cosines ~0.49 vs planted 1.0) the kernel tier's
+    verdicts are bit-stable, property-tested against the exact tier
+    in tests/. This is the operator the exact tier's sf10 guard
+    message names as the fix's execution path: with kmeans-scaled
+    centroids the per-cell blocks stay bounded at any corpus size
+    (the escape-hatch probe row runs exactly that)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        ref.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.1)
+            ).alias("embedding"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return dedup.semantic_dedup_against_scaled(new, ref, cents, threshold=0.95)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First two BPE merge rounds over the corpus vocabulary
     (text.bpe_train): chars -> pair counts weighted by word freq ->
@@ -8083,17 +8116,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued every round since): the round-13
-    window leads with the four round-13 additions
+    window leads with the five round-13 additions
     (cross_modal_incremental, media_index_refresh,
-    stream_media_refresh, semantic_incremental_dedup — same-round
-    evidence discipline), then rotates onto the
+    stream_media_refresh, semantic_incremental_dedup,
+    semantic_incremental_scaled — same-round evidence discipline),
+    then rotates onto the
     LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r12 task 6
     directs: the FULL 31-key r04 evidence block (hypertable_rollup,
     the json/regex function families, the media decode/frame ops,
     minhash/simhash candidates, tpch_q8/q9/q11/q12/q13/q15/q20/q21,
-    ...) and the alphabetically-first 15 of the 46-key r05 block
-    (ann_ivf_recall .. data_profile). After this window lands the
-    oldest evidence is r05's 31-key remainder — one more rotation
+    ...) and the alphabetically-first 14 of the 46-key r05 block
+    (ann_ivf_recall .. data_constraints). After this window lands the
+    oldest evidence is r05's 32-key remainder — one more rotation
     retires the tail entirely. The reorder is applied by
     ``_R13_WINDOW`` below over the stable literal, so no key is ever
     duplicated. Queries rotated out retain a prior round's
@@ -8105,6 +8139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_index_refresh": q_media_index_refresh,
         "stream_media_refresh": q_stream_media_refresh,
         "semantic_incremental_dedup": q_semantic_incremental_dedup,
+        "semantic_incremental_scaled": q_semantic_incremental_scaled,
         # ===== round-12 additions (same-round evidence discipline) =====
         "cross_modal_curation": q_cross_modal_curation,
         "media_video_shifted": q_media_video_shifted,
@@ -8426,14 +8461,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-13 correctness window (the driver checks the FIRST 50 keys):
-# the four round-13 additions, then the FULL 31-key r04 evidence
-# block and the alphabetically-first 15 of the r05 block — see
+# the five round-13 additions, then the FULL 31-key r04 evidence
+# block and the alphabetically-first 14 of the r05 block — see
 # queries() docstring.
 _R13_WINDOW = [
     "cross_modal_incremental",
     "media_index_refresh",
     "stream_media_refresh",
     "semantic_incremental_dedup",
+    "semantic_incremental_scaled",
     "hypertable_rollup",
     "json_funcs",
     "kmeans_step",
@@ -8980,6 +9016,43 @@ _MEDIA_INCR_ORACLE = """
             WHERE n.side = 'n' AND r.side = 'r'
             GROUP BY 1, 2
             HAVING sum(bit_count(xor(n.val, r.val))) <= 3
+        """
+
+
+# Shared oracle for the incremental-SemDeDup pair: the exact tier and the
+# GEMM kernel tier produce bit-identical verdicts on the margin-separated
+# planted corpora (organic ~0.49 vs planted 1.0) — property-tested.
+_XSEM_ORACLE = """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            ref AS (SELECT * FROM e WHERE vec_id % 4 != 0),
+            newb AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0
+                     UNION ALL
+                     SELECT vec_id + 100000, list_transform(v, x -> x * 1.1)
+                     FROM ref WHERE vec_id % 8 = 1),
+            cents AS (SELECT vec_id AS cell, v AS centroid
+                      FROM e WHERE vec_id < 8),
+            an AS (SELECT vec_id, v, cell FROM
+                     (SELECT n.vec_id, n.v, c.cell,
+                             list_cosine_similarity(n.v, c.centroid) AS sim
+                      FROM newb n, cents c)
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) = 1),
+            ar AS (SELECT vec_id, v, cell FROM
+                     (SELECT r.vec_id, r.v, c.cell,
+                             list_cosine_similarity(r.v, c.centroid) AS sim
+                      FROM ref r, cents c)
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) = 1),
+            hits AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+                     FROM an a JOIN ar b ON a.cell = b.cell
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+                     GROUP BY 1)
+            SELECT a.vec_id, a.cell,
+                   COALESCE(h.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+                   CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM an a LEFT JOIN hits h ON a.vec_id = h.vec_id
         """
 
 
@@ -13299,38 +13372,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, count(*) AS n_hits
             FROM c JOIN b USING (g) GROUP BY c.doc_id
         """.replace("{TOKENS}", TOKENS_SQL),
-        "semantic_incremental_dedup": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            ref AS (SELECT * FROM e WHERE vec_id % 4 != 0),
-            newb AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0
-                     UNION ALL
-                     SELECT vec_id + 100000, list_transform(v, x -> x * 1.1)
-                     FROM ref WHERE vec_id % 8 = 1),
-            cents AS (SELECT vec_id AS cell, v AS centroid
-                      FROM e WHERE vec_id < 8),
-            an AS (SELECT vec_id, v, cell FROM
-                     (SELECT n.vec_id, n.v, c.cell,
-                             list_cosine_similarity(n.v, c.centroid) AS sim
-                      FROM newb n, cents c)
-                   QUALIFY row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY sim DESC, cell) = 1),
-            ar AS (SELECT vec_id, v, cell FROM
-                     (SELECT r.vec_id, r.v, c.cell,
-                             list_cosine_similarity(r.v, c.centroid) AS sim
-                      FROM ref r, cents c)
-                   QUALIFY row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY sim DESC, cell) = 1),
-            hits AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
-                     FROM an a JOIN ar b ON a.cell = b.cell
-                     WHERE list_cosine_similarity(a.v, b.v) >= 0.95
-                     GROUP BY 1)
-            SELECT a.vec_id, a.cell,
-                   COALESCE(h.n_dups, CAST(0 AS BIGINT)) AS n_dups,
-                   CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END
-                        AS BIGINT) AS kept
-            FROM an a LEFT JOIN hits h ON a.vec_id = h.vec_id
-        """,
+        "semantic_incremental_dedup": _XSEM_ORACLE,
+        "semantic_incremental_scaled": _XSEM_ORACLE,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

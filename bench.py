@@ -233,6 +233,7 @@ HEADLINE = [
     # created this round
     "cross_modal_incremental",
     "semantic_incremental_dedup",
+    "semantic_incremental_scaled",
     # NOTE: coreness is deliberately NOT a headliner: the h-index
     # fixpoint runs ~17 synchronous rounds on this graph, so its bench
     # number (16s warm at sf0.1) would measure driver round-trip

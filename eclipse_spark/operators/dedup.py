@@ -1235,6 +1235,167 @@ def semantic_dedup_against(
             ar.unpersist()
 
 
+def semantic_dedup_against_scaled(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+    max_pairs: int | None = 100_000_000,
+) -> DataFrame:
+    """Arrow/numpy KERNEL tier of :func:`semantic_dedup_against` —
+    identical semantics (new x ref inside shared centroid cells only,
+    one row per NEW vector: id, cell, n_dups, kept), rebuilt for the
+    100 TB path exactly as :func:`semantic_dedup_scaled` rebuilds the
+    self-dedup tier: centroid ASSIGNMENT is one float64 GEMM per
+    Arrow batch against the broadcast (k x dim) centroid matrix
+    (argmax first-max ties to the lower cell id — the exact tier's
+    (sim DESC, cell ASC) rule), and the CROSS stage is one
+    |new_cell| x |ref_cell| GEMM per cell via ``applyInPandas``
+    instead of a shuffled pair join paying an interpreted fold per
+    pair. This is the operator the sf10 guard message's named fix
+    runs: with centroids SCALED to the corpora (kmeans, n_cells ~
+    N/target) the per-cell blocks stay bounded and the join the
+    fixed-k exact tier refuses completes in seconds.
+
+    Guard: the within-cell new x ref pair total is audited from the
+    two assignment histograms before any block is scheduled; raises
+    over ``max_pairs`` with the measured total and the largest single
+    block. Determinism caveat (why the registry oracle pins
+    margin-separated corpora): float64 GEMM accumulates in a
+    different order than the HOF fold — property-tested equal to the
+    exact tier away from threshold boundaries, the regime real
+    near-dup thresholds operate in."""
+    import numpy as np
+    import pandas as pd
+
+    sc = new_emb.sparkSession.sparkContext
+    rows = (
+        centroids.select(
+            F.col(cell_col).cast("long").alias("c"),
+            F.col(centroid_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("c")
+        .collect()
+    )
+    cell_ids = np.array([r["c"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["v"] for r in rows], dtype=np.float64)
+    cm_bc, ids_bc = sc.broadcast(cmat), sc.broadcast(cell_ids)
+
+    def _assign_fn(batches):
+        cm = cm_bc.value
+        cn = cm / np.maximum(
+            np.linalg.norm(cm, axis=1, keepdims=True), 1e-300
+        )
+        ids = ids_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-300
+            )
+            best = np.argmax(vn @ cn.T, axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_cell": ids[best], "_v": pdf["_v"]}
+            )
+
+    def _assign(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).mapInPandas(
+            _assign_fn, schema="_id long, _cell long, _v array<double>"
+        )
+
+    an = _assign(new_emb).withColumn("_side", F.lit("n"))
+    ar = _assign(ref_emb).withColumn("_side", F.lit("r"))
+    tagged = an.unionByName(ar)
+    if max_pairs is not None:
+        tagged = tagged.persist()
+    try:
+        if max_pairs is not None:
+            hist = (
+                tagged.groupBy("_cell")
+                .agg(
+                    F.count(F.when(F.col("_side") == "n", 1)).alias("_nn"),
+                    F.count(F.when(F.col("_side") == "r", 1)).alias("_nr"),
+                )
+            )
+            audit = hist.agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("_nn").cast("decimal(38,0)") * F.col("_nr")
+                    ),
+                    F.lit(0),
+                ).alias("_pairs"),
+                F.max(F.col("_nn") * F.col("_nr")).alias("_maxblock"),
+            ).collect()[0]
+            n_pairs = int(audit["_pairs"] or 0)
+            if n_pairs > max_pairs:
+                raise RuntimeError(
+                    f"semantic_dedup_against_scaled: within-cell new x "
+                    f"ref pair count {n_pairs:,} exceeds "
+                    f"max_pairs={max_pairs:,} (largest cell block "
+                    f"{int(audit['_maxblock'] or 0):,}) — scale the "
+                    f"centroid count with the corpora, or "
+                    f"raise/disable max_pairs explicitly"
+                )
+
+        thr = float(threshold)
+
+        def _per_cell(key, pdf):
+            n = pdf[pdf["_side"] == "n"]
+            if not len(n):
+                return pd.DataFrame(
+                    columns=["_id", "_cell", "n_dups", "kept"]
+                )
+            r = pdf[pdf["_side"] == "r"]
+            if len(r):
+                un = np.stack(n["_v"].to_numpy()).astype(np.float64)
+                un = un / np.maximum(
+                    np.linalg.norm(un, axis=1, keepdims=True), 1e-300
+                )
+                ur = np.stack(r["_v"].to_numpy()).astype(np.float64)
+                ur = ur / np.maximum(
+                    np.linalg.norm(ur, axis=1, keepdims=True), 1e-300
+                )
+                ndups = (un @ ur.T >= thr).sum(axis=1).astype(np.int64)
+            else:
+                ndups = np.zeros(len(n), dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "_id": n["_id"].to_numpy(),
+                    "_cell": np.full(len(n), key[0], dtype=np.int64),
+                    "n_dups": ndups,
+                    "kept": (ndups == 0).astype(np.int64),
+                }
+            )
+
+        out = (
+            tagged.groupBy("_cell")
+            .applyInPandas(
+                _per_cell,
+                schema="_id long, _cell long, n_dups long, kept long",
+            )
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("_cell").alias(cell_col),
+                "n_dups",
+                "kept",
+            )
+        )
+        if max_pairs is not None:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if max_pairs is not None:
+            tagged.unpersist()
+
+
 def minhash_index_ref(
     catalog,
     ref_df: DataFrame,

@@ -370,3 +370,49 @@ def test_semantic_dedup_against_flags_plants_and_guards(spark, sf_smoke):
     with pytest.raises(RuntimeError, match="pair count"):
         dedup.semantic_dedup_against(new, ref, cents, max_pairs=1)
     assert _persisted_count(spark) == before, "guard trip leaked persists"
+
+
+def test_semantic_scaled_cross_equals_exact_tier(spark, sf_smoke):
+    """The GEMM kernel tier of incremental SemDeDup must reproduce the
+    exact tier bit-for-bit on the margin-separated planted corpora
+    (organic ~0.49 vs planted 1.0), and its guard must release the
+    persisted assignment on a trip."""
+    from eclipse_spark.operators import dedup
+
+    emb = spark.read.parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        ref.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.1)).alias(
+                "embedding"
+            ),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    exact = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup_against(
+                new, ref, cents, threshold=0.95
+            ).collect(),
+        )
+    )
+    scaled = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup_against_scaled(
+                new, ref, cents, threshold=0.95
+            ).collect(),
+        )
+    )
+    assert scaled == exact
+    before = _persisted_count(spark)
+    with pytest.raises(RuntimeError, match="pair count"):
+        dedup.semantic_dedup_against_scaled(new, ref, cents, max_pairs=1)
+    assert _persisted_count(spark) == before, "guard trip leaked persists"

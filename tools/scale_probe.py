@@ -160,8 +160,9 @@ PROBE = [
     "stream_media_refresh",
     # round-13 addition: the embedding tier of the incremental family —
     # cell-partitioned new x ref SemDeDup (cross pair count audited;
-    # counter below)
+    # counter below), exact tier + the GEMM kernel tier
     "semantic_incremental_dedup",
+    "semantic_incremental_scaled",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -802,6 +803,7 @@ WORK_COUNTS = {
     "media_index_refresh": _media_incr_cand_count,
     "stream_media_refresh": _media_incr_cand_count,
     "semantic_incremental_dedup": _xsem_cand_count,
+    "semantic_incremental_scaled": _xsem_cand_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
