@@ -255,6 +255,12 @@ HEADLINE = [
     # steady-state refresh the operator exists for. The refresh-shape
     # evidence lives in test_plan_quality.py (ref side scanned from
     # the stored index, not re-shingled).
+    # NOTE: ann_ivf_refresh (round 14) joins the same exclusion class —
+    # the self-contained query builds the IVF index per call. The
+    # steady-state numbers for the WHOLE refresh family now live in
+    # bench_refresh.json (tools/bench_refresh.py — VERDICT r13 task 1:
+    # stored artifact built once OUTSIDE the timer, the refresh join
+    # alone warm + min-of-3), merged into bench_full.json below.
 ]
 
 # STABLE TIER (VERDICT r9 task 8): a FIXED 50-query subset that owns
@@ -492,6 +498,13 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
             full["sf_scaling"] = json.load(fh)
+    # steady-state refresh tier (tools/bench_refresh.py — the numbers
+    # for the index-refresh family bench.py's headliners exclude by
+    # design: build outside the timer, refresh join alone timed)
+    refresh_path = os.path.join(here, "bench_refresh.json")
+    if os.path.exists(refresh_path):
+        with open(refresh_path) as fh:
+            full["refresh_steady_state"] = json.load(fh)
     with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # Driver-facing line: bounded size (~300 B) no matter how many

@@ -535,6 +535,153 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid Voronoi assignment — the shared kernel of
+    :func:`ivf_index` (build) and :func:`ivf_refresh` (incremental
+    append): one broadcast nested-loop join of the vectors against the
+    (tiny, n_cells-row) centroid table, deterministic argmax (max
+    cosine, ties to the smaller cell — the exact tie-break
+    :func:`ivf_topk` uses, so stored and in-flight assignment agree
+    bit-for-bit). Input ``(match_id, cv)`` x ``(cell, centroid)``;
+    output ``(match_id, cv, cell)`` — every vector in exactly one
+    cell, the partition-completeness invariant the n_probe = n_cells
+    oracle checks."""
+    wa = Window.partitionBy("match_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim(F.col("cv"), F.col("centroid")))
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select("match_id", "cv", "cell")
+    )
+
+
+def ivf_index(
+    catalog,
+    corpus: DataFrame,
+    table: str = "ivf_index",
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Persist an IVF index ONCE — the search-side analogue of
+    `multimodal.dhash_index_ref` (VERDICT r13 task 6): the centroid
+    table (n_cells rows, hash-picked exactly as :func:`ivf_topk` does
+    — no global sort, no driver collect) and the posting table
+    ``(match_id, cv, cell)``, hive-PARTITIONED on ``cell`` so a probe
+    pass scans only its n_probe cells' files (partition pruning — at
+    100 TB a 4-of-16-cell probe reads a quarter of the corpus, and a
+    finer n_cells reads proportionally less). Every later query batch
+    is :func:`ivf_topk_stored` over the stored tables, and every later
+    ingest batch is :func:`ivf_refresh` — the corpus floats are read
+    once at build time and never re-clustered. Returns the
+    (postings_table, centroids_table) names. Ref analogue: Eclipse
+    persists map output at its DHT home node so reruns skip the map
+    phase (``src/file_distributor/fileserver.hh:354-359``)."""
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    hcell = F.pmod(F.xxhash64("match_id", F.lit(seed)), F.lit(n_cells))
+    wc = Window.partitionBy("_hcell").orderBy(
+        F.xxhash64("match_id", F.lit(seed + 1))
+    )
+    cents = (
+        c.withColumn("_hcell", hcell)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_hcell").cast("long").alias("cell"),
+            F.col("cv").alias("centroid"),
+        )
+    )
+    catalog.put(f"{table}_centroids", cents)
+    stored = catalog.get(f"{table}_centroids")
+    catalog.put(
+        f"{table}_postings", ivf_assign(c, stored), partition_by=["cell"]
+    )
+    return f"{table}_postings", f"{table}_centroids"
+
+
+def ivf_refresh(
+    catalog,
+    new_vectors: DataFrame,
+    table: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """INCREMENTAL IVF index refresh — add a batch of vectors to the
+    STORED index WITHOUT re-clustering (VERDICT r13 task 6: the
+    search-side analogue of the stored-index media refresh, the run a
+    training-data pipeline does daily): read the stored centroids
+    (n_cells rows — broadcast), Voronoi-assign ONLY the new batch
+    (:func:`ivf_assign`, O(batch x n_cells) work), and APPEND the new
+    postings into the partitioned posting table's cell directories.
+    The existing postings are never read, never rewritten, never even
+    listed beyond the directory append — a 100 TB posting table costs
+    a refresh nothing but its own batch. Because assignment against
+    the same centroids is deterministic, the refreshed index is
+    bit-identical to assigning the MERGED corpus against those stored
+    centroids in one monolithic pass (NOT to a fresh
+    :func:`ivf_index` over the merged corpus, which hash-picks new
+    centroids), so probing all cells afterwards still reproduces
+    brute-force top-k exactly (the `ann_ivf_refresh` oracle). Centroids drift as
+    the corpus grows — re-run :func:`ivf_index` when cell-size skew
+    (``ivf_cell_stats``-style count per cell) degrades recall; that is
+    a scheduled rebuild, not a per-batch cost."""
+    cents = catalog.get(f"{table}_centroids")
+    v = new_vectors.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    )
+    return catalog.write_partitioned(
+        f"{table}_postings", ivf_assign(v, cents), ["cell"]
+    )
+
+
+def ivf_topk_stored(
+    queries: DataFrame,
+    postings: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """The probe pass of :func:`ivf_topk` against STORED index tables
+    — the steady-state query shape once :func:`ivf_index` /
+    :func:`ivf_refresh` maintain the artifacts: queries pick their
+    n_probe nearest cells from the broadcast centroid table, the
+    posting scan prunes to exactly those cells' partitions (the
+    ``cell IN (...)`` equi-join reaches the hive-partitioned parquet
+    scan as partition pruning), and the within-cell exact cosine +
+    per-query top-k window are :func:`ivf_topk`'s kernel verbatim.
+    n_probe = n_cells reproduces brute force exactly (partition
+    completeness); smaller n_probe trades recall for scan fraction."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim(F.col("qv"), F.col("centroid")))
+        .withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(postings, on="cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def int8_quantize(
     corpus: DataFrame,
     id_col: str = "vec_id",

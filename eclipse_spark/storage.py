@@ -812,6 +812,37 @@ class Catalog:
         self._bump(name)
         return path
 
+    def write_partitioned(
+        self, name: str, df: DataFrame, partition_by: list[str]
+    ) -> str:
+        """``Owrite`` for a hive-PARTITIONED table: append records as
+        new files under the existing partition directories (and create
+        directories for new partition values) without reading or
+        rewriting any row already there — the O(batch) refresh write
+        the incremental index family needs (`similarity.ivf_refresh`
+        appends its newly assigned postings; a 100 TB posting table's
+        existing files are never touched). ``partition_by`` must match
+        the layout the table was :meth:`put` with — a mismatched spec
+        would interleave incompatible directory layouts, so it is
+        checked against the current on-disk layout and fails loudly."""
+        path = self.path_of(name)
+        if os.path.exists(path):
+            on_disk = sorted(
+                e.split("=", 1)[0]
+                for e in os.listdir(path)
+                if "=" in e and not e.startswith((".", "_"))
+            )
+            if on_disk and sorted(set(on_disk)) != sorted(partition_by):
+                raise ValueError(
+                    f"write_partitioned({name!r}): table is partitioned "
+                    f"by {sorted(set(on_disk))} on disk but the append "
+                    f"specifies {sorted(partition_by)} — mixed layouts "
+                    f"would corrupt partition discovery"
+                )
+        df.write.mode("append").partitionBy(*partition_by).parquet(path)
+        self._bump(name)
+        return path
+
 
 def table_diff(old: DataFrame, new: DataFrame, on: list[str]) -> DataFrame:
     """Row-level diff of two versions of a keyed table — the engine's
