@@ -7664,7 +7664,9 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q_media_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_index_refresh(
+    spark: SparkSession, sf_dir: str, max_pairs: int | None = 20_000_000
+) -> DataFrame:
     """The PRODUCTION refresh shape of incremental media dedup
     (multimodal.dhash_index_ref + dhash_pairs_against_index —
     `incremental_dedup_cached`'s media analogue): the reference
@@ -7712,6 +7714,7 @@ def q_media_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             multimodal.dhash_bands(new_imgs),
             cat.get_table(table),
             max_hamming=3,
+            max_pairs=max_pairs,
         )
         rows, schema = out.collect(), out.schema
     finally:
@@ -8027,7 +8030,9 @@ def _xmodal_body(
     )
 
 
-def q_cross_modal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cross_modal_incremental(
+    spark: SparkSession, sf_dir: str, max_pairs: int | None = 20_000_000
+) -> DataFrame:
     """INCREMENTAL CROSS-MODALITY refresh (VERDICT r12 task 8 — the
     `media_incremental_dedup` x `cross_modal_curation` product): the
     daily-batch shape a production training-data pipeline actually
@@ -8064,12 +8069,17 @@ def q_cross_modal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = SemanticCache(spark, cache_root)
     path = os.path.join(sf_dir, "documents.parquet")
     try:
-        return _xinc_body(spark, cache, path)
+        return _xinc_body(spark, cache, path, max_pairs)
     finally:
         shutil.rmtree(cache_root, ignore_errors=True)
 
 
-def _xinc_body(spark: SparkSession, cache, path: str) -> DataFrame:
+def _xinc_body(
+    spark: SparkSession,
+    cache,
+    path: str,
+    max_pairs: int | None = 20_000_000,
+) -> DataFrame:
 
     def gate(app: str) -> Pipeline:
         return (
@@ -8131,6 +8141,7 @@ def _xinc_body(spark: SparkSession, cache, path: str) -> DataFrame:
             multimodal.dhash_bands(i_corpus),
             multimodal.dhash_bands(ref_imgs),
             max_hamming=3,
+            max_pairs=max_pairs,
         )
     )
 
@@ -8150,6 +8161,7 @@ def _xinc_body(spark: SparkSession, cache, path: str) -> DataFrame:
             multimodal.audio_fingerprint_bands(a_corpus),
             multimodal.audio_fingerprint_bands(ref_wavs),
             max_hamming=3,
+            max_pairs=max_pairs,
         )
     )
 

@@ -222,6 +222,34 @@ def test_ivf_refresh_does_not_read_existing_postings(spark, sf_smoke):
             cat.get(postings_tbl).count()
 
 
+def test_ivf_stored_probe_prunes_partitions(spark, sf_smoke):
+    """The probe's join on the posting table's partition column must
+    reach the parquet scan as DYNAMIC PARTITION PRUNING — only the
+    probed cells' files are read (the claim ivf_topk_stored's
+    docstring makes; at 100 TB this is the difference between scanning
+    n_probe/n_cells of the corpus and all of it). Regression: someone
+    un-partitions the posting table or breaks the equi-join shape and
+    the pruning subquery vanishes from the plan."""
+    from eclipse_spark.operators import similarity as sim
+    from eclipse_spark.storage import Catalog
+
+    emb = spark.read.parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    with tempfile.TemporaryDirectory(prefix="eclipse_r14_dpp_") as d:
+        cat = Catalog(spark, os.path.join(d, "cat"))
+        sim.ivf_index(cat, emb, table="dpp_ck", n_cells=16)
+        out = sim.ivf_topk_stored(
+            emb.filter(F.col("vec_id") < 5),
+            cat.get("dpp_ck_postings"),
+            cat.get("dpp_ck_centroids"),
+            k=10,
+            n_probe=4,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), (
+            "posting scan lost its dynamic partition-pruning filter"
+        )
+
+
 def test_write_partitioned_rejects_layout_mismatch(spark):
     """Appending with a different partition spec than the on-disk
     layout must fail loudly, not interleave incompatible layouts."""

@@ -163,6 +163,12 @@ PROBE = [
     # counter below), exact tier + the GEMM kernel tier
     "semantic_incremental_dedup",
     "semantic_incremental_scaled",
+    # round-14 addition: the search-side incremental — stored IVF index
+    # build + O(batch) centroid-assignment append + all-cell probe
+    # (assignment is batch x n_cells broadcast work; the probe scores
+    # n_queries x merged-corpus pairs at n_probe = n_cells — both
+    # linear per decade; counter below)
+    "ann_ivf_refresh",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -779,6 +785,19 @@ def _kcore_dec_count(spark, sf_dir) -> int:
     return int(stats.get("decrement_rows_total", 0))
 
 
+def _ivf_refresh_work_count(spark, sf_dir) -> int:
+    """Deterministic work behind the ann_ivf_refresh wall: the
+    registry query's dominant term is the all-cell probe's exact
+    scoring volume (n_queries x merged corpus, minus self-pairs); the
+    refresh append itself is batch x n_cells assignment work — both
+    counted so the decade ratio reads against measured work."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    n_q = emb.filter(F.col("vec_id") < 5).count()
+    n_new = emb.filter(F.col("vec_id") % 4 == 0).count()
+    return n_q * (n - 1) + n_new * 16
+
+
 WORK_COUNTS = {
     "apss_cosine": _apss_cand_count,
     "minhash_candidates": _minhash_cand_count,
@@ -804,6 +823,7 @@ WORK_COUNTS = {
     "stream_media_refresh": _media_incr_cand_count,
     "semantic_incremental_dedup": _xsem_cand_count,
     "semantic_incremental_scaled": _xsem_cand_count,
+    "ann_ivf_refresh": _ivf_refresh_work_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count

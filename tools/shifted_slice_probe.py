@@ -1,23 +1,27 @@
-"""Round-13 (VERDICT r12 task 4): an EXECUTED sf10 datapoint for the
-SHIFTED video near-dup join, via the (frame_class, shift) shard the
-offset enumeration already provides.
+"""Round-13 (VERDICT r12 task 4) + round-14 (VERDICT r13 task 4): an
+EXECUTED sf10 datapoint for the SHIFTED temporal near-dup join, via the
+(frame_class, shift) shard the offset enumeration already provides —
+for VIDEO (r13) and, because `audio_window_bands` is schema-compatible
+with `video_dhash_bands` by design, for the shifted-AUDIO window-band
+table with the SAME code (``--modality audio``, r14).
 
-The sf10 shifted join (55,789,580,724 scheduled candidate rows at
-max_shift=2) is deliberately not run monolithically single-node; its
-natural shards are (g, k) classes — a-side frames of class g joined
-to b-side frames of class g-k (`multimodal.py` video_near_pairs_shifted:
-the join key is ``a.frame_idx == b.frame_idx + k`` AND the band
-bucket, so fixing (g, k) selects EXACTLY that class' share of the
-scheduled volume; the classes partition the join and a cluster runs
-them as independent jobs). This probe computes the exact per-(g, k)
-volume matrix from the banded bucket histogram, executes the LARGEST
-k != 0 class end-to-end (the worst independent job), and prices the
-standing volume-only row with the directly measured shifted-verify
-rate. Emits one JSON row merged into bench_scaling.json as
-``media_video_shifted_sliced``."""
+The sf10 shifted join (video: 55,789,580,724 scheduled candidate rows
+at max_shift=2; audio: 41.0e9) is deliberately not run monolithically
+single-node; its natural shards are (g, k) classes — a-side frames of
+class g joined to b-side frames of class g-k (`multimodal.py`
+video_near_pairs_shifted: the join key is ``a.frame_idx ==
+b.frame_idx + k`` AND the band bucket, so fixing (g, k) selects
+EXACTLY that class' share of the scheduled volume; the classes
+partition the join and a cluster runs them as independent jobs). This
+probe computes the exact per-(g, k) volume matrix from the banded
+bucket histogram, executes the LARGEST k != 0 class end-to-end (the
+worst independent job), and prices the standing volume-only row with
+the directly measured shifted-verify rate. Emits one JSON row merged
+into bench_scaling.json as ``media_{video,audio}_shifted_sliced``."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -36,6 +40,11 @@ MAX_HAMMING = 3
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--modality", choices=("video", "audio"), default="video"
+    )
+    args = ap.parse_args()
     big10 = os.path.join(REPO, "benchdata", "sf10")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -53,7 +62,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    hs = sp._video_shifted_hashes(spark, big10)
+    if args.modality == "video":
+        hs = sp._video_shifted_hashes(spark, big10)
+    else:
+        hs = sp._audio_shifted_hashes(spark, big10)
     base = hs.select(
         "id", "frame_idx", "b0", "b1", "b2", "b3"
     ).persist()
@@ -140,7 +152,7 @@ def main() -> None:
     with open(path) as fh:
         payload = json.load(fh)
     tier = payload.setdefault("sf10", {}).setdefault("queries", {})
-    tier["media_video_shifted_sliced"] = row
+    tier[f"media_{args.modality}_shifted_sliced"] = row
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps(row))
