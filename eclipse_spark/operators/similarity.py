@@ -624,15 +624,36 @@ def ivf_refresh(
     :func:`ivf_index` over the merged corpus, which hash-picks new
     centroids), so probing all cells afterwards still reproduces
     brute-force top-k exactly (the `ann_ivf_refresh` oracle). Centroids drift as
-    the corpus grows — re-run :func:`ivf_index` when cell-size skew
-    (``ivf_cell_stats``-style count per cell) degrades recall; that is
-    a scheduled rebuild, not a per-batch cost."""
+    the corpus grows — re-run :func:`ivf_index` when
+    :func:`ivf_cell_stats` shows cell-size skew degrading probe
+    selectivity; that is a scheduled rebuild, not a per-batch cost."""
     cents = catalog.get(f"{table}_centroids")
     v = new_vectors.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
     return catalog.write_partitioned(
         f"{table}_postings", ivf_assign(v, cents), ["cell"]
+    )
+
+
+def ivf_cell_stats(postings: DataFrame) -> DataFrame:
+    """Cell-occupancy audit over a stored IVF posting table — the
+    rebuild-scheduling signal :func:`ivf_refresh`'s docstring names:
+    centroids drift as batches append, and the observable symptom is
+    cell-size skew (a bloated cell degrades probe selectivity toward a
+    scan; an empty cell wastes a probe). One map-side-combined count
+    per cell plus its share of the corpus — O(n_cells) output, one
+    shuffle, nothing collected; schedule a :func:`ivf_index` rebuild
+    when ``max_share`` drifts far above 1/n_cells. Emits
+    ``(cell, n_vectors, share)``."""
+    tot = postings.count()
+    return (
+        postings.groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .withColumn(
+            "share",
+            F.round(F.col("n_vectors") / F.lit(max(tot, 1)), 6),
+        )
     )
 
 

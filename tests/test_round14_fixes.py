@@ -222,6 +222,32 @@ def test_ivf_refresh_does_not_read_existing_postings(spark, sf_smoke):
             cat.get(postings_tbl).count()
 
 
+def test_ivf_cell_stats_accounts_every_vector(spark, sf_smoke):
+    """The rebuild-scheduling audit: counts per cell must sum to the
+    corpus, shares to ~1.0 — and the stats must reflect a refresh
+    append (the monitoring signal a drifting index emits)."""
+    from eclipse_spark.operators import similarity as sim
+    from eclipse_spark.storage import Catalog
+
+    emb = spark.read.parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    ref = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="eclipse_r14_stats_") as d:
+        cat = Catalog(spark, os.path.join(d, "cat"))
+        sim.ivf_index(cat, ref, table="stats_ck", n_cells=16)
+        before = {
+            r["cell"]: r["n_vectors"]
+            for r in sim.ivf_cell_stats(cat.get("stats_ck_postings")).collect()
+        }
+        assert sum(before.values()) == ref.count()
+        sim.ivf_refresh(cat, new, table="stats_ck")
+        stats = sim.ivf_cell_stats(cat.get("stats_ck_postings")).collect()
+        after = {r["cell"]: r["n_vectors"] for r in stats}
+        assert sum(after.values()) == emb.count()
+        assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-3
+        assert all(after[c] >= n for c, n in before.items())
+
+
 def test_ivf_stored_probe_prunes_partitions(spark, sf_smoke):
     """The probe's join on the posting table's partition column must
     reach the parquet scan as DYNAMIC PARTITION PRUNING — only the
