@@ -1982,6 +1982,58 @@ def q_ann_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ann_ivf_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF index refresh (similarity.ivf_refresh_stream) —
+    the stream face of ann_ivf_refresh, giving the search side the
+    same batch+stream symmetry the fingerprint refresh has
+    (stream_media_refresh): the reference corpus (vec_id % 4 != 0) is
+    clustered ONCE into the stored index; the daily batch
+    (vec_id % 4 == 0) then ARRIVES AS A FINITE STREAM and each
+    micro-batch appends its postings via the batch refresh verbatim
+    inside foreachBatch — assignment against the static centroid
+    table (never in state; stream-side state is ZERO, the index
+    directory is the state). After the drain, probing ALL cells must
+    reproduce the brute-force top-k over the merged corpus exactly —
+    the SAME oracle as ann_ivf_refresh, so a dropped micro-batch, a
+    double-applied one, a stale centroid read, or any
+    assignment drift between the streaming and monolithic paths all
+    hash-mismatch. The collect is demo-bounded (50 rows) and exists
+    only so the result outlives the scratch catalog."""
+    import shutil
+    import tempfile
+
+    from eclipse_spark.storage import Catalog
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path)
+    ref = emb.filter(F.col("vec_id") % 4 != 0)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    work = tempfile.mkdtemp(prefix="eclipse_ivf_stream_")
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        similarity.ivf_index(cat, ref, table="ivf_sdemo", n_cells=16)
+        new_stream = stream_windows.stream_from_parquet(
+            spark, os.path.join(sf_dir, "embeddings.*"), emb.schema
+        ).filter(F.col("vec_id") % 4 == 0)
+        similarity.ivf_refresh_stream(
+            cat,
+            new_stream,
+            table="ivf_sdemo",
+            checkpoint=os.path.join(work, "ckpt"),
+        )
+        out = similarity.ivf_topk_stored(
+            queries_df,
+            cat.get("ivf_sdemo_postings"),
+            cat.get("ivf_sdemo_centroids"),
+            k=10,
+            n_probe=16,
+        ).select("query_id", "match_id", "rank")
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
@@ -8185,16 +8237,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks the FIRST 50 keys. Every registry key has a driver-green
     hash-exact row in some round, so the discipline is FRESHNESS
     (VERDICT r10 task 7, continued every round since): the round-14
-    window leads with the round-14 addition (ann_ivf_refresh —
-    same-round evidence discipline), then rotates onto the
-    LEAST-RECENTLY-CONFIRMED tail exactly as VERDICT r13 task 5
-    directs: ALL 32 keys of the r05 remainder (data_profile —
-    restored to the gate after the r13 off-by-one silently excluded
-    it at position 51 (ADVICE r13) — through the window families),
-    ALL 15 r06 keys, and the alphabetically-first 2 of the 32-key r07
-    block (activity_islands, ann_lsh_multiprobe). After this window
-    lands the oldest evidence is r07's 30-key remainder — the r05/r06
-    tail is retired entirely and the histogram bottoms at r07. The
+    window leads with the two round-14 additions (ann_ivf_refresh and
+    its streaming face ann_ivf_refresh_stream — same-round evidence
+    discipline), then rotates onto the LEAST-RECENTLY-CONFIRMED tail
+    exactly as VERDICT r13 task 5 directs: ALL 32 keys of the r05
+    remainder (data_profile — restored to the gate after the r13
+    off-by-one silently excluded it at position 51 (ADVICE r13) —
+    through the window families), ALL 15 r06 keys, and the
+    alphabetically-first key of the 32-key r07 block
+    (activity_islands). After this window lands the oldest evidence
+    is r07's 31-key remainder — the r05/r06 tail is retired entirely
+    and the histogram bottoms at r07. The
     reorder is applied by ``_R14_WINDOW`` below over the stable
     literal, so no key is ever duplicated (the window's size and
     registry membership are pinned by
@@ -8203,8 +8256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query at every position stays locally oracle-checked by
     tests/test_oracle_parity.py."""
     reg = {
-        # ===== round-14 addition (same-round evidence discipline) =====
+        # ===== round-14 additions (same-round evidence discipline) =====
         "ann_ivf_refresh": q_ann_ivf_refresh,
+        "ann_ivf_refresh_stream": q_ann_ivf_refresh_stream,
         # ===== round-13 additions =====
         "cross_modal_incremental": q_cross_modal_incremental,
         "media_index_refresh": q_media_index_refresh,
@@ -8534,12 +8588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-14 correctness window (the driver checks the FIRST 50 keys —
 # EXACTLY 50 entries here, pinned by test_round14_fixes; the r13 list
 # held 51 and silently dropped data_profile from the gate, ADVICE
-# r13): the round-14 addition, then the FULL 32-key r05 remainder
-# (leading with the dropped data_profile), the FULL 15-key r06 block,
-# and the alphabetically-first 2 of the r07 block — see queries()
-# docstring.
+# r13): the two round-14 additions, then the FULL 32-key r05
+# remainder (leading with the dropped data_profile), the FULL 15-key
+# r06 block, and the alphabetically-first key of the r07 block — see
+# queries() docstring.
 _R14_WINDOW = [
     "ann_ivf_refresh",
+    "ann_ivf_refresh_stream",
     # r05 remainder (32)
     "data_profile",
     "data_profile_by",
@@ -8589,9 +8644,8 @@ _R14_WINDOW = [
     "repurchase_interval",
     "rfm_segments",
     "time_weighted_avg",
-    # r07 head (2)
+    # r07 head (1)
     "activity_islands",
-    "ann_lsh_multiprobe",
 ]
 
 
@@ -12971,6 +13025,26 @@ def oracle_sql() -> dict[str, str]:
         # embeddings table, i.e. the ann_ivf invariant verbatim: any
         # vector the refresh lost/duplicated/mis-assigned, or any
         # build-vs-refresh tie-break drift, hash-mismatches.
+        # ann_ivf_refresh_stream drains the same batch through
+        # foreachBatch appends and probes the same refreshed index, so
+        # it shares the merged-corpus brute-force oracle verbatim: a
+        # dropped or double-applied micro-batch changes the posting
+        # multiset and the all-cell probe's ranks hash-mismatch.
+        "ann_ivf_refresh_stream": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS match_id, embedding AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, match_id,
+                              list_cosine_similarity(qv, cv) AS cos
+                       FROM q, c WHERE query_id <> match_id)
+            SELECT query_id, match_id, rank FROM (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, match_id) AS rank
+              FROM s) t
+            WHERE rank <= 10
+        """,
         "ann_ivf_refresh": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),

@@ -255,12 +255,13 @@ HEADLINE = [
     # steady-state refresh the operator exists for. The refresh-shape
     # evidence lives in test_plan_quality.py (ref side scanned from
     # the stored index, not re-shingled).
-    # NOTE: ann_ivf_refresh (round 14) joins the same exclusion class —
-    # the self-contained query builds the IVF index per call. The
-    # steady-state numbers for the WHOLE refresh family now live in
-    # bench_refresh.json (tools/bench_refresh.py — VERDICT r13 task 1:
-    # stored artifact built once OUTSIDE the timer, the refresh join
-    # alone warm + min-of-3), merged into bench_full.json below.
+    # NOTE: ann_ivf_refresh and ann_ivf_refresh_stream (round 14) join
+    # the same exclusion class — the self-contained queries build the
+    # IVF index per call. The steady-state numbers for the WHOLE
+    # refresh family now live in bench_refresh.json
+    # (tools/bench_refresh.py — VERDICT r13 task 1: stored artifact
+    # built once OUTSIDE the timer, the refresh join alone warm +
+    # min-of-3), merged into bench_full.json below.
 ]
 
 # STABLE TIER (VERDICT r9 task 8): a FIXED 50-query subset that owns

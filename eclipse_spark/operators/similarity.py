@@ -636,6 +636,52 @@ def ivf_refresh(
     )
 
 
+def ivf_refresh_stream(
+    catalog,
+    new_vectors_stream: DataFrame,
+    table: str = "ivf_index",
+    checkpoint: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """STREAMING face of :func:`ivf_refresh` — continuous vector
+    ingest into the stored IVF index, completing the batch+stream
+    symmetry every other refresh tier already has (`stream_media
+    refresh` for fingerprints, the IVM sinks for rollups): each
+    micro-batch runs the BATCH refresh verbatim inside
+    ``foreachBatch`` — broadcast assignment against the stored
+    centroids (static, read per batch, never in state) and the
+    O(batch) partitioned append — so a drained finite stream leaves
+    the index bit-identical to one monolithic :func:`ivf_refresh` of
+    the same rows (the batch-parity test), and the all-cell probe
+    over it still reproduces brute force on the merged corpus (the
+    `ann_ivf_refresh_stream` oracle). The per-vector argmax window
+    is legal here because foreachBatch hands over a plain batch
+    DataFrame; nothing is stateful stream-side, so state is ZERO —
+    the index directory is the state. Delivery is AT-LEAST-ONCE per
+    micro-batch: a replayed batch re-appends its postings (parquet
+    append is not idempotent), so production pairs the sink with a
+    checkpoint (pass ``checkpoint``) and, if the source can replay
+    beyond it, either dedups postings on (match_id) at rebuild time
+    or keys replay detection on a batch-id marker the way the IVM
+    sink does (`storage.put` markers). Drains synchronously over a
+    finite source (processAllAvailable) like the other local stream
+    demos; production omits the drain and lets the trigger cadence
+    own append sizes."""
+    def _append(batch_df: DataFrame, _bid: int) -> None:
+        ivf_refresh(
+            catalog, batch_df, table=table, id_col=id_col, vec_col=vec_col
+        )
+
+    w = new_vectors_stream.writeStream.foreachBatch(_append)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def ivf_cell_stats(postings: DataFrame) -> DataFrame:
     """Cell-occupancy audit over a stored IVF posting table — the
     rebuild-scheduling signal :func:`ivf_refresh`'s docstring names:

@@ -222,6 +222,43 @@ def test_ivf_refresh_does_not_read_existing_postings(spark, sf_smoke):
             cat.get(postings_tbl).count()
 
 
+def test_ivf_refresh_stream_batch_parity(spark, sf_smoke):
+    """The streaming face drained over a finite source must leave the
+    index bit-identical to one monolithic batch refresh of the same
+    rows — a dropped or double-applied micro-batch breaks the posting
+    multiset equality."""
+    from eclipse_spark.operators import similarity as sim
+    from eclipse_spark.storage import Catalog
+    from eclipse_spark.streaming import windows as sw
+
+    emb_path = os.path.join(sf_smoke, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path)
+    ref = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="eclipse_r14_ivfs_") as d:
+        cat = Catalog(spark, os.path.join(d, "cat"))
+        sim.ivf_index(cat, ref, table="s_a", n_cells=16)
+        sim.ivf_index(cat, ref, table="s_b", n_cells=16)
+        stream = sw.stream_from_parquet(
+            spark, os.path.join(sf_smoke, "embeddings.*"), emb.schema
+        ).filter(F.col("vec_id") % 4 == 0)
+        sim.ivf_refresh_stream(
+            cat, stream, table="s_a", checkpoint=os.path.join(d, "ckpt")
+        )
+        sim.ivf_refresh(cat, new, table="s_b")
+        drained = sorted(
+            (r["match_id"], r["cell"])
+            for r in cat.get("s_a_postings").select("match_id", "cell").collect()
+        )
+        batch = sorted(
+            (r["match_id"], r["cell"])
+            for r in cat.get("s_b_postings").select("match_id", "cell").collect()
+        )
+        assert drained == batch and len(drained) == emb.count(), (
+            "drained stream index diverged from the monolithic batch refresh"
+        )
+
+
 def test_ivf_cell_stats_accounts_every_vector(spark, sf_smoke):
     """The rebuild-scheduling audit: counts per cell must sum to the
     corpus, shares to ~1.0 — and the stats must reflect a refresh

@@ -167,8 +167,11 @@ PROBE = [
     # build + O(batch) centroid-assignment append + all-cell probe
     # (assignment is batch x n_cells broadcast work; the probe scores
     # n_queries x merged-corpus pairs at n_probe = n_cells — both
-    # linear per decade; counter below)
+    # linear per decade; counter below) — and its streaming face
+    # (foreachBatch appends over a finite drain; same work, plus
+    # micro-batch machinery)
     "ann_ivf_refresh",
+    "ann_ivf_refresh_stream",
 ]
 
 # Probe-only fn overrides (rows that are not registry queries:
@@ -824,6 +827,7 @@ WORK_COUNTS = {
     "semantic_incremental_dedup": _xsem_cand_count,
     "semantic_incremental_scaled": _xsem_cand_count,
     "ann_ivf_refresh": _ivf_refresh_work_count,
+    "ann_ivf_refresh_stream": _ivf_refresh_work_count,
 }
 
 DEEP_VOLUME_ONLY["media_video_shifted"] = _video_shifted_cand_count
