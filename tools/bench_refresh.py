@@ -345,8 +345,6 @@ def main() -> None:
         # assignment/append work; the drain mutates the scratch index
         # per run — identical work each run, which is what the timer
         # wants)
-        from eclipse_spark.streaming import windows as sw
-
         emb_schema = emb.schema
         emb_glob = os.path.join(sf_dir, "embeddings.*")
 
