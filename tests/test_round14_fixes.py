@@ -48,7 +48,12 @@ def test_video_shifted_leaves_no_persisted_rdd(spark):
     )
     out.count()
     out.count()  # a second action must also be legal (recompute, lazy)
-    assert _persisted_count(spark) == before, (
+    # <= not ==: in a long shared session the ContextCleaner may
+    # asynchronously unpersist UNRELATED dropped RDDs from earlier
+    # tests during this window, legitimately shrinking the count; the
+    # leak under test is GROWTH (the r13 persist added one entry per
+    # invocation, so two invocations would show before+2 here)
+    assert _persisted_count(spark) <= before, (
         "video_near_pairs_shifted leaked a persisted RDD across its "
         "own materialization"
     )
