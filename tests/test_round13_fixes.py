@@ -86,7 +86,10 @@ def test_dhash_pairs_against_unpersists_on_guard_trip(spark):
     before = _persisted_count(spark)
     with pytest.raises(ValueError, match="candidate pairs"):
         mm.dhash_pairs_against(hs, hs, max_pairs=0)
-    assert _persisted_count(spark) == before, (
+    # <= not ==: the ContextCleaner may asynchronously unpersist
+    # UNRELATED dropped RDDs from earlier tests during this window
+    # (r14 lesson); the leak under test is GROWTH
+    assert _persisted_count(spark) <= before, (
         "guard trip leaked persisted hash frames"
     )
 
@@ -97,7 +100,8 @@ def test_video_shifted_unpersists_on_guard_trip(spark):
     before = _persisted_count(spark)
     with pytest.raises(ValueError, match="candidate rows"):
         mm.video_near_pairs_shifted(hs, max_shift=1, max_pairs=0)
-    assert _persisted_count(spark) == before, (
+    # <= not == — see test_dhash_pairs_against_unpersists_on_guard_trip
+    assert _persisted_count(spark) <= before, (
         "guard trip leaked the persisted base frame"
     )
 
