@@ -373,7 +373,8 @@ def test_semantic_dedup_against_flags_plants_and_guards(spark, sf_smoke):
     before = _persisted_count(spark)
     with pytest.raises(RuntimeError, match="pair count"):
         dedup.semantic_dedup_against(new, ref, cents, max_pairs=1)
-    assert _persisted_count(spark) == before, "guard trip leaked persists"
+    # <= not == — async ContextCleaner shrinkage, see the r14 note above
+    assert _persisted_count(spark) <= before, "guard trip leaked persists"
 
 
 def test_semantic_scaled_cross_equals_exact_tier(spark, sf_smoke):
@@ -419,4 +420,5 @@ def test_semantic_scaled_cross_equals_exact_tier(spark, sf_smoke):
     before = _persisted_count(spark)
     with pytest.raises(RuntimeError, match="pair count"):
         dedup.semantic_dedup_against_scaled(new, ref, cents, max_pairs=1)
-    assert _persisted_count(spark) == before, "guard trip leaked persists"
+    # <= not == — async ContextCleaner shrinkage, see the r14 note above
+    assert _persisted_count(spark) <= before, "guard trip leaked persists"
