@@ -41,6 +41,41 @@ MEDIA_SCHEMA = (
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Decouple heavyweight per-row Python compute from the upstream
+    storage layout (optimization r14; guide §2.5 "one huge unsplittable
+    file → repartition immediately after the read"): the synthetic
+    corpus generators consume a slim id/seed frame that typically comes
+    straight off a parquet scan, and a scan task can only claim whole
+    row groups — the sf testdata is one row group per table, so the
+    entire Arrow encode stage (and everything narrow above it, including
+    the banded verify joins that broadcast their right side) was running
+    in ONE task. Round-robin repartition of the slim rows to the
+    session's default parallelism spreads the kernel over the cluster;
+    the exchange moves a few bytes per row, the payload bytes are still
+    born inside the downstream stage and never shuffle. Scale-adaptive
+    (``defaultParallelism``, not a constant): on a cluster this is total
+    executor cores; a storage layout that already fans out wider simply
+    gets folded to that width — for a compute-bound kernel stage that
+    is the right task granularity either way. Works unchanged on
+    streaming frames (a per-micro-batch exchange before the stateless
+    kernel stages).
+
+    Width = half the default parallelism (floor 2), measured across the
+    generator family at widths {1, 2, 4, 8, 12, 16, 32} on local[32]:
+    full width made every downstream narrow stage a 32-task flood whose
+    per-task overhead exceeded the kernel work for the lighter codecs
+    (BMP chain 1.8-2.2 s → 3.0-3.8 s at width 32), while half width won
+    for every kernel (BMP chain → ~1.5 s, video bands 2.2-2.9 → ~0.6 s,
+    windowed audio 1.3-1.6 → ~0.5 s, wav fingerprint 1.0-1.1 →
+    ~0.45 s). Half width is also the structurally right default here:
+    these generators are consumed as 2-3-way unioned branches (corpus +
+    planted + trimmed), so concurrent branches together saturate the
+    machine without over-splitting any one kernel stage."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(2, sc.defaultParallelism // 2))
+
+
 def read_binary_dir(spark, path: str) -> DataFrame:
     """Ingest a directory of files as (path, modificationTime, length,
     content) — Spark's binaryFile source; the standard way raw media
@@ -327,7 +362,9 @@ def encode_pattern_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(bmp_encode(v.astype(np.uint8)))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(id_col)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def frame_sample_plan(
@@ -421,7 +458,9 @@ def encode_pattern_wav(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(wav_encode(samples, rate))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(id_col)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def audio_features(
@@ -580,7 +619,9 @@ def encode_pattern_video(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(video_encode(frames))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(id_col)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def video_frame_features(
@@ -649,7 +690,9 @@ def encode_textured_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(bmp_encode(v.astype(np.uint8)))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(id_col)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def encode_textured_video(
@@ -699,7 +742,9 @@ def encode_textured_video(
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
     cols = [id_col] + ([frames_col] if frames_col else [])
-    return df.select(*cols).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(*cols)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def video_dhash_bands(
@@ -1547,7 +1592,9 @@ def encode_tone_wav(
                 payloads.append(wav_encode(samples, 8000))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return df.select(id_col).mapInPandas(_run, schema="id long, bytes binary")
+    return _fan_out(df.select(id_col)).mapInPandas(
+        _run, schema="id long, bytes binary"
+    )
 
 
 def audio_fingerprint_bands(
