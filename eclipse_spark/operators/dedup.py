@@ -247,8 +247,25 @@ def minhash_bucket_rollup(
     rpb = num_hashes // bands
     if rpb * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    shingled = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    # Fan the slim (id, text) rows out BEFORE the per-row signature
+    # projection (r14, guide §2.5 input skew / §4 slim boundary): the
+    # interpreted HOF chain below is the whole pipeline's cost, and a
+    # single-file micro-batch (or single-row-group batch table) feeds
+    # it exactly ONE partition — measured 19-48 s at sf0.1 with every
+    # core but one idle. Streaming frames cannot be introspected for
+    # partition count (df.rdd is illegal on a stream), so streams
+    # always repartition — only the two slim columns cross, and the
+    # groupBy(band, bh) rollup is order-independent so results are
+    # unchanged. Batch frames keep the no-op-at-scale guard.
+    slim = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    if df.isStreaming:
+        slim = slim.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else:
+        from eclipse_spark.util import ensure_parallelism
+
+        slim = ensure_parallelism(slim)
+    shingled = slim.select(
+        "id",
         F.array_distinct(
             word_shingles_raw(tokens(F.col(text_col)), shingle_k)
         ).alias("_sh"),
@@ -420,13 +437,13 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         E.select(F.col("u").alias("node"))
         .union(E.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     converged = False
@@ -471,8 +488,12 @@ def connected_components_star(
                 F.least("_e.a", "_e.b").alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
+            # LAZY checkpoint: the convergence collect right below
+            # materializes it inside the same job — one driver action
+            # per round instead of two (r14, guide §1/§7: the loop is
+            # job-latency-bound, every data job far under a second)
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = tuple(
             ss.agg(
@@ -530,14 +551,20 @@ def connected_components(
     clusters would corrupt every downstream dedup decision); for
     high-diameter graphs use :func:`connected_components_star`, which
     converges in O(log n) rounds."""
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # the symmetric edge view is localCheckpointed ONCE: without it
+    # every propagation round re-executes the whole upstream edge
+    # pipeline (for near-dedup that is the banded-LSH + verify plan)
+    # from scratch (r14, guide §5 caching note)
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -555,7 +582,8 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence collect materializes it in-job
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

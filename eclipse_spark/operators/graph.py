@@ -284,7 +284,8 @@ def bfs_distances(
             .agg(F.min("dist").cast("int").alias("dist"))
         )
         if deep:
-            dist = dist.localCheckpoint(eager=True)
+            # lazy: the fixpoint probe materializes it in the same job
+            dist = dist.localCheckpoint(eager=False)
             sig = tuple(dist.agg(F.count("*"), F.sum("dist")).collect()[0])
             if sig == prev_sig:
                 break
@@ -362,7 +363,8 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast(dist_t).alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint checksum materializes it in-job
+            .localCheckpoint(eager=False)
         )
         # hash sum accumulates in decimal(38,0): ANSI-safe (a long sum
         # of 2^63-scale hashes overflows) and still order-free/exact
@@ -549,7 +551,24 @@ def k_core(
     ``decrement_rows_total`` — the measured per-round work the scale
     probe records. No persisted block outlives the call (the edge
     cache unpersists before return; the returned frame is its own
-    checkpoint)."""
+    checkpoint).
+
+    Round-trip shape (optimization r14, guide §1/§7 — the peel is
+    JOB-LATENCY-bound, not data-bound: 109 jobs / 15 rounds at sf0.1
+    with every data job under 0.5 s): each round submits exactly ONE
+    driver action — the convergence aggregate — over a LAZY
+    localCheckpoint, so the checkpoint materializes inside the same
+    job instead of paying a separate eager-materialization action.
+    The old ``good`` semi-join on the decrement scan is gone: the
+    final join against the ``degree >= k`` survivor table masks dead
+    and earlier-dead nodes identically (deg only ever contains
+    never-deleted nodes), one join and one AQE broadcast fewer per
+    round. The degree table coalesces to a row-count-derived
+    partition count (~1M 2-long rows per partition ≈ tens of MB, the
+    guide §2.2 partition-size band) so later rounds do not inherit
+    round 0's full shuffle fan-out for a table that has peeled to a
+    fraction of it — size-adaptive, no constant tied to local core
+    counts."""
     sym = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -560,10 +579,12 @@ def k_core(
         .persist()
     )
     # round 0: the ONE full degree aggregate over the cached edges
+    # (lazy checkpoint — the round-0 convergence collect materializes
+    # it inside its own job)
     deg = (
         sym.groupBy("u")
         .agg(F.count("*").alias("degree"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_dead_total = 0
     dec_rows_total = 0
@@ -585,6 +606,19 @@ def k_core(
             prev_sumdeg_good = int(sum_good or 0)
             if n_cached is None:
                 n_cached = n_nodes
+                # one-time cache repack: the distinct-shuffle layout
+                # fans the edge cache across every shuffle partition
+                # regardless of size, and EVERY round scans it — repack
+                # to a row-count-derived width (sum_all = 2|E| is free
+                # from the convergence collect) when the layout is >4x
+                # wider than the data warrants. At real scale p_e is
+                # large and this is a no-op.
+                p_e = max(1, int(sum_all or 0) // 1_000_000 + 1)
+                if sym.rdd.getNumPartitions() > 4 * p_e:
+                    repacked = sym.coalesce(p_e).persist()
+                    repacked.count()  # materialize before dropping old
+                    sym.unpersist()
+                    sym = repacked
             if n_nodes == 0 or n_good == n_nodes:
                 if stats_out is not None:
                     stats_out["rounds"] = rnd
@@ -595,17 +629,20 @@ def k_core(
                     F.col("degree").cast("long").alias("degree"),
                 )
             dead = deg.filter(F.col("degree") < k).select("u")
-            good = deg.filter(F.col("degree") >= k).select("u")
             n_dead_total += n_nodes - n_good
             # decrements on the CACHED edge list: edges into this
-            # round's dead whose other endpoint is a survivor. The
-            # cache may still hold edges of earlier-dead nodes (no
-            # per-round rewrite); the two semi-joins mask them exactly
-            # because deg only ever contains never-deleted nodes.
+            # round's dead. The cache may still hold edges of dead or
+            # earlier-dead nodes (no per-round rewrite); the join
+            # against the filtered survivor table below masks them
+            # exactly because deg only ever contains never-deleted
+            # nodes — no second semi-join needed.
             incident = sym.join(
                 dead.withColumnRenamed("u", "v"), "v", "left_semi"
-            ).join(good, "u", "left_semi")
+            )
             dec = incident.groupBy("u").agg(F.count("*").alias("_d"))
+            # partitions sized from the measured survivor count
+            # (~1M (u, degree) rows ≈ tens of MB per partition)
+            p_v = max(1, int(n_good) // 1_000_000 + (1 if n_good % 1_000_000 else 0))
             deg = (
                 deg.filter(F.col("degree") >= k)
                 .join(dec, "u", "left")
@@ -615,7 +652,8 @@ def k_core(
                         F.col("degree") - F.coalesce(F.col("_d"), F.lit(0))
                     ).alias("degree"),
                 )
-                .localCheckpoint(eager=True)
+                .coalesce(p_v)
+                .localCheckpoint(eager=False)
             )
             # COMPACT the edge cache only when enough of the nodes it
             # was built for have died (the per-round rewrite of the old
@@ -626,9 +664,13 @@ def k_core(
             # per-round-latency-bound — measured at sf0.1)
             if n_cached >= 100_000 and n_good < n_cached * 3 // 4:
                 live = deg.select("u")
+                # compacted row count <= Σdeg(survivors) = sum_good;
+                # size partitions from it (~1M 2-long rows each)
+                p_e = max(1, int(sum_good or 0) // 1_000_000 + 1)
                 compacted = (
                     sym.join(live, "u", "left_semi")
                     .join(live.withColumnRenamed("u", "v"), "v", "left_semi")
+                    .coalesce(p_e)
                     .persist()
                 )
                 compacted.count()  # materialize before dropping the old cache
@@ -703,9 +745,10 @@ def k_truss(
             F.greatest(F.col("a"), F.col("b")).alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if e.count() == 0:
+    n_live = e.count()  # materializes the lazy checkpoint in the same job
+    if n_live == 0:
         return e.withColumn("support", F.lit(0).cast("long"))
 
     # -- round 0: one full support count over the initial edge set ----
@@ -754,21 +797,41 @@ def k_truss(
             F.explode(F.array_intersect("_nu", "_nv")).alias("z"),
         )
     )
-    canon = [
-        tri.select(_c_lo("x", "y").alias("a"), _c_hi("x", "y").alias("b")),
-        tri.select(_c_lo("x", "z").alias("a"), _c_hi("x", "z").alias("b")),
-        tri.select(_c_lo("y", "z").alias("a"), _c_hi("y", "z").alias("b")),
-    ]
+    # one scan of the triangle join: explode each triangle into its 3
+    # canonical edges (the old 3-way unionAll re-ran the adjacency
+    # join + intersect once PER BRANCH — tri is unpersisted by design,
+    # so the union tripled round 0's dominant compute; r14, guide §2.4)
     counted = (
-        canon[0]
-        .unionAll(canon[1])
-        .unionAll(canon[2])
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        _c_lo("x", "y").alias("a"), _c_hi("x", "y").alias("b")
+                    ),
+                    F.struct(
+                        _c_lo("x", "z").alias("a"), _c_hi("x", "z").alias("b")
+                    ),
+                    F.struct(
+                        _c_lo("y", "z").alias("a"), _c_hi("y", "z").alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("support"))
     )
     # zero-support edges sit in no triangle but must still peel (and,
     # for k=3... they never survive; include them so support math is
     # total over the live edge set)
+    # partitions sized from the measured live-edge count (~1M 3-long
+    # rows ≈ tens of MB per partition); the support table is scanned
+    # several times per delta round, so a degenerate many-near-empty-
+    # partition layout multiplies per-round task overhead (r14: the
+    # peel is job/task-latency-bound, every data job under 0.5 s)
+    def _p(n: int) -> int:
+        return max(1, int(n) // 1_000_000 + (1 if n % 1_000_000 else 0))
+
     sup = (
         e.join(counted, ["a", "b"], "left")
         .select(
@@ -776,17 +839,27 @@ def k_truss(
             "b",
             F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
         )
-        .localCheckpoint(eager=True)
+        .coalesce(_p(n_live))
+        .localCheckpoint(eager=False)
     )
-    oriented.unpersist()
 
     # -- delta rounds: subtract destroyed triangles, never recount ----
+    # ONE driver action per round: counting the dead edges materializes
+    # the round's lazy support checkpoint inside the same job (r14 —
+    # the old eager-checkpoint + separate persist/count pair paid two
+    # actions and an extra cache round-trip per round). ``dead`` needs
+    # no persist: it is a filter over the materialized checkpoint.
+    first = True
     for _ in range(max_rounds):
-        dead = sup.filter(F.col("support") < k - 2).select("a", "b").persist()
-        n_dead = dead.count()
+        n_dead = sup.filter(F.col("support") < k - 2).count()
+        if first:
+            # the support checkpoint now holds the triangle count's
+            # output; the adjacency scaffold can go
+            oriented.unpersist()
+            first = False
         if n_dead == 0:
-            dead.unpersist()
             return sup
+        dead = sup.filter(F.col("support") < k - 2).select("a", "b")
         live = sup.select("a", "b")  # pre-deletion live set (incl. dead)
         sym = live.select(
             F.col("a").alias("u"), F.col("b").alias("w")
@@ -822,6 +895,7 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count("*").cast("long").alias("_d"))
         )
+        n_live -= n_dead
         sup = (
             sup.join(dead, ["a", "b"], "left_anti")
             .join(dec, ["a", "b"], "left")
@@ -832,9 +906,9 @@ def k_truss(
                 .cast("long")
                 .alias("support"),
             )
-            .localCheckpoint(eager=True)
+            .coalesce(_p(n_live))
+            .localCheckpoint(eager=False)
         )
-        dead.unpersist()
     raise RuntimeError(
         f"k_truss: no fixpoint within max_rounds={max_rounds} "
         f"(still peeling, k={k}); raise max_rounds — "
@@ -913,7 +987,8 @@ def coreness(
                 .alias("est")
             )
             .withColumnRenamed("v", "u")
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint checksum materializes it in-job
+            .localCheckpoint(eager=False)
         )
         sig = tuple(
             nxt.agg(
