@@ -8156,12 +8156,22 @@ def _xinc_body(
     )
     plants = ref.filter(F.col("doc_id") % 8 == 1)
     n_base = new_t.count()
-    n_plant = plants.count()
+    # one scan of ref for both scalars (r14: two counts = two driver
+    # actions over the same frame; the loop family is action-bound)
+    _refrow = ref.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("doc_id") % 8 == 1, 1).otherwise(0)).alias("p"),
+    ).collect()[0]
+    n_ref, n_plant = int(_refrow["n"]), int(_refrow["p"])
     n_new = n_base + n_plant
-    n_ref = ref.count()
 
     def accounting(pairs: DataFrame) -> tuple[int, int]:
-        return pairs.count(), pairs.select("id_new").distinct().count()
+        # one action for both scalars (pairs is checkpoint-backed)
+        row = pairs.agg(
+            F.count("*").alias("c"),
+            F.count_distinct(F.col("id_new")).alias("d"),
+        ).collect()[0]
+        return int(row["c"]), int(row["d"])
 
     # text: exact-content new x ref join (the persisted index is the
     # ref side's content hash; equality join stands in bit-for-bit)

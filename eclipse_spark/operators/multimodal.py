@@ -913,10 +913,17 @@ def video_near_pairs(
             ham.cast("long").alias("fham"),
         )
         .filter(F.col("fham") <= max_hamming)
-        .distinct()
     )
+    # ONE post-join exchange instead of two (r14, guide §2.4): cluster
+    # by (id_a, id_b) once; the per-frame dedup (a frame pair matching
+    # in 2+ band tables duplicates a row with the identical fham — a
+    # function of the full hash columns) and the video-level rollup
+    # both run exchange-free on top of it.
     out = (
-        frame_pairs.groupBy("id_a", "id_b")
+        frame_pairs.repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b", "g")
+        .agg(F.min("fham").alias("fham"))
+        .groupBy("id_a", "id_b")
         .agg(
             F.count("*").cast("long").alias("n_close"),
             F.sum("fham").cast("long").alias("sum_hamming"),
@@ -1511,10 +1518,22 @@ def video_near_pairs_shifted(
             ham.cast("long").alias("fham"),
         )
         .filter(F.col("fham") <= max_hamming)
-        .distinct()
     )
+    # ONE post-join exchange instead of three (r14, guide §2.4): the
+    # old tail shuffled the survivors for a 5-column distinct, again
+    # for the (id_a, id_b, shift) rollup, and a third time for the
+    # best-shift window. Clustering by (id_a, id_b) up front satisfies
+    # every downstream requirement (groupBys on supersets of the key,
+    # window partitioned exactly by it), so dedup + rollup + ranking
+    # all run exchange-free. The distinct becomes a per-(pair, shift,
+    # frame) min: duplicate rows come only from a frame pair matching
+    # in 2+ band tables, and fham is a function of the two frames'
+    # full hash columns, so duplicates carry the identical value.
     per_shift = (
-        frame_pairs.groupBy("id_a", "id_b", "shift")
+        frame_pairs.repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b", "shift", "g")
+        .agg(F.min("fham").alias("fham"))
+        .groupBy("id_a", "id_b", "shift")
         .agg(
             F.count("*").cast("long").alias("n_close"),
             F.sum("fham").cast("long").alias("sum_hamming"),

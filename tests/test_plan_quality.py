@@ -777,3 +777,24 @@ def test_fingerprint_bucket_rollup_single_aggregation(spark):
     n_key = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_key == 1, "rollup must be a single key shuffle"
     assert plan.count("HashAggregate") >= 2, "no map-side partial agg"
+
+
+def test_video_pair_tails_single_postjoin_exchange(spark):
+    """r14 optimization: the video pair operators' post-join tails
+    cluster ONCE by (id_a, id_b) — the per-frame dedup, the pair-level
+    rollup, and (shifted) the best-shift window all reuse that single
+    exchange instead of shuffling the survivors 2-3 more times. With
+    the tiny fixture the banded join broadcasts, so the repartition is
+    the plan's ONLY hash exchange."""
+    from eclipse_spark.operators import multimodal as mm
+
+    vids = mm.encode_pattern_video(spark.range(12).select("id"))
+    hs = mm.video_dhash_bands(vids)
+    for op in (
+        lambda h: mm.video_near_pairs(h, max_pairs=None),
+        lambda h: mm.video_near_pairs_shifted(h, max_pairs=None),
+    ):
+        plan = _plan(op(hs))
+        n_key = len(re.findall(r"Arguments: hashpartitioning", plan))
+        assert n_key == 1, f"expected 1 key exchange, saw {n_key}"
+        assert "hashpartitioning(id_a" in plan
