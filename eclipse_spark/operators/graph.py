@@ -970,12 +970,21 @@ def coreness(
         .distinct()
         .persist()
     )
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("degree"))
+    # deg is referenced again by the FINAL join, after sym has been
+    # unpersisted — without its own checkpoint the returned plan
+    # re-runs the whole upstream edge pipeline at execution time
+    # (r14: measured 9 extra exec jobs). Lazy: round 0 materializes it.
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .localCheckpoint(eager=False)
+    )
     est = deg.select("u", F.col("degree").alias("est")).localCheckpoint(
-        eager=True
+        eager=False
     )
     w = Window.partitionBy("v").orderBy(F.desc("est"), F.asc("u"))
     prev_sig = None
+    n_nodes = None
     for _ in range(max_rounds):
         msgs = sym.join(est, "u").select("v", "u", "est")
         nxt = (
@@ -987,15 +996,23 @@ def coreness(
                 .alias("est")
             )
             .withColumnRenamed("v", "u")
-            # lazy: the fixpoint checksum materializes it in-job
-            .localCheckpoint(eager=False)
         )
+        if n_nodes is not None:
+            # partitions sized from the measured node count (~1M
+            # 2-long rows per partition — r14: the estimate table
+            # otherwise inherits the full shuffle fan-out forever,
+            # near-empty tasks every round; size-derived, no local
+            # constant)
+            nxt = nxt.coalesce(max(1, int(n_nodes) // 1_000_000 + 1))
+        # lazy: the fixpoint checksum materializes it in-job
+        nxt = nxt.localCheckpoint(eager=False)
         sig = tuple(
             nxt.agg(
                 F.count("*"),
                 F.sum(F.xxhash64("u", "est").cast("decimal(38,0)")),
             ).collect()[0]
         )
+        n_nodes = sig[0]
         est = nxt
         if sig == prev_sig:
             sym.unpersist()
