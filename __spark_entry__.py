@@ -4416,11 +4416,19 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash family, so unlike a recall bound this estimator
     audit is hash-checked value-for-value by the oracle."""
     docs = _t(spark, sf_dir, "documents")
+    # ONE signature pass shared by candidates and estimates (r14:
+    # Spark has no subtree CSE, so the md5-per-shingle signature
+    # pipeline otherwise executes once per reference — 4x here, both
+    # operators reference it for each self-join side); lazy
+    # checkpoint, the first action materializes it
+    sig = dedup.minhash_signatures_df(
+        docs, num_hashes=32, shingle_k=5, portable=True
+    ).localCheckpoint(eager=False)
     cands = dedup.minhash_lsh_candidates(
-        docs, num_hashes=32, bands=8, shingle_k=5, portable=True
+        docs, num_hashes=32, bands=8, shingle_k=5, portable=True, sig=sig
     )
     est = dedup.minhash_estimate_pairs(
-        docs, cands, num_hashes=32, shingle_k=5, portable=True
+        docs, cands, num_hashes=32, shingle_k=5, portable=True, sig=sig
     )
     sh = docs.select(
         F.col("doc_id").alias("_id"),

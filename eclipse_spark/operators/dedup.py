@@ -186,6 +186,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     portable: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: signature split into
     ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
@@ -194,7 +195,15 @@ def minhash_lsh_candidates(
     bucket, never all-pairs. ``portable=True`` uses the md5-derived
     hash family end-to-end (band hash included) so an external SQL
     oracle reproduces the exact candidate set."""
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k, portable)
+    # ``sig``: optionally share a precomputed signature table (r14 —
+    # Spark does not CSE identical aggregation subtrees across a
+    # query, so a caller composing candidates + estimates otherwise
+    # pays the explode + md5-per-shingle pass once per reference;
+    # checkpoint it caller-side and both consumers read it)
+    if sig is None:
+        sig = minhash_signatures_df(
+            df, text_col, id_col, num_hashes, shingle_k, portable
+        )
     banded = _minhash_banded(sig, num_hashes, bands, portable)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1647,6 +1656,7 @@ def minhash_estimate_pairs(
     portable: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-based Jaccard ESTIMATE for candidate pairs: the
     fraction of equal MinHash components — the number the LSH tier
@@ -1656,9 +1666,10 @@ def minhash_estimate_pairs(
     double. Joining against the signature table costs candidate-count
     rows; signatures are num_hashes longs per doc regardless of
     document size — the whole point of sketch-verify."""
-    sig = minhash_signatures_df(
-        df, text_col, id_col, num_hashes, shingle_k, portable
-    )
+    if sig is None:
+        sig = minhash_signatures_df(
+            df, text_col, id_col, num_hashes, shingle_k, portable
+        )
     a = sig.select(
         F.col("id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"_a{i}") for i in range(num_hashes)],

@@ -713,3 +713,34 @@ def test_semantic_dedup_scaled_autoscale_path_and_guard(spark):
     with _pytest.raises(RuntimeError, match="max_cell_factor"):
         semantic_dedup_scaled(flat, target_cell_size=2, n_iter=0,
                               max_cell_factor=4)
+
+
+def test_minhash_shared_sig_param_matches_recompute(spark, sf_smoke):
+    """r14: minhash_lsh_candidates / minhash_estimate_pairs accept a
+    precomputed signature table (one md5-per-shingle pass shared by
+    both consumers instead of once per reference); results must be
+    identical to the recompute path."""
+    from eclipse_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    sig = dedup.minhash_signatures_df(
+        docs, num_hashes=16, shingle_k=3, portable=True
+    ).localCheckpoint(eager=False)
+    base_c = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3, portable=True
+    )
+    shared_c = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3, portable=True, sig=sig
+    )
+    assert sorted(map(tuple, base_c.collect())) == sorted(
+        map(tuple, shared_c.collect())
+    )
+    base_e = dedup.minhash_estimate_pairs(
+        docs, base_c, num_hashes=16, shingle_k=3, portable=True
+    )
+    shared_e = dedup.minhash_estimate_pairs(
+        docs, shared_c, num_hashes=16, shingle_k=3, portable=True, sig=sig
+    )
+    assert sorted(map(tuple, base_e.collect())) == sorted(
+        map(tuple, shared_e.collect())
+    )
