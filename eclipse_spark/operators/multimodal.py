@@ -41,7 +41,7 @@ MEDIA_SCHEMA = (
 )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, weight: str = "heavy") -> DataFrame:
     """Decouple heavyweight per-row Python compute from the upstream
     storage layout (optimization r14; guide §2.5 "one huge unsplittable
     file → repartition immediately after the read"): the synthetic
@@ -71,9 +71,22 @@ def _fan_out(df: DataFrame) -> DataFrame:
     ~0.45 s). Half width is also the structurally right default here:
     these generators are consumed as 2-3-way unioned branches (corpus +
     planted + trimmed), so concurrent branches together saturate the
-    machine without over-splitting any one kernel stage."""
+    machine without over-splitting any one kernel stage.
+
+    ``weight='light'`` (r14 full-query A/B correction): the per-kernel
+    sweep above isolated the KERNEL stage, but at full-query level the
+    cheap BMP codecs lose at half width — every downstream stage
+    (persisted hash materialization, audit, banded join) inherits the
+    fan-out's partition count, and for a sub-second kernel the extra
+    near-empty tasks cost more than the parallelism buys (media_dhash
+    min-of-warm: width 1 → 2.54 s, 4 → 2.59, 8 → 3.54, 16 → 3.91;
+    interleaved ab_fanout ratio 1.45 at 16). Light kernels fan to an
+    8th of the parallelism (floor 2) — still scale-proportional, and
+    at real scale both tiers are usually no-ops because the scan
+    already fans wider."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(max(2, sc.defaultParallelism // 2))
+    divisor = 8 if weight == "light" else 2
+    return df.repartition(max(2, sc.defaultParallelism // divisor))
 
 
 def read_binary_dir(spark, path: str) -> DataFrame:
@@ -362,7 +375,7 @@ def encode_pattern_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(bmp_encode(v.astype(np.uint8)))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return _fan_out(df.select(id_col)).mapInPandas(
+    return _fan_out(df.select(id_col), weight="light").mapInPandas(
         _run, schema="id long, bytes binary"
     )
 
@@ -690,7 +703,7 @@ def encode_textured_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
                 payloads.append(bmp_encode(v.astype(np.uint8)))
             yield pd.DataFrame({"id": pdf[id_col], "bytes": payloads})
 
-    return _fan_out(df.select(id_col)).mapInPandas(
+    return _fan_out(df.select(id_col), weight="light").mapInPandas(
         _run, schema="id long, bytes binary"
     )
 

@@ -35,7 +35,7 @@ def child(arm: str, names: list[str]) -> None:
     from eclipse_spark.operators import multimodal as mm
 
     if arm == "off":
-        mm._fan_out = lambda df: df  # pre-change shape
+        mm._fan_out = lambda df, weight="heavy": df  # pre-change shape
 
     import __spark_entry__ as entrymod
 
