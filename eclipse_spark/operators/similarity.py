@@ -978,12 +978,29 @@ def random_projection(
     ).select(id_col, "_e.proj_pos", "_e.value")
 
 
-def _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct):
+def _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct, bound=None):
     """Shared candidate construction for the APSS tier: returns the
     lazily-persisted distinct (doc, token) table and the prefix-filter
     candidate pair set (id_a < id_b, n_a, n_b). Factored out so the
     scaling probe can COUNT candidates (work, not just wall-time)
-    through the identical plan the verify stage consumes."""
+    through the identical plan the verify stage consumes.
+
+    ``bound`` adds the PPJoin POSITIONAL filter (r14 optimization):
+    for a prefix match at ranks (p_a, p_b) the overlap is bounded by
+    ``min(p_a-1, p_b-1) + 1 + min(n_a-p_a, n_b-p_b)`` — shared tokens
+    strictly before the match have rank < p in BOTH docs (the rank is
+    the same global (df, tok) order restricted to each doc), shared
+    tokens after it rank > p in both, plus the match itself. Every
+    match of a truly qualifying pair has bound >= its true overlap c,
+    and both qualifying tests are monotone in c, so dropping matches
+    whose OWN bound already fails the test at c = bound cannot drop a
+    qualifying pair — recall is preserved exactly; the exact verify
+    keeps precision exact as before. ``bound="jaccard"`` applies
+    ``100*ub >= pct*(n_a+n_b-ub)`` (threshold_sq_pct = t*100),
+    ``bound="cosine"`` applies ``100*ub^2 >= pct*n_a*n_b``
+    (threshold_sq_pct = t^2*100). ``None`` keeps the pure
+    prefix-filter set (the scale probe's work counter — an upper
+    bound on what the verify tier consumes)."""
     # the exploded token table feeds four consumers (sizes, document
     # frequencies, the ranked prefix, and the verify arrays); persist()
     # LAZILY so the tokenize+explode runs once — plan-level reuse via
@@ -992,9 +1009,11 @@ def _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct):
     toks = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.array_distinct(F.col(tokens_col))).alias("tok")
     ).distinct().persist()
-    sizes = toks.groupBy("_id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # global rarity order; dense rank per doc after sorting (df, tok)
+    # global rarity order; rank + doc size in ONE (_id)-keyed window
+    # pass (r14: n = count over the same partition — value-equal to
+    # the former groupBy+join because ranked is row-for-row toks —
+    # one exchange instead of an aggregate plus a join)
     ranked = (
         toks.join(dfreq, "tok")
         .withColumn(
@@ -1003,21 +1022,47 @@ def _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct):
                 Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
             ),
         )
-        .join(sizes, "_id")
+        .withColumn("n", F.count("*").over(Window.partitionBy("_id")))
     )
-    # prefix length: n - ceil(pct*n/100) + 1, all-integer
+    # prefix length: n - ceil(pct*n/100) + 1, all-integer.
+    # localCheckpoint LAZILY (r14, same finding as minhash_estimate):
+    # Spark performs no common-subexpression elimination across the
+    # self-join, so without it the dfreq aggregate + join + window
+    # pipeline executes once PER SIDE (and once more per verify-array
+    # side); the first action materializes the slim (id, tok, n, pos)
+    # table once and all consumers scan it.
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold_sq_pct) / F.lit(100)) + 1
-    ).select("_id", "tok", "n")
-    a = prefix.select(F.col("_id").alias("id_a"), "tok", F.col("n").alias("n_a"))
-    b = prefix.select(F.col("_id").alias("id_b"), "tok", F.col("n").alias("n_b"))
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
+    ).select("_id", "tok", "n", "pos").localCheckpoint(eager=False)
+    a = prefix.select(
+        F.col("_id").alias("id_a"), "tok", F.col("n").alias("n_a"), F.col("pos").alias("p_a")
     )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), "tok", F.col("n").alias("n_b"), F.col("pos").alias("p_b")
+    )
+    matched = a.join(b, "tok").filter(F.col("id_a") < F.col("id_b"))
+    if bound is not None:
+        # per-match overlap upper bound (docstring proof); filtering
+        # BEFORE the distinct prunes the candidate shuffle and the
+        # verify join without touching recall
+        ub = (
+            F.least(F.col("p_a") - 1, F.col("p_b") - 1)
+            + F.lit(1)
+            + F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b"))
+        )
+        if bound == "jaccard":
+            keep = F.lit(100) * ub >= F.lit(threshold_sq_pct) * (
+                F.col("n_a") + F.col("n_b") - ub
+            )
+        elif bound == "cosine":
+            keep = F.lit(100) * ub * ub >= F.lit(threshold_sq_pct) * F.col(
+                "n_a"
+            ) * F.col("n_b")
+        else:
+            raise ValueError(f"unknown positional bound {bound!r}")
+        matched = matched.filter(keep)
+    cand = matched.select("id_a", "id_b", "n_a", "n_b").distinct()
     return toks, cand
 
 
@@ -1070,9 +1115,17 @@ def allpairs_cosine(
     the MinHash/SimHash tier (operators/dedup.py) is the probabilistic
     fallback there. Output: id_a < id_b, overlap, n_a, n_b,
     cos_sim (round-9)."""
-    toks, cand = _apss_candidate_pairs(docs, id_col, tokens_col, threshold_sq_pct)
-    # exact verify: full sorted token arrays only for candidate ids
-    arrays = toks.groupBy("_id").agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+    toks, cand = _apss_candidate_pairs(
+        docs, id_col, tokens_col, threshold_sq_pct, bound="cosine"
+    )
+    # exact verify: full sorted token arrays only for candidate ids;
+    # checkpointed lazily so the collect_list aggregate runs once, not
+    # once per join side (r14 — no cross-subtree CSE)
+    arrays = (
+        toks.groupBy("_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+        .localCheckpoint(eager=False)
+    )
     verified = (
         cand.join(arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
         .join(arrays.select(F.col("_id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
@@ -1262,9 +1315,15 @@ def allpairs_jaccard(
     candidate ids. Output: id_a < id_b, overlap, n_a, n_b,
     jaccard (round-9 of the exact integer ratio).
     """
-    toks, cand = _apss_candidate_pairs(docs, id_col, tokens_col, threshold_pct)
-    arrays = toks.groupBy("_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("arr")
+    toks, cand = _apss_candidate_pairs(
+        docs, id_col, tokens_col, threshold_pct, bound="jaccard"
+    )
+    # lazily-checkpointed verify arrays: one collect_list aggregate
+    # shared by both join sides (r14 — no cross-subtree CSE)
+    arrays = (
+        toks.groupBy("_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+        .localCheckpoint(eager=False)
     )
     verified = (
         cand.join(

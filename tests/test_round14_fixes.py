@@ -351,3 +351,84 @@ def test_r14_window_is_exactly_50_registry_keys():
     assert list(reg)[:50] == win, (
         "queries() must lead with the window keys in window order"
     )
+
+
+def test_apss_positional_filter_preserves_verified_output(spark):
+    """r14 optimization: the PPJoin positional bound prunes candidate
+    matches before the distinct/verify, but the VERIFIED pair set must
+    be bit-identical to the unfiltered prefix-filter path — the bound
+    only removes pairs that cannot pass the exact verify."""
+    from eclipse_spark.operators.similarity import (
+        _apss_candidate_pairs,
+        allpairs_cosine,
+        allpairs_jaccard,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "f"]),
+        (3, ["a", "b", "c", "d", "e"]),
+        (4, ["x", "y", "z", "a", "b"]),
+        (5, ["x", "y", "z", "w", "v"]),
+        (6, ["q"]),
+        (7, ["q", "a"]),
+        (8, ["m", "n", "o", "p", "a", "b", "c"]),
+    ]
+    df = spark.createDataFrame(rows, ["did", "toks"])
+    for op, pct in ((allpairs_jaccard, 60), (allpairs_cosine, 49)):
+        got = sorted(
+            tuple(r) for r in op(df, "did", "toks", pct).collect()
+        )
+        # reference: same verify over the UNFILTERED candidate set
+        toks, cand = _apss_candidate_pairs(df, "did", "toks", pct, bound=None)
+        arrays = toks.groupBy("_id").agg(
+            F.sort_array(F.collect_list("tok")).alias("arr")
+        )
+        v = (
+            cand.join(
+                arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")),
+                "id_a",
+            )
+            .join(
+                arrays.select(F.col("_id").alias("id_b"), F.col("arr").alias("arr_b")),
+                "id_b",
+            )
+            .withColumn("overlap", F.size(F.array_intersect("arr_a", "arr_b")))
+        )
+        if op is allpairs_jaccard:
+            v = v.filter(
+                F.lit(100) * F.col("overlap")
+                >= F.lit(pct) * (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+            ).withColumn(
+                "sim",
+                F.round(
+                    F.col("overlap")
+                    / (F.col("n_a") + F.col("n_b") - F.col("overlap")).cast("double"),
+                    9,
+                ),
+            )
+        else:
+            v = v.filter(
+                F.lit(100) * F.col("overlap") * F.col("overlap")
+                >= F.lit(pct) * F.col("n_a") * F.col("n_b")
+            ).withColumn(
+                "sim",
+                F.round(
+                    F.col("overlap")
+                    / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                    9,
+                ),
+            )
+        want = sorted(
+            tuple(r)
+            for r in v.select(
+                "id_a",
+                "id_b",
+                F.col("overlap").cast("long"),
+                F.col("n_a").cast("long"),
+                F.col("n_b").cast("long"),
+                "sim",
+            ).collect()
+        )
+        assert got == want, f"{op.__name__}: positional filter changed the verified set"
+        toks.unpersist()
