@@ -242,8 +242,18 @@ def _subvectors(
     ``m`` contiguous subspace blocks — pure codegen, one pass. The
     subspace width derives from each row's own vector length, so no
     dimension needs declaring (mixed lengths would simply land in
-    different (subspace, pos) keys and never cross-compare)."""
-    ex = corpus.select(
+    different (subspace, pos) keys and never cross-compare).
+
+    The slim (id, vec) rows fan out of a single-row-group scan before
+    the explode (r14, guide §2.5): the explode and every downstream
+    map-side stage (codebook joins, distance terms) otherwise run on
+    one task; filters on the id column still push through the
+    repartition, so codebook seed slices stay scan-pruned."""
+    from eclipse_spark.util import ensure_parallelism
+
+    ex = ensure_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).select(
         F.col(id_col).alias("_vid"),
         (F.size(F.col(vec_col)) / m).cast("int").alias("_sub"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "x"),
@@ -780,15 +790,27 @@ def int8_quantize(
     whose result is dim-count rows (broadcast back), one map-side
     reassembly aggregate keyed on the vector id. Nothing corpus-sized
     is ever broadcast or collected."""
-    ex = corpus.select(
-        F.col(id_col).alias("_vid"),
-        F.posexplode(vec_col).alias("pos", "_x"),
-    ).withColumn(
-        "_i",
-        F.expr(
-            "CAST(CAST(CAST(_x AS DOUBLE) AS DECIMAL(18,9)) "
-            "* 1000000000 AS BIGINT)"
-        ),
+    from eclipse_spark.util import ensure_parallelism
+
+    # fan the slim (id, vec) rows out of the single-row-group scan
+    # before the positional explode, and persist the exploded view:
+    # it feeds BOTH the per-dim range aggregate and the code
+    # projection, and Spark re-executes the explode per reference
+    # otherwise (r14, guide §2.5/§2.4)
+    ex = (
+        ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(vec_col).alias("pos", "_x"),
+        )
+        .withColumn(
+            "_i",
+            F.expr(
+                "CAST(CAST(CAST(_x AS DOUBLE) AS DECIMAL(18,9)) "
+                "* 1000000000 AS BIGINT)"
+            ),
+        )
+        .persist()
     )
     rng = ex.groupBy("pos").agg(
         F.min("_i").alias("_lo"), F.max("_i").alias("_hi")
@@ -859,9 +881,20 @@ def int8_topk(
         "CAST(CAST(CAST(_x AS DOUBLE) AS DECIMAL(18,9)) "
         "* 1000000000 AS BIGINT)"
     )
-    ex_c = corpus.select(
-        F.col(c_id).alias("_cid"), F.posexplode(vec_col).alias("pos", "_x")
-    ).withColumn("_i", F.expr(hop))
+    from eclipse_spark.util import ensure_parallelism
+
+    # fan the slim corpus out of the single-row-group scan and persist
+    # the exploded/coded views: the explode+decimal hop otherwise
+    # re-executes once per reference (scale, norms, dots = 3x) on one
+    # task (r14, guide §2.5/§2.4)
+    ex_c = (
+        ensure_parallelism(corpus.select(F.col(c_id), F.col(vec_col)))
+        .select(
+            F.col(c_id).alias("_cid"), F.posexplode(vec_col).alias("pos", "_x")
+        )
+        .withColumn("_i", F.expr(hop))
+        .persist()
+    )
     scale = ex_c.agg(F.max(F.abs("_i")).alias("_s"))
 
     def _code(col: str) -> Column:
@@ -882,7 +915,9 @@ def int8_topk(
             )
         )
 
-    coded_c = ex_c.crossJoin(F.broadcast(scale)).withColumn("_cc", _code("_i"))
+    coded_c = (
+        ex_c.crossJoin(F.broadcast(scale)).withColumn("_cc", _code("_i")).persist()
+    )
     norms = coded_c.groupBy("_cid").agg(
         F.sum(F.col("_cc") * F.col("_cc")).alias("_nc")
     )
