@@ -470,6 +470,12 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
+            # this distinct is LOAD-BEARING for volume, not just
+            # hygiene (measured r14): on clique-like components every
+            # node's neighbors emit the same (v, m) row once per
+            # neighbor, so without the dedup the small-star join and
+            # re-star explode amplify quadratically within the round
+            # (cc_star 4.8 s -> 17-166 s when it was dropped)
             .distinct()
         )
         # ---- small-star: orient large->small, re-star each node onto
