@@ -4430,11 +4430,21 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = dedup.minhash_estimate_pairs(
         docs, cands, num_hashes=32, shingle_k=5, portable=True, sig=sig
     )
-    sh = docs.select(
-        F.col("doc_id").alias("_id"),
-        F.array_distinct(
-            text.word_shingles_raw(text.tokens(F.col("text")), 5)
-        ).alias("_sh"),
+    # exact-shingle side: fan the slim (id, text) rows out of the
+    # single-row-group scan before the shingle kernel (r14 guide §2.5)
+    # and checkpoint LAZILY so the pass runs once, not once per join
+    # side (no cross-subtree CSE — same finding as the sig table above)
+    from eclipse_spark.util import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(docs.select("doc_id", "text"))
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(
+                text.word_shingles_raw(text.tokens(F.col("text")), 5)
+            ).alias("_sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     exact = (
         est.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
@@ -6880,9 +6890,14 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface at hamming 0."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     bmps = multimodal.encode_textured_bmp(ids, id_col="id")
-    planted = bmps.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): the encoder is a pure row-wise
+    # function of id, so encoding only the planted slice yields the
+    # SAME bytes as filtering the full encoded corpus — without
+    # re-running the whole encode kernel for the union branch (filters
+    # cannot push through mapInPandas and Spark has no subtree CSE)
+    planted = multimodal.encode_textured_bmp(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     hs = multimodal.dhash_bands(
         bmps.unionByName(planted), id_col="id", bytes_col="bytes"
     )
@@ -6910,9 +6925,11 @@ def q_media_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies ALL pairs."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     bmps = multimodal.encode_textured_bmp(ids, id_col="id")
-    planted = bmps.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass (see q_media_dhash)
+    planted = multimodal.encode_textured_bmp(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     hs = multimodal.dhash_bands_wide(
         bmps.unionByName(planted), id_col="id", bytes_col="bytes"
     )
@@ -6938,9 +6955,11 @@ def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface at hamming 0."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     wavs = multimodal.encode_tone_wav(ids, id_col="id")
-    planted = wavs.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass (see q_media_dhash)
+    planted = multimodal.encode_tone_wav(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     fp = multimodal.audio_fingerprint_bands(
         wavs.unionByName(planted), id_col="id", bytes_col="bytes"
     )
@@ -6967,9 +6986,11 @@ def q_media_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_close = F, F-1, F-1 and sum_hamming 0."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     full = multimodal.encode_textured_video(ids, id_col="id")
-    planted = full.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass (see q_media_dhash)
+    planted = multimodal.encode_textured_video(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     trunc_src = ids.filter(F.col("id") % 20 == 0).select(
         "id", (F.lit(2) + F.col("id") % 5).cast("int").alias("nf")
     )
@@ -7006,9 +7027,11 @@ def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     wavs = multimodal.encode_tone_wav(ids, id_col="id")
     originals = wavs.select("id", "bytes")
-    planted = wavs.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass (see q_media_dhash)
+    planted = multimodal.encode_tone_wav(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     corpus = originals.unionByName(planted)
     feats = multimodal.audio_features(corpus, bytes_col="bytes", id_col="id")
     # staged feeds the dedup semi-join AND the final accounting agg and
@@ -7083,7 +7106,11 @@ def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     bmps = multimodal.encode_textured_bmp(ids, id_col="id")
     originals = bmps.select("id", F.col("id").alias("pid"), "bytes")
-    planted = bmps.filter(F.col("id") % 10 == 0).select(
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass (see q_media_dhash)
+    planted = multimodal.encode_textured_bmp(
+        ids.filter(F.col("id") % 10 == 0), id_col="id"
+    ).select(
         (F.col("id") + 100000).alias("id"),
         F.col("id").alias("pid"),
         "bytes",
@@ -7711,10 +7738,12 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_ids = docs.filter(F.col("id") % 4 != 0)
     new_ids = docs.filter(F.col("id") % 4 == 0)
     ref_imgs = multimodal.encode_textured_bmp(ref_ids)
+    # plant-before-encode (r14): same bytes, no second full-ref-corpus
+    # encode pass for the plant slice (see q_media_dhash)
     new_imgs = multimodal.encode_textured_bmp(new_ids).unionByName(
-        ref_imgs.filter(F.col("id") % 8 == 1).select(
-            (F.col("id") + 100000).alias("id"), "bytes"
-        )
+        multimodal.encode_textured_bmp(
+            ref_ids.filter(F.col("id") % 8 == 1)
+        ).select((F.col("id") + 100000).alias("id"), "bytes")
     )
     out = multimodal.dhash_pairs_against(
         multimodal.dhash_bands(new_imgs),
@@ -7758,10 +7787,12 @@ def q_media_index_refresh(
     ref_ids = docs.filter(F.col("id") % 4 != 0)
     new_ids = docs.filter(F.col("id") % 4 == 0)
     ref_imgs = multimodal.encode_textured_bmp(ref_ids)
+    # plant-before-encode (r14): same bytes, no second full-ref-corpus
+    # encode pass for the plant slice (see q_media_dhash)
     new_imgs = multimodal.encode_textured_bmp(new_ids).unionByName(
-        ref_imgs.filter(F.col("id") % 8 == 1).select(
-            (F.col("id") + 100000).alias("id"), "bytes"
-        )
+        multimodal.encode_textured_bmp(
+            ref_ids.filter(F.col("id") % 8 == 1)
+        ).select((F.col("id") + 100000).alias("id"), "bytes")
     )
     work = tempfile.mkdtemp(prefix="eclipse_dhash_idx_")
     table = "dhash_ref_index_demo"
@@ -7879,11 +7910,18 @@ def q_media_audio_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     video shifted path: slim rows only, pre-join volume audit."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     wavs = multimodal.encode_tone_wav(ids, base_samples=2080, mod=509)
-    planted = wavs.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): the tone encoder is a pure row-wise
+    # function of (id, base_samples, mod), so encoding only each plant
+    # slice yields the same bytes without re-running the full-corpus
+    # kernel once per union branch (this query had THREE references)
+    planted = multimodal.encode_tone_wav(
+        ids.filter(F.col("id") % 10 == 0), base_samples=2080, mod=509
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     trimmed = multimodal.trim_wav_head(
-        wavs.filter(F.col("id") % 20 == 0), n_samples=128
+        multimodal.encode_tone_wav(
+            ids.filter(F.col("id") % 20 == 0), base_samples=2080, mod=509
+        ),
+        n_samples=128,
     ).select((F.col("id") + 300000).alias("id"), "bytes")
     corpus = wavs.unionByName(planted).unionByName(trimmed)
     hs = multimodal.audio_window_bands(corpus)
@@ -7915,11 +7953,15 @@ def q_media_video_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit raises with the measured volume before a saturated join."""
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     full = multimodal.encode_textured_video(ids)
-    planted = full.filter(F.col("id") % 10 == 0).select(
-        (F.col("id") + 100000).alias("id"), "bytes"
-    )
+    # plant-before-encode (r14): the video encoder is a pure row-wise
+    # function of id, so encoding only each plant slice yields the
+    # same bytes without re-running the heaviest kernel in the suite
+    # once per union branch (this query had THREE references)
+    planted = multimodal.encode_textured_video(
+        ids.filter(F.col("id") % 10 == 0)
+    ).select((F.col("id") + 100000).alias("id"), "bytes")
     trimmed = multimodal.trim_video_head(
-        full.filter(F.col("id") % 20 == 0), n=1
+        multimodal.encode_textured_video(ids.filter(F.col("id") % 20 == 0)), n=1
     ).select((F.col("id") + 300000).alias("id"), "bytes")
     corpus = full.unionByName(planted).unionByName(trimmed)
     hs = multimodal.video_dhash_bands(corpus)
@@ -8033,10 +8075,12 @@ def _xmodal_body(
     # image: survivors' textured BMPs + byte-identical planted copies
     ids_i = gated_i.select(F.col("doc_id").alias("id"))
     imgs = multimodal.encode_textured_bmp(ids_i)
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass for the union branch (see q_media_dhash)
     i_corpus = imgs.unionByName(
-        imgs.filter(F.col("id") % 10 == 0).select(
-            (F.col("id") + 100000).alias("id"), "bytes"
-        )
+        multimodal.encode_textured_bmp(
+            ids_i.filter(F.col("id") % 10 == 0)
+        ).select((F.col("id") + 100000).alias("id"), "bytes")
     )
     n_corpus_i = n_corpus_media
     i_pairs, i_dropped, i_kept = media_stats(
@@ -8050,10 +8094,12 @@ def _xmodal_body(
     # audio: survivors' tone WAVs + byte-identical planted copies
     ids_a = gated_a.select(F.col("doc_id").alias("id"))
     wavs = multimodal.encode_tone_wav(ids_a)
+    # plant-before-encode (r14): same bytes, no second full-corpus
+    # encode pass for the union branch (see q_media_dhash)
     a_corpus = wavs.unionByName(
-        wavs.filter(F.col("id") % 10 == 0).select(
-            (F.col("id") + 100000).alias("id"), "bytes"
-        )
+        multimodal.encode_tone_wav(
+            ids_a.filter(F.col("id") % 10 == 0)
+        ).select((F.col("id") + 100000).alias("id"), "bytes")
     )
     n_corpus_a = n_corpus_media
     a_pairs, a_dropped, a_kept = media_stats(
@@ -8199,12 +8245,16 @@ def _xinc_body(
     ref_imgs = multimodal.encode_textured_bmp(
         ref.select(F.col("doc_id").alias("id"))
     )
+    # plant-before-encode (r14): same bytes, no second full-ref-corpus
+    # encode pass for the plant slice (see q_media_dhash)
     i_corpus = multimodal.encode_textured_bmp(
         new_i.select(F.col("doc_id").alias("id"))
     ).unionByName(
-        ref_imgs.filter(F.col("id") % 8 == 1).select(
-            (F.col("id") + 200000).alias("id"), "bytes"
-        )
+        multimodal.encode_textured_bmp(
+            ref.select(F.col("doc_id").alias("id")).filter(
+                F.col("id") % 8 == 1
+            )
+        ).select((F.col("id") + 200000).alias("id"), "bytes")
     )
     i_pairs, i_flagged = accounting(
         multimodal.dhash_pairs_against(
@@ -8219,12 +8269,16 @@ def _xinc_body(
     ref_wavs = multimodal.encode_tone_wav(
         ref.select(F.col("doc_id").alias("id"))
     )
+    # plant-before-encode (r14): same bytes, no second full-ref-corpus
+    # encode pass for the plant slice (see q_media_dhash)
     a_corpus = multimodal.encode_tone_wav(
         new_a.select(F.col("doc_id").alias("id"))
     ).unionByName(
-        ref_wavs.filter(F.col("id") % 8 == 1).select(
-            (F.col("id") + 200000).alias("id"), "bytes"
-        )
+        multimodal.encode_tone_wav(
+            ref.select(F.col("doc_id").alias("id")).filter(
+                F.col("id") % 8 == 1
+            )
+        ).select((F.col("id") + 200000).alias("id"), "bytes")
     )
     a_pairs, a_flagged = accounting(
         multimodal.dhash_pairs_against(
