@@ -168,18 +168,14 @@ def pagerank(
     # subtree (joins/distinct building the edges) materializes exactly
     # once instead of per reference. At cluster scale this is the
     # difference between one pass over the source tables and n_iter+2.
-    # Persist PARTITIONED ON THE JOIN KEY (r14, guide §2.1): the
-    # contribs join and the out-degree aggregate are both keyed on
-    # src, so a src-partitioned cache serves every iteration without
-    # re-shuffling the (large) edge side — only the small ranks table
-    # moves per round. One bounded shuffle up front, key-local joins
-    # for the whole loop; decimal summation is order-independent so
-    # results are bit-identical.
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .persist()
-    )
+    # NEGATIVE RESULT (r14): persisting this cache repartition("src")
+    # so the per-round contribs join is exchange-free does NOT work
+    # under AQE — an adaptively-planned cached relation reports
+    # unknown output partitioning, so the join re-shuffles the cached
+    # side anyway (verified in the executed plan: Exchange above
+    # InMemoryTableScan) and the up-front repartition is a pure extra
+    # shuffle. Measured wash locally; reverted.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -231,15 +227,9 @@ def label_propagation(
     left join back to the node set. Labels-frontier-sized shuffles
     only; nothing collects to the driver. Returns (node, label)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # persist the symmetric view partitioned on the vote-join key (b):
-    # every round pushes labels onto the edges via b, so the cached
-    # edge side never re-shuffles — only the labels table moves per
-    # round (r14, guide §2.1; count/argmax are order-independent)
-    und = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition("b")
-        .persist()
-    )
+    # (r14: a repartition("b") here — the vote-join key — was tried and
+    # reverted for the same AQE-cache reason documented in pagerank)
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(n_rounds):
