@@ -110,7 +110,15 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # lazily checkpointed (r14): adj feeds BOTH intersection sides and
+    # each side otherwise re-runs the collect_list aggregate over the
+    # cached oriented edges (no cross-subtree CSE) — the first consumer
+    # materializes it, the second reuses the RDD
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
     if broadcast_adjacency is None:
         est = deg.agg(
             F.count("*").alias("n"), F.sum("deg").alias("s")
@@ -779,7 +787,15 @@ def k_truss(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # lazily checkpointed (r14): adj feeds BOTH intersection sides and
+    # each side otherwise re-runs the collect_list aggregate over the
+    # cached oriented edges (no cross-subtree CSE) — the first consumer
+    # materializes it, the second reuses the RDD
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
     est = deg.agg(F.count("*").alias("n"), F.sum("deg").alias("s")).collect()[0]
     est_bytes = (est["n"] or 0) * 32 + (est["s"] or 0) * 8
     maybe_bc = (
