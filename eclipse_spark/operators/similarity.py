@@ -793,10 +793,15 @@ def int8_quantize(
     from eclipse_spark.util import ensure_parallelism
 
     # fan the slim (id, vec) rows out of the single-row-group scan
-    # before the positional explode, and persist the exploded view:
-    # it feeds BOTH the per-dim range aggregate and the code
-    # projection, and Spark re-executes the explode per reference
-    # otherwise (r14, guide §2.5/§2.4)
+    # before the positional explode, and share the exploded view via a
+    # LAZY localCheckpoint: it feeds BOTH the per-dim range aggregate
+    # and the code projection, and Spark re-executes the explode per
+    # reference otherwise (r14, guide §2.5/§2.4). localCheckpoint
+    # rather than persist (r15, VERDICT r14 item 4): the operator has
+    # no post-action hook to unpersist, so a persist() here leaked one
+    # CacheManager entry per invocation for the session lifetime;
+    # checkpoint blocks free on RDD GC instead. Same executor-loss
+    # caveat as every other lazy checkpoint in this module.
     ex = (
         ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
         .select(
@@ -810,7 +815,7 @@ def int8_quantize(
                 "* 1000000000 AS BIGINT)"
             ),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     rng = ex.groupBy("pos").agg(
         F.min("_i").alias("_lo"), F.max("_i").alias("_hi")
@@ -883,17 +888,20 @@ def int8_topk(
     )
     from eclipse_spark.util import ensure_parallelism
 
-    # fan the slim corpus out of the single-row-group scan and persist
-    # the exploded/coded views: the explode+decimal hop otherwise
-    # re-executes once per reference (scale, norms, dots = 3x) on one
-    # task (r14, guide §2.5/§2.4)
+    # fan the slim corpus out of the single-row-group scan and share
+    # the exploded/coded views via LAZY localCheckpoints: the
+    # explode+decimal hop otherwise re-executes once per reference
+    # (scale, norms, dots = 3x) on one task (r14, guide §2.5/§2.4).
+    # localCheckpoint, not persist (r15, VERDICT r14 item 4): persist()
+    # with no unpersist leaked one CacheManager entry per view per
+    # invocation; checkpoint blocks free on RDD GC.
     ex_c = (
         ensure_parallelism(corpus.select(F.col(c_id), F.col(vec_col)))
         .select(
             F.col(c_id).alias("_cid"), F.posexplode(vec_col).alias("pos", "_x")
         )
         .withColumn("_i", F.expr(hop))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     scale = ex_c.agg(F.max(F.abs("_i")).alias("_s"))
 
@@ -916,7 +924,9 @@ def int8_topk(
         )
 
     coded_c = (
-        ex_c.crossJoin(F.broadcast(scale)).withColumn("_cc", _code("_i")).persist()
+        ex_c.crossJoin(F.broadcast(scale))
+        .withColumn("_cc", _code("_i"))
+        .localCheckpoint(eager=False)
     )
     norms = coded_c.groupBy("_cid").agg(
         F.sum(F.col("_cc") * F.col("_cc")).alias("_nc")

@@ -22,6 +22,18 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Apply AQE inside cached-plan materialization too (optimization
+    # r15, guide §2.2/§2.4). Spark leaves this OFF only to keep a
+    # cached plan's output partitioning stable for downstream reuse;
+    # with it off, every persist() materializes at the full static
+    # shuffle width and every InMemoryTableScan (and every broadcast
+    # build over one) pays that many tasks FOREVER — the measured
+    # source of the suite's near-empty 32/64/128-task stages and of
+    # the 8-core-beats-32 inversion (task launch ~2.5 ms each;
+    # pagerank alone ran 1720 tasks on KB-scale cached frames). With
+    # AQE on, cached partitioning is SIZE-DERIVED at any scale: tiny
+    # caches coalesce, 100 TB caches keep their width.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

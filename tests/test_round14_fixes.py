@@ -348,9 +348,10 @@ def test_r14_window_is_exactly_50_registry_keys():
     reg = entrymod.queries()
     missing = [k for k in win if k not in reg]
     assert not missing, f"window names unknown registry keys: {missing}"
-    assert list(reg)[:50] == win, (
-        "queries() must lead with the window keys in window order"
-    )
+    # r15: the gate lead rotated to _R15_WINDOW (which retains 25 of
+    # these keys for the round-over-round overlap — VERDICT r14 item
+    # 2); the r14 literal stays pinned above so the overlap contract
+    # in test_round15_fixes can be checked against it.
 
 
 def test_apss_positional_filter_preserves_verified_output(spark):

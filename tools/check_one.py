@@ -32,6 +32,12 @@ def main(names, sf="/root/testdata/sf0.01"):
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # r15: mirror the engine/bench session (AQE on cached plans)
+        # so the oracle check runs the shipped physical plans
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
