@@ -8882,6 +8882,47 @@ def _oracle_minhash_dedup(threshold: float = 0.8, k: int = 5) -> str:
         """
 
 
+def _sql_kcore_peel(depth: int = 24) -> str:
+    """kcore oracle: the 10-core peel as an unrolled chain of
+    MATERIALIZED CTEs, generated to ``depth`` rounds. r14 shipped a
+    hand-written 12-round unroll, which undershoots sf0.001's peel
+    (measured: fixpoint at round 14 there; sf0.01 converges at 10) —
+    the engine's k_core iterates to fixpoint, so the oracle
+    mismatched at that SF only. Rounds past the fixpoint are no-ops
+    (the survivor set is stable under further peels), so deepening
+    the unroll leaves every already-converged SF's result
+    bit-identical; 24 covers all probe SFs with margin (a peel
+    removes >=1 node per non-converged round, and these synthetic
+    graphs' degeneracy chains measured <=14)."""
+    parts = [
+        """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 8 = 0),
+            r0 AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f""",
+            n{i} AS MATERIALIZED (
+              SELECT u FROM r{i - 1} GROUP BY u HAVING count(*) >= 10),
+            r{i} AS MATERIALIZED (
+              SELECT r.u, r.v FROM r{i - 1} r
+              JOIN n{i} x ON r.u = x.u JOIN n{i} y ON r.v = y.u)"""
+        )
+    parts.append(
+        f"""
+            SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM r{depth} GROUP BY u
+        """
+    )
+    return "".join(parts)
+
+
 def _sql_minhash_sig(src_cte: str, nh: int = 32, k: int = 5) -> str:
     """Shared SQL: portable MinHash signature table for a (doc_id,
     text) CTE — word k-shingles, ONE md5 per shingle (hoisted into a
@@ -11443,78 +11484,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS version
             FROM events GROUP BY event_type
         """,
-        "kcore": """
-            WITH e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-              FROM lineitem a JOIN lineitem b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-              WHERE a.l_orderkey % 8 = 0),
-            r0 AS MATERIALIZED (
-              SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
-            n1 AS MATERIALIZED (
-              SELECT u FROM r0 GROUP BY u HAVING count(*) >= 10),
-            r1 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r0 r
-              JOIN n1 x ON r.u = x.u JOIN n1 y ON r.v = y.u),
-            n2 AS MATERIALIZED (
-              SELECT u FROM r1 GROUP BY u HAVING count(*) >= 10),
-            r2 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r1 r
-              JOIN n2 x ON r.u = x.u JOIN n2 y ON r.v = y.u),
-            n3 AS MATERIALIZED (
-              SELECT u FROM r2 GROUP BY u HAVING count(*) >= 10),
-            r3 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r2 r
-              JOIN n3 x ON r.u = x.u JOIN n3 y ON r.v = y.u),
-            n4 AS MATERIALIZED (
-              SELECT u FROM r3 GROUP BY u HAVING count(*) >= 10),
-            r4 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r3 r
-              JOIN n4 x ON r.u = x.u JOIN n4 y ON r.v = y.u),
-            n5 AS MATERIALIZED (
-              SELECT u FROM r4 GROUP BY u HAVING count(*) >= 10),
-            r5 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r4 r
-              JOIN n5 x ON r.u = x.u JOIN n5 y ON r.v = y.u),
-            n6 AS MATERIALIZED (
-              SELECT u FROM r5 GROUP BY u HAVING count(*) >= 10),
-            r6 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r5 r
-              JOIN n6 x ON r.u = x.u JOIN n6 y ON r.v = y.u),
-            n7 AS MATERIALIZED (
-              SELECT u FROM r6 GROUP BY u HAVING count(*) >= 10),
-            r7 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r6 r
-              JOIN n7 x ON r.u = x.u JOIN n7 y ON r.v = y.u),
-            n8 AS MATERIALIZED (
-              SELECT u FROM r7 GROUP BY u HAVING count(*) >= 10),
-            r8 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r7 r
-              JOIN n8 x ON r.u = x.u JOIN n8 y ON r.v = y.u),
-            n9 AS MATERIALIZED (
-              SELECT u FROM r8 GROUP BY u HAVING count(*) >= 10),
-            r9 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r8 r
-              JOIN n9 x ON r.u = x.u JOIN n9 y ON r.v = y.u),
-            n10 AS MATERIALIZED (
-              SELECT u FROM r9 GROUP BY u HAVING count(*) >= 10),
-            r10 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r9 r
-              JOIN n10 x ON r.u = x.u JOIN n10 y ON r.v = y.u),
-            n11 AS MATERIALIZED (
-              SELECT u FROM r10 GROUP BY u HAVING count(*) >= 10),
-            r11 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r10 r
-              JOIN n11 x ON r.u = x.u JOIN n11 y ON r.v = y.u),
-            n12 AS MATERIALIZED (
-              SELECT u FROM r11 GROUP BY u HAVING count(*) >= 10),
-            r12 AS MATERIALIZED (
-              SELECT r.u, r.v FROM r11 r
-              JOIN n12 x ON r.u = x.u JOIN n12 y ON r.v = y.u)
-            SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
-            FROM r12 GROUP BY u
-        """,
+        "kcore": _sql_kcore_peel(24),
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment,
                    CAST(count(*) AS BIGINT) AS group_size,
