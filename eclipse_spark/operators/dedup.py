@@ -968,7 +968,20 @@ def semantic_dedup(
         # materialized before return (eager localCheckpoint of the
         # small fixed-width (id, cell, kept) frame) and `assigned` is
         # unpersisted right after — no block outlives the call.
-        assigned = assigned.persist()
+        #
+        # Width pin (optimization r15, guide §2.5): with AQE applied to
+        # cached-plan materialization, this cache coalesces to ~1
+        # partition on small inputs, and the QUADRATIC pair stage
+        # pipelines directly over the cache scan (broadcast self-join),
+        # so it inherits that width and serializes (measured: 399 -> 62
+        # tasks, pair jobs 34 -> 3 tasks, +28% wall). An explicit
+        # numbered repartition is exempt from AQE coalescing, pinning
+        # the materialized width; at real scale the upstream shuffle is
+        # already wider and the extra exchange of slim rows is noise.
+        sc = assigned.sparkSession.sparkContext
+        assigned = assigned.repartition(
+            max(2, sc.defaultParallelism // 2)
+        ).persist()
         audit = (
             assigned.groupBy("_cell")
             .agg(F.count("*").alias("_n"))
