@@ -607,46 +607,68 @@ def k_core(
     dec_rows_total = 0
     prev_sumdeg_good = None
     n_cached = None  # node count the cached edge list was built for
+    # Convergence-check cadence (optimization r15, guide §1/§7): the
+    # peel is DRIVER-ACTION-bound at small scale (each round's jobs run
+    # 10-40 ms; the ~0.1-0.2 s per-action orchestration dominates), so
+    # on SMALL graphs the convergence collect fires every CHECK_EVERY
+    # update rounds instead of every round. Rounds past the fixpoint
+    # are identity updates (dead is empty -> no decrements, the >= k
+    # filter keeps everything), so the returned fixpoint is unchanged;
+    # the only overshoot cost is <= CHECK_EVERY - 1 no-op rounds of
+    # near-empty jobs. SIZE-GATED because the trade inverts at scale:
+    # an overshoot round still scans the edge cache, and on a large
+    # graph that scan dwarfs the driver latency a skipped check saves —
+    # so big graphs keep the per-round check (threshold: the same
+    # ~1M-rows-per-partition band the rest of the loop derives sizes
+    # from). Exact per-round stats need per-round collects, so
+    # requesting ``stats_out`` also keeps the old cadence.
+    check_every = 1
+    n_nodes = n_good = None
     try:
         for rnd in range(max_rounds):
-            n_nodes, n_good, sum_all, sum_good = deg.agg(
-                F.count("*"),
-                F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
-                F.sum("degree"),
-                F.sum(F.when(F.col("degree") >= k, F.col("degree"))),
-            ).collect()[0]
-            # decrements applied LAST round = degree mass the survivors
-            # lost: Σdeg(good, r-1) - Σdeg(all, r) — free stats from the
-            # same convergence collect, no extra pass
-            if prev_sumdeg_good is not None:
-                dec_rows_total += int(prev_sumdeg_good) - int(sum_all or 0)
-            prev_sumdeg_good = int(sum_good or 0)
-            if n_cached is None:
-                n_cached = n_nodes
-                # one-time cache repack: the distinct-shuffle layout
-                # fans the edge cache across every shuffle partition
-                # regardless of size, and EVERY round scans it — repack
-                # to a row-count-derived width (sum_all = 2|E| is free
-                # from the convergence collect) when the layout is >4x
-                # wider than the data warrants. At real scale p_e is
-                # large and this is a no-op.
-                p_e = max(1, int(sum_all or 0) // 1_000_000 + 1)
-                if sym.rdd.getNumPartitions() > 4 * p_e:
-                    repacked = sym.coalesce(p_e).persist()
-                    repacked.count()  # materialize before dropping old
-                    sym.unpersist()
-                    sym = repacked
-            if n_nodes == 0 or n_good == n_nodes:
-                if stats_out is not None:
-                    stats_out["rounds"] = rnd
-                    stats_out["n_dead_total"] = n_dead_total
-                    stats_out["decrement_rows_total"] = dec_rows_total
-                return deg.select(
-                    F.col("u").alias("node"),
-                    F.col("degree").cast("long").alias("degree"),
-                )
+            if rnd % check_every == 0:
+                n_nodes, n_good, sum_all, sum_good = deg.agg(
+                    F.count("*"),
+                    F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
+                    F.sum("degree"),
+                    F.sum(F.when(F.col("degree") >= k, F.col("degree"))),
+                ).collect()[0]
+                # decrements applied LAST round = degree mass the
+                # survivors lost: Σdeg(good, r-1) - Σdeg(all, r) — free
+                # stats from the same convergence collect, no extra pass
+                if prev_sumdeg_good is not None:
+                    dec_rows_total += int(prev_sumdeg_good) - int(sum_all or 0)
+                prev_sumdeg_good = int(sum_good or 0)
+                if n_cached is None:
+                    n_cached = n_nodes
+                    # incidence rows (2|E|) measured once: small graphs
+                    # switch to the batched check cadence above
+                    if stats_out is None and int(sum_all or 0) < 8_000_000:
+                        check_every = 3
+                    # one-time cache repack: the distinct-shuffle layout
+                    # fans the edge cache across every shuffle partition
+                    # regardless of size, and EVERY round scans it —
+                    # repack to a row-count-derived width (sum_all =
+                    # 2|E| is free from the convergence collect) when
+                    # the layout is >4x wider than the data warrants. At
+                    # real scale p_e is large and this is a no-op.
+                    p_e = max(1, int(sum_all or 0) // 1_000_000 + 1)
+                    if sym.rdd.getNumPartitions() > 4 * p_e:
+                        repacked = sym.coalesce(p_e).persist()
+                        repacked.count()  # materialize before dropping old
+                        sym.unpersist()
+                        sym = repacked
+                if n_nodes == 0 or n_good == n_nodes:
+                    if stats_out is not None:
+                        stats_out["rounds"] = rnd
+                        stats_out["n_dead_total"] = n_dead_total
+                        stats_out["decrement_rows_total"] = dec_rows_total
+                    return deg.select(
+                        F.col("u").alias("node"),
+                        F.col("degree").cast("long").alias("degree"),
+                    )
+                n_dead_total += n_nodes - n_good
             dead = deg.filter(F.col("degree") < k).select("u")
-            n_dead_total += n_nodes - n_good
             # decrements on the CACHED edge list: edges into this
             # round's dead. The cache may still hold edges of dead or
             # earlier-dead nodes (no per-round rewrite); the join
@@ -657,8 +679,9 @@ def k_core(
                 dead.withColumnRenamed("u", "v"), "v", "left_semi"
             )
             dec = incident.groupBy("u").agg(F.count("*").alias("_d"))
-            # partitions sized from the measured survivor count
-            # (~1M (u, degree) rows ≈ tens of MB per partition)
+            # partitions sized from the survivor count measured at the
+            # LAST check (stale by < check_every rounds — sizing only;
+            # ~1M (u, degree) rows ≈ tens of MB per partition)
             p_v = max(1, int(n_good) // 1_000_000 + (1 if n_good % 1_000_000 else 0))
             deg = (
                 deg.filter(F.col("degree") >= k)
@@ -678,8 +701,14 @@ def k_core(
             # trigger amortizes the rewrite to O(log) times per peel)
             # AND the graph is big enough for the scan savings to beat
             # the rewrite's fixed job latency (small graphs are
-            # per-round-latency-bound — measured at sf0.1)
-            if n_cached >= 100_000 and n_good < n_cached * 3 // 4:
+            # per-round-latency-bound — measured at sf0.1). Evaluated
+            # on check rounds only: it fires a count() action, and
+            # n_good is only fresh at a check.
+            if (
+                rnd % check_every == 0
+                and n_cached >= 100_000
+                and n_good < n_cached * 3 // 4
+            ):
                 live = deg.select("u")
                 # compacted row count <= Σdeg(survivors) = sum_good;
                 # size partitions from it (~1M 2-long rows each)
@@ -696,6 +725,21 @@ def k_core(
                 n_cached = n_good
     finally:
         sym.unpersist()
+    # batched cadence: the budget may exhaust with the fixpoint reached
+    # since the last check — confirm before declaring failure
+    n_nodes, n_good = deg.agg(
+        F.count("*"),
+        F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
+    ).collect()[0]
+    if n_nodes == 0 or n_good == n_nodes:
+        if stats_out is not None:
+            stats_out["rounds"] = max_rounds
+            stats_out["n_dead_total"] = n_dead_total
+            stats_out["decrement_rows_total"] = dec_rows_total
+        return deg.select(
+            F.col("u").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+        )
     raise RuntimeError(
         f"k_core: no fixpoint within max_rounds={max_rounds} "
         f"(last round: {n_nodes - n_good} of {n_nodes} nodes below k={k}); "
@@ -874,16 +918,32 @@ def k_truss(
     # the old eager-checkpoint + separate persist/count pair paid two
     # actions and an extra cache round-trip per round). ``dead`` needs
     # no persist: it is a filter over the materialized checkpoint.
+    #
+    # Check cadence (optimization r15, same contract as k_core): on
+    # SMALL graphs the dead-edge count fires every CHECK_EVERY rounds —
+    # the peel is driver-action-bound there, and rounds past the
+    # fixpoint are identity updates (dead empty -> no decrements, the
+    # anti-join removes nothing). Size-gated: an overshoot round still
+    # scans the support table, which dwarfs the saved driver latency on
+    # a big graph, so those keep the per-round check.
+    check_every = 1
     first = True
-    for _ in range(max_rounds):
-        n_dead = sup.filter(F.col("support") < k - 2).count()
-        if first:
-            # the support checkpoint now holds the triangle count's
-            # output; the adjacency scaffold can go
-            oriented.unpersist()
-            first = False
-        if n_dead == 0:
-            return sup
+    n_dead = 0
+    for rnd in range(max_rounds):
+        if rnd % check_every == 0:
+            n_dead = sup.filter(F.col("support") < k - 2).count()
+            if first:
+                # the support checkpoint now holds the triangle count's
+                # output; the adjacency scaffold can go
+                oriented.unpersist()
+                if n_live < 4_000_000:
+                    check_every = 3
+                first = False
+            if n_dead == 0:
+                return sup
+            # live-edge bookkeeping (partition sizing only) updates at
+            # checks; between checks it is stale by < check_every rounds
+            n_live -= n_dead
         dead = sup.filter(F.col("support") < k - 2).select("a", "b")
         live = sup.select("a", "b")  # pre-deletion live set (incl. dead)
         sym = live.select(
@@ -900,6 +960,7 @@ def k_truss(
             (_c_lo("b", "w") == F.col("_ca")) & (_c_hi("b", "w") == F.col("_cb")),
             "semi",
         )
+        # (n_live now updates at check rounds above)
         dec = (
             tri_dead.select(
                 F.array_sort(F.array("a", "b", "w")).alias("_t"),
@@ -920,7 +981,6 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count("*").cast("long").alias("_d"))
         )
-        n_live -= n_dead
         sup = (
             sup.join(dead, ["a", "b"], "left_anti")
             .join(dec, ["a", "b"], "left")
